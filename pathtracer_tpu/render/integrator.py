@@ -1,0 +1,232 @@
+"""Wavefront path integrator — the TPU-native getColor.
+
+The reference integrates radiance with a per-thread circular queue of path
+continuations popped one at a time (reference: Raytracer.cpp:196-664,
+Contrib queue Raytracer.h:15-23,114-115).  On TPU the queue becomes a
+*wavefront*: every path in flight is a lane of big SoA arrays, the bounce
+loop is bounce-major, and branch divergence (miss/dome/light/mirror/
+refract/diffuse) becomes lane masking that XLA fuses into a handful of
+vector kernels.  One continuation ray per path per bounce (exactly the
+reference's push pattern for surface events; fog adds a second branch and is
+handled by its own wavefront pass in a later milestone).
+
+Per-path randomness: each (pixel, sample) path owns a PCG32 stream
+(core/rng.py).  The canonical draw order reproduces the reference's
+data-dependent engine draws (gated draws leave the lane's stream untouched,
+matching e.g. the Fresnel-RR uniform only being drawn on transparent
+surfaces):
+
+    camera:      dx, dy, dx_aperture, dy_aperture      (4 draws)
+    per bounce:  [subsurface RR  — gated, later milestone]
+                 NEE r1, r2                (diffuse surface lanes)
+                 Fresnel RR u              (transparent lanes)
+                 Phong lobe-choice u       (diffuse lanes, BRDF.h:73)
+
+The indirect 2D sample is NOT an engine draw: it is the per-pixel
+Cranley–Patterson rotation of the per-sample lattice point, reused at every
+bounce depth, exactly as the reference does (Raytracer.cpp:580-589).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import rng as prng
+from ..core import sampling, vec
+from ..models import brdf
+from ..scene import scene as scn
+
+M_PI = np.float32(np.pi)
+
+
+class PathState(NamedTuple):
+    org: jnp.ndarray          # (N,3)
+    dirn: jnp.ndarray         # (N,3)
+    weight: jnp.ndarray       # (N,3) path throughput
+    color: jnp.ndarray        # (N,3) accumulated radiance
+    alive: jnp.ndarray        # (N,) bool
+    show_lights: jnp.ndarray  # (N,) bool — NEE double-count guard
+    show_env: jnp.ndarray     # (N,) bool
+    rng: tuple                # 4x (N,) uint32 PCG state
+    # denoiser aux captured at the primary hit (Raytracer.cpp:254-257)
+    normal_aux: jnp.ndarray   # (N,3)
+    albedo_aux: jnp.ndarray   # (N,3)
+
+
+def _masked_update(mask, new, old):
+    if new.ndim > mask.ndim:
+        mask = mask[..., None]
+    return jnp.where(mask, new, old)
+
+
+def trace_paths(sc: scn.SceneArrays, origins, dirs, rng_state, cp_r12,
+                nb_bounces: int):
+    """Trace a wavefront of paths to completion.
+
+    Args:
+      sc: SceneArrays.
+      origins, dirs: (N,3) primary rays.
+      rng_state: per-lane PCG streams (already past the camera draws).
+      cp_r12: (N,2) Cranley–Patterson-rotated lattice sample for the indirect
+        bounce direction (same value at every depth, Raytracer.cpp:580-589).
+      nb_bounces: static bounce budget (reference default 3).
+
+    Returns:
+      (color (N,3), normal_aux (N,3), albedo_aux (N,3))
+    """
+    n = origins.shape[0]
+    zeros3 = jnp.zeros((n, 3), jnp.float32)
+    state = PathState(
+        org=origins, dirn=dirs,
+        weight=jnp.ones((n, 3), jnp.float32),
+        color=zeros3,
+        alive=jnp.ones((n,), bool),
+        show_lights=jnp.ones((n,), bool),
+        show_env=jnp.ones((n,), bool),
+        rng=rng_state,
+        normal_aux=zeros3, albedo_aux=zeros3,
+    )
+
+    light_power = sc.light_power
+    center_light = sc.center_light
+    radius_light = sc.radius_light
+
+    def bounce(depth, state: PathState):
+        is_primary = depth == 0
+
+        # ---- weight cull (Raytracer.cpp:241) ----
+        alive = state.alive & (vec.norm2(state.weight) >= 1e-4)
+
+        # ---- closest hit ----
+        hit = scn.intersect(sc, state.org, state.dirn)
+        p, nrm = hit.p, hit.n
+        ray_dir = state.dirn
+
+        if is_primary:
+            state = state._replace(
+                normal_aux=_masked_update(hit.hit, nrm, state.normal_aux),
+                albedo_aux=_masked_update(hit.hit, hit.kd, state.albedo_aux))
+
+        miss = alive & ~hit.hit
+        at_dome = alive & hit.hit & (hit.obj_id == 1)
+        at_light = alive & hit.hit & (hit.obj_id == 0)
+        at_surface = alive & hit.hit & (hit.obj_id >= 2)
+
+        color = state.color
+        # dome: envmap radiance if the path may see it (Raytracer.cpp:274-302)
+        dome_rad = sc.envmap_intensity * hit.ke
+        color = color + jnp.where((at_dome & state.show_env)[:, None],
+                                  state.weight * dome_rad, 0.0)
+        # light sphere: emitted power only on NEE-deduped paths (:303-316)
+        color = color + jnp.where((at_light & state.show_lights)[:, None],
+                                  state.weight * light_power, 0.0)
+
+        # ---- surface shading ----
+        is_mirror = at_surface & hit.miroir
+        is_transp = at_surface & hit.transp & ~hit.miroir
+        is_diffuse = at_surface & ~hit.miroir & ~hit.transp
+
+        # emission (Raytracer.cpp:411)
+        color = color + jnp.where(at_surface[:, None],
+                                  state.weight * hit.ke * sc.envmap_intensity,
+                                  0.0)
+
+        # === NEE to the spherical light (Raytracer.cpp:492-556) ===
+        u1, u2, rng_st = prng.next_uniform2(state.rng, gate=is_diffuse)
+        axe_op = vec.normalize(p - center_light)
+        dir_al = sampling.random_cos(axe_op, u1, u2)
+        point_al = dir_al * radius_light + center_light
+        to_light = point_al - p
+        d_light2 = vec.norm2(to_light)
+        wi = vec.normalize(to_light)
+        cos_surf = vec.dot(nrm, wi)
+        shadow_org = p + 0.01 * wi
+        dist = jnp.sqrt(d_light2) - 0.01
+        blocked = scn.intersect_shadow(sc, shadow_org, wi, dist,
+                                       avoid_ghosts=True)
+        shadowed = (cos_surf < 0.0) | blocked
+        f_brdf = brdf.phong_eval(hit.kd, hit.ks, hit.ne, wi, -ray_dir, nrm)
+        jac = vec.dot(dir_al, -wi) / jnp.maximum(d_light2, 1e-12)
+        proba = vec.dot(axe_op, dir_al) / (M_PI * radius_light * radius_light)
+        nee = (light_power * jnp.maximum(cos_surf, 0.0) * jac
+               / jnp.where(proba > 0.0, proba, 1.0))[:, None] * f_brdf
+        nee_ok = is_diffuse & ~shadowed & (proba > 0.0) & ~hit.ghost
+        color = color + jnp.where(nee_ok[:, None], state.weight * nee, 0.0)
+
+        # === continuations ===
+        # mirror (Raytracer.cpp:413-437)
+        mirror_dir = vec.reflect(ray_dir, nrm)
+        mirror_org = p + 0.001 * nrm
+
+        # transparent: Fresnel RR reflect/refract (Raytracer.cpp:438-489)
+        u_fresnel, rng_st = prng.next_uniform(rng_st, gate=is_transp)
+        cos_in = vec.dot(ray_dir, nrm)
+        exiting = cos_in > 0.0
+        n1 = jnp.where(exiting, hit.refr_index, 1.0)
+        n2 = jnp.where(exiting, 1.0, hit.refr_index)
+        n_t = jnp.where(exiting[:, None], -nrm, nrm)  # normale_pour_transparence
+        eta = n1 / n2
+        cos_t = vec.dot(n_t, ray_dir)
+        radical = 1.0 - eta * eta * (1.0 - cos_t * cos_t)
+        tir = radical <= 0.0
+        refr_dir = (eta[:, None] * (ray_dir - cos_t[:, None] * n_t)
+                    - n_t * jnp.sqrt(jnp.maximum(radical, 0.0))[:, None])
+        r0 = ((n1 - n2) / (n1 + n2)) ** 2
+        fres = jnp.where(
+            exiting,
+            r0 + (1.0 - r0) * jnp.power(jnp.maximum(
+                1.0 - vec.dot(refr_dir, nrm), 0.0), 5.0),
+            r0 + (1.0 - r0) * jnp.power(jnp.maximum(1.0 + cos_in, 0.0), 5.0))
+        take_reflect = tir | (u_fresnel < fres)
+        transp_dir = jnp.where(take_reflect[:, None],
+                               vec.reflect(ray_dir, nrm), refr_dir)
+        transp_org = jnp.where(take_reflect[:, None],
+                               p + 0.001 * n_t, p - 0.001 * n_t)
+
+        # diffuse indirect: Phong MIS with CP-lattice 2D sample (:569-631)
+        u_choice, rng_st = prng.next_uniform(rng_st, gate=is_diffuse)
+        ind_dir, ind_pdf, _sampled_diff = brdf.phong_sample(
+            hit.kd, hit.ks, hit.ne, -ray_dir, nrm,
+            u_choice, cp_r12[:, 0], cp_r12[:, 1])
+        ind_dir = jax.lax.stop_gradient(ind_dir)
+        ind_pdf = jax.lax.stop_gradient(ind_pdf)
+        reject = ((vec.dot(ind_dir, nrm) < 0.0)
+                  | (vec.dot(ind_dir, vec.reflect(ray_dir, nrm)) < 0.0)
+                  | (ind_pdf <= 0.0))
+        f_ind = brdf.phong_eval(hit.kd, hit.ks, hit.ne, ind_dir, -ray_dir, nrm)
+        ind_weight = (state.weight * f_ind
+                      * (vec.dot(nrm, ind_dir)
+                         / jnp.where(ind_pdf > 0.0, ind_pdf, 1.0))[:, None])
+        ind_org = p + 0.01 * ind_dir
+
+        # ---- merge continuations into next state ----
+        cont_diffuse = is_diffuse & ~reject
+        next_alive = is_mirror | is_transp | cont_diffuse
+        new_org = jnp.where(is_mirror[:, None], mirror_org,
+                            jnp.where(is_transp[:, None], transp_org, ind_org))
+        new_dir = jnp.where(is_mirror[:, None], mirror_dir,
+                            jnp.where(is_transp[:, None], transp_dir, ind_dir))
+        new_weight = jnp.where(cont_diffuse[:, None], ind_weight, state.weight)
+        # diffuse continuations must not re-see the light (NEE dedup, :626-630)
+        new_show_lights = jnp.where(cont_diffuse, False, state.show_lights)
+
+        return state._replace(
+            org=_masked_update(next_alive, new_org, state.org),
+            dirn=_masked_update(next_alive, new_dir, state.dirn),
+            weight=_masked_update(next_alive, new_weight, state.weight),
+            color=color,
+            alive=next_alive,
+            show_lights=new_show_lights,
+            rng=rng_st,
+        )
+
+    # bounce-major loop, unrolled (nb_bounces is small and static); the last
+    # iteration's continuation is dead by construction (depth 0 cull, :240)
+    for depth in range(nb_bounces):
+        state = bounce(depth, state)
+
+    return state.color, state.normal_aux, state.albedo_aux

@@ -1,0 +1,199 @@
+"""Top-level renderer: sample scheduling, camera draws, waves, film.
+
+TPU-native counterpart of render_image / render_image_nopreviz
+(reference: Raytracer.cpp:1424-1563, 1565-1797).  The reference's
+OpenMP-dynamic loops over rows / 4x4 batches become *waves*: all W*H pixels
+x chunk-of-samples rendered as one jitted SoA wavefront, host-looped over
+sample chunks (the progressive schedule), film accumulated on device.
+
+RNG keying: path (pixel p, sample k) owns PCG32 stream key
+  key64 = (seed << 32) | (p * nspp + k)
+seeded as pcg32(key, key) — the TPU replacement for the reference's 64
+thread-local engines (Raytracer.cpp:1325-1327; SURVEY §2.7).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import camera as cam_mod
+from ..core import qmc
+from ..core import rng as prng
+from ..core import rng_host
+from ..scene import scene as scn
+from . import film as film_mod
+from . import integrator
+
+
+class RenderConfig(NamedTuple):
+    width: int = 1000           # reference defaults (Raytracer.cpp:1246-1255)
+    height: int = 800
+    nrays: int = 100            # samples per pixel
+    nb_bounces: int = 3
+    sigma_filter: float = 0.5
+    gamma: float = 2.2
+    seed: int = 0
+    samples_per_wave: int = 4   # spp chunk traced per jit call
+    double_frustum_start_t: float = 0.0
+
+
+def _wave(sc: scn.SceneArrays, cam: cam_mod.Camera, cp_table, cfg: RenderConfig,
+          image, sample_count, film_spec_ratio, sample_ids):
+    """Render one wave: all pixels x len(sample_ids) samples. Jitted."""
+    w, h = cfg.width, cfg.height
+    nspp = cfg.nrays
+    film_spec = film_mod.FilmSpec(w, h, cfg.sigma_filter,
+                                  int(np.ceil(cfg.sigma_filter * 2)),
+                                  film_spec_ratio)
+
+    ii, jj = jnp.meshgrid(jnp.arange(h, dtype=jnp.int32),
+                          jnp.arange(w, dtype=jnp.int32), indexing='ij')
+    pix_i = ii.reshape(-1)
+    pix_j = jj.reshape(-1)
+    pix_flat = pix_i * w + pix_j
+
+    def per_sample(carry, k):
+        image, sample_count = carry
+        # --- per-path PCG streams ---
+        key_lo = (pix_flat.astype(jnp.uint32) * jnp.uint32(nspp)
+                  + k.astype(jnp.uint32))
+        key_hi = jnp.full_like(key_lo, jnp.uint32(cfg.seed))
+        rng_state = prng.make_stream(key_hi, key_lo)
+
+        # --- camera draws (canonical order: dx, dy, dxa, dya) ---
+        u_dx, rng_state = prng.next_uniform(rng_state)
+        u_dy, rng_state = prng.next_uniform(rng_state)
+        u_ax, rng_state = prng.next_uniform(rng_state)
+        u_ay, rng_state = prng.next_uniform(rng_state)
+        dx = u_dx - 0.5
+        dy = u_dy - 0.5
+        dxa = (u_ax - 0.5) * cam.aperture
+        dya = (u_ay - 0.5) * cam.aperture
+
+        org, dirn = cam_mod.generate_rays(
+            cam, pix_i, pix_j, dx, dy, dxa, dya, w, h,
+            init_t=cfg.double_frustum_start_t)
+
+        # --- indirect-bounce QMC sample: CP rotation of the lattice point ---
+        lattice = qmc.extensible_lattice_2d(k.astype(jnp.uint32))
+        cp_r12 = qmc.cranley_patterson(lattice[None, :], cp_table)
+
+        color, _naux, _aaux = integrator.trace_paths(
+            sc, org, dirn, rng_state, cp_r12, cfg.nb_bounces)
+
+        image, sample_count = film_mod.splat(
+            film_spec, image, sample_count, color, pix_i, pix_j, dx, dy)
+        return (image, sample_count), None
+
+    (image, sample_count), _ = jax.lax.scan(
+        per_sample, (image, sample_count), sample_ids)
+    return image, sample_count
+
+
+_wave_jit = jax.jit(_wave, static_argnames=('cfg',))
+
+
+@functools.partial(jax.jit, static_argnames=('cfg',))
+def render_unsplatted(sc: scn.SceneArrays, cam: cam_mod.Camera, cp_table,
+                      cfg: RenderConfig):
+    """Per-pixel mean radiance over all cfg.nrays samples, no pixel filter.
+
+    Debug/test entry point: isolates the integrator from the film so images
+    can be compared 1:1 against the sequential CPU reference tracer.
+    """
+    w, h = cfg.width, cfg.height
+    nspp = cfg.nrays
+    ii, jj = jnp.meshgrid(jnp.arange(h, dtype=jnp.int32),
+                          jnp.arange(w, dtype=jnp.int32), indexing='ij')
+    pix_i = ii.reshape(-1)
+    pix_j = jj.reshape(-1)
+    pix_flat = pix_i * w + pix_j
+
+    def per_sample(acc, k):
+        key_lo = (pix_flat.astype(jnp.uint32) * jnp.uint32(nspp)
+                  + k.astype(jnp.uint32))
+        key_hi = jnp.full_like(key_lo, jnp.uint32(cfg.seed))
+        rng_state = prng.make_stream(key_hi, key_lo)
+        u_dx, rng_state = prng.next_uniform(rng_state)
+        u_dy, rng_state = prng.next_uniform(rng_state)
+        u_ax, rng_state = prng.next_uniform(rng_state)
+        u_ay, rng_state = prng.next_uniform(rng_state)
+        org, dirn = cam_mod.generate_rays(
+            cam, pix_i, pix_j, u_dx - 0.5, u_dy - 0.5,
+            (u_ax - 0.5) * cam.aperture, (u_ay - 0.5) * cam.aperture,
+            w, h, init_t=cfg.double_frustum_start_t)
+        lattice = qmc.extensible_lattice_2d(k.astype(jnp.uint32))
+        cp_r12 = qmc.cranley_patterson(lattice[None, :], cp_table)
+        color, _, _ = integrator.trace_paths(sc, org, dirn, rng_state, cp_r12,
+                                             cfg.nb_bounces)
+        return acc + color, color
+
+    acc, samples = jax.lax.scan(per_sample, jnp.zeros((h * w, 3), jnp.float32),
+                                jnp.arange(nspp, dtype=jnp.int32))
+    # samples: (nspp, N, 3) -> (h, w, nspp, 3)
+    samples = jnp.moveaxis(samples, 0, 1).reshape(h, w, nspp, 3)
+    return (acc / nspp).reshape(h, w, 3), samples
+
+
+class Renderer:
+    """Stateful host-side orchestrator (the reference Raytracer class role).
+
+    Holds the film accumulators and per-pixel CP table; `render()` is the
+    offline path (render_image_nopreviz), `step()` exposes the progressive
+    schedule (render_image's realtime_ray_iter loop) for interactive use.
+    """
+
+    def __init__(self, sc: scn.SceneArrays, cam: cam_mod.Camera,
+                 cfg: RenderConfig):
+        self.scene = sc
+        self.cam = cam
+        self.cfg = cfg
+        self.film = film_mod.make_film(cfg.width, cfg.height, cfg.sigma_filter)
+        # per-pixel CP shifts, exactly the reference's engine[0] fill
+        # (Raytracer.cpp:1340-1344)
+        self.cp_table = jnp.asarray(
+            rng_host.random_per_pixel_fast(cfg.width, cfg.height))
+        self.reset()
+
+    def reset(self):
+        h, w = self.cfg.height, self.cfg.width
+        self.image = jnp.zeros((h, w, 3), jnp.float32)
+        self.sample_count = jnp.zeros((h, w), jnp.float32)
+        self.samples_done = 0
+
+    def step(self, nsamples: Optional[int] = None):
+        """Trace the next `nsamples` samples per pixel (default: one wave)."""
+        nsamples = nsamples or self.cfg.samples_per_wave
+        k0 = self.samples_done
+        ks = jnp.arange(k0, k0 + nsamples, dtype=jnp.int32)
+        self.image, self.sample_count = _wave_jit(
+            self.scene, self.cam, self.cp_table, self.cfg,
+            self.image, self.sample_count, self.film.ratio, ks)
+        self.samples_done += nsamples
+        return self
+
+    def render(self):
+        """Full offline render: all nrays samples."""
+        while self.samples_done < self.cfg.nrays:
+            n = min(self.cfg.samples_per_wave,
+                    self.cfg.nrays - self.samples_done)
+            self.step(n)
+        jax.block_until_ready(self.image)
+        return self
+
+    def hdr(self):
+        """Accumulated HDR image (pre-tonemap), divided by splat weights."""
+        return self.image / film_mod.RADIANCE_SCALE / jnp.maximum(
+            self.sample_count, 1e-9)[..., None]
+
+    def display(self):
+        return film_mod.to_display(self.image, self.sample_count,
+                                   gamma=self.cfg.gamma)
+
+    def u8(self):
+        return film_mod.to_u8(self.display())
