@@ -31,63 +31,36 @@ class FilmSpec(NamedTuple):
     ratio: jnp.ndarray           # (H,W) 1/sum(filter integral over in-bounds window)
 
 
-def _filter_integral_table(sigma: float, fsize: int) -> np.ndarray:
-    """Discrete filter integral SAT source (reference: Raytracer.cpp:1360-1372):
-    integral[i,j] = sum over i2<=i, j2<=j of the *unjittered* Gaussian taps.
-
-    Note the reference fills this table using its fast_exp approximation; we
-    use exact exp — this only rescales border pixels by <1e-2 and the exact
-    version is strictly more correct.
-    """
-    w = 2 * fsize + 1
-    offs = np.arange(-fsize, fsize + 1, dtype=np.float64)
-    taps = np.exp(-(offs[:, None] ** 2 + offs[None, :] ** 2)
-                  / (2.0 * sigma * sigma)) / (sigma * sigma * 2.0 * np.pi)
-    integral = np.cumsum(np.cumsum(taps, axis=0), axis=1)
-    assert integral.shape == (w, w)
-    return integral
-
-
 def make_film(width: int, height: int, sigma: float = 0.5) -> FilmSpec:
     """Build film spec with per-pixel border ratio (Raytracer.cpp:1477-1482).
 
-    ratio(i,j) = 1 / SAT(window clamped to the image) — it depends only on how
-    the (2F+1)^2 window clips against the borders, so we precompute the full
-    (H,W) map on host once.
+    ratio(i,j) = 1 / sum of the discrete filter taps whose window survives
+    border clamping.  The Gaussian taps separate as f(i)*f(j), so the
+    reference's 2D SAT lookup (Raytracer.cpp:1276-1291) collapses to an
+    outer product of 1D clamped-window sums — O(H+W) host work.
     """
     fsize = int(math.ceil(sigma * 2.0))
-    integral = _filter_integral_table(sigma, fsize)
+    offs = np.arange(-fsize, fsize + 1, dtype=np.float64)
+    f1d = np.exp(-offs ** 2 / (2.0 * sigma * sigma)) / (
+        math.sqrt(2.0 * math.pi) * sigma)
 
-    def window_sum(i0, i1, j0, j1):
-        # inclusive-window SAT lookup (reference: sum_area_table, 1276-1291)
-        total = integral[i1, j1]
-        if i0 > 0:
-            total -= integral[i0 - 1, j1]
-        if j0 > 0:
-            total -= integral[i1, j0 - 1]
-        if i0 > 0 and j0 > 0:
-            total += integral[i0 - 1, j0 - 1]
-        return total
+    def axis_sums(n):
+        idx = np.arange(n)
+        lo = np.maximum(0, idx - fsize) - idx + fsize      # first tap kept
+        hi = np.minimum(idx + fsize, n - 1) - idx + fsize  # last tap kept
+        csum = np.concatenate([[0.0], np.cumsum(f1d)])
+        return csum[hi + 1] - csum[lo]
 
-    ii = np.arange(height)
-    jj = np.arange(width)
-    bmin_i = np.maximum(0, ii - fsize) - ii + fsize
-    bmax_i = np.minimum(ii + fsize, height - 1) - ii + fsize
-    bmin_j = np.maximum(0, jj - fsize) - jj + fsize
-    bmax_j = np.minimum(jj + fsize, width - 1) - jj + fsize
-
-    # distinct border classes are few; evaluate dense anyway (H+W sized work)
-    row_cls = {}
-    ratio = np.zeros((height, width), np.float32)
-    for a in range(height):
-        for b in range(width):
-            key = (bmin_i[a], bmax_i[a], bmin_j[b], bmax_j[b])
-            if key not in row_cls:
-                row_cls[key] = 1.0 / window_sum(*key)
-            ratio[a, b] = row_cls[key]
-
+    fi = axis_sums(height)
+    fj = axis_sums(width)
+    ratio = (1.0 / np.outer(fi, fj)).astype(np.float32)
     return FilmSpec(width=width, height=height, sigma=float(sigma),
                     filter_size=fsize, ratio=jnp.asarray(ratio))
+
+
+def make_film_spec_static(width: int, height: int, sigma: float) -> FilmSpec:
+    """make_film usable inside a traced context (constants fold into jit)."""
+    return make_film(width, height, sigma)
 
 
 def splat(film: FilmSpec, image, sample_count, colors, pix_i, pix_j, dx, dy):

@@ -10,6 +10,12 @@ object in one fused vectorized sweep ((N rays) x (O objects) candidate-t
 matrix, masked argmin).  O is small (analytic objects); triangle meshes are
 handled separately by the BVH kernels (ops/).
 
+TPU layout rule (learned the hard way): the wavefront dimension N must stay
+the minor/vectorized axis and no rank-3 (N, small, small) temporaries may be
+materialized — XLA pads trailing (3,4)-ish dims to (8,128) tiles, a 40-170x
+HBM blowup at 1080p.  All transform math below is therefore written
+per-coordinate on (N,) / (N,O) planes.
+
 Object slots follow the reference convention (Raytracer.cpp:1238-1274):
 row 0 = spherical light, row 1 = environment dome (flipped-normal giant
 sphere), row 2+ = user objects.
@@ -27,6 +33,7 @@ from typing import Any, NamedTuple, Optional
 
 import numpy as np
 import jax.numpy as jnp
+import flax.struct
 
 from ..core import vec
 
@@ -37,11 +44,16 @@ PLANE = 1
 BIG_T = jnp.float32(1e30)
 
 
-class SceneArrays(NamedTuple):
-    """Device-side scene: SoA over O analytic objects + global light/env."""
+@flax.struct.dataclass
+class SceneArrays:
+    """Device-side scene: SoA over O analytic objects + global light/env.
+
+    A flax struct (pytree dataclass): array fields are traced leaves,
+    `identity_transform` is static metadata (it selects the cheap transform
+    path at trace time).  Use `.replace(...)` for functional updates.
+    """
 
     obj_type: jnp.ndarray      # (O,) int32
-    # sphere params (unused lanes are benign garbage for planes)
     center: jnp.ndarray        # (O,3) sphere center / plane point A
     radius: jnp.ndarray        # (O,) sphere radius
     normal: jnp.ndarray        # (O,3) plane normal (unit)
@@ -55,10 +67,12 @@ class SceneArrays(NamedTuple):
     refr_index: jnp.ndarray    # (O,)
     miroir: jnp.ndarray        # (O,) bool
     ghost: jnp.ndarray         # (O,) bool
-    # transforms (reference: Geometry.h:322-396)
-    trans: jnp.ndarray         # (O,3,4)
-    inv_trans: jnp.ndarray     # (O,3,4)
-    rot: jnp.ndarray           # (O,3,3)
+    # transforms (reference: Geometry.h:322-396); flattened row-major 12/9
+    trans: jnp.ndarray         # (O,12)
+    inv_trans: jnp.ndarray     # (O,12)
+    rot: jnp.ndarray           # (O,9)
+    # static: all transforms identity rotation/scale (translation only)?
+    identity_transform: bool = flax.struct.field(pytree_node=False)
     # light / environment
     light_intensity: jnp.ndarray   # scalar: s.intensite_lumiere
     light_scale: jnp.ndarray       # scalar: light keyframe scale
@@ -97,98 +111,83 @@ class Hit(NamedTuple):
     ghost: jnp.ndarray      # (N,) bool
 
 
-def _apply_affine(m, v):
-    """(N,3) points through (O,3,4) affines: returns (N, O, 3).
+def _local_ray(sc: SceneArrays, origins, dirs):
+    """Map rays into every object's space (Geometry.cpp:606-608).
 
-    Explicit elementwise form, NOT einsum: a 3-wide contraction belongs on the
-    VPU, and TPU matmul default precision truncates f32 to bf16 passes — the
-    resulting ~1e-3 coordinate error amplifies through the sphere quadric
-    cancellation and flips visibility branches vs the exact CPU reference.
+    Returns per-coordinate (N,O) planes (ox, oy, oz), (dx, dy, dz).
+    With identity transforms this is a cheap broadcast subtract.
     """
-    v = v[:, None, :]                                   # (N,1,3)
-    out = (m[None, :, :, 0] * v[..., 0:1]
-           + m[None, :, :, 1] * v[..., 1:2]
-           + m[None, :, :, 2] * v[..., 2:3]
-           + m[None, :, :, 3])
-    return out                                          # (N,O,3)
+    ox, oy, oz = origins[:, 0:1], origins[:, 1:2], origins[:, 2:3]  # (N,1)
+    dx, dy, dz = dirs[:, 0:1], dirs[:, 1:2], dirs[:, 2:3]
+    m = sc.inv_trans  # (O,12) rows: [r00 r01 r02 t0 r10 r11 r12 t1 ...]
+    if sc.identity_transform:
+        lox = ox + m[:, 3]
+        loy = oy + m[:, 7]
+        loz = oz + m[:, 11]
+        return (lox, loy, loz), (dx + 0.0 * m[:, 0], dy + 0.0 * m[:, 0],
+                                 dz + 0.0 * m[:, 0])
+    lox = m[:, 0] * ox + m[:, 1] * oy + m[:, 2] * oz + m[:, 3]
+    loy = m[:, 4] * ox + m[:, 5] * oy + m[:, 6] * oz + m[:, 7]
+    loz = m[:, 8] * ox + m[:, 9] * oy + m[:, 10] * oz + m[:, 11]
+    ldx = m[:, 0] * dx + m[:, 1] * dy + m[:, 2] * dz
+    ldy = m[:, 4] * dx + m[:, 5] * dy + m[:, 6] * dz
+    ldz = m[:, 8] * dx + m[:, 9] * dy + m[:, 10] * dz
+    return (lox, loy, loz), (ldx, ldy, ldz)
 
 
-def _apply_linear(m3, v):
-    """(N,3) vectors through (O,3,3) linear maps: returns (N, O, 3)."""
-    v = v[:, None, :]
-    return (m3[None, :, :, 0] * v[..., 0:1]
-            + m3[None, :, :, 1] * v[..., 1:2]
-            + m3[None, :, :, 2] * v[..., 2:3])
+def _candidate_ts(sc: SceneArrays, origins, dirs, avoid_ghosts=False):
+    """All candidate hit distances: (N, O) with BIG_T for misses.
 
-
-def _apply_rows(m, v):
-    """(N,3) vectors through per-lane (N,3,3+) matrices -> (N,3)."""
-    return (m[:, :, 0] * v[:, 0:1] + m[:, :, 1] * v[:, 1:2]
-            + m[:, :, 2] * v[:, 2:3])
-
-
-def _sphere_candidates(sc: SceneArrays, org, dirn):
-    """Quadric hit per (ray, object) in object space.
-
-    reference: Geometry.h:918-992 — returns smallest positive root, or the
-    far root if inside; direction may be non-unit under object scaling.
+    Sphere quadric per (ray, object) (reference: Geometry.h:918-992 —
+    smallest positive root, far root if inside, direction may be non-unit
+    under object scaling) and plane hit (Geometry.h:1142-1157), selected by
+    obj_type, all on per-coordinate (N,O) planes.
     """
-    oc = org - sc.center                                  # (N,O,3)
-    b = jnp.sum(dirn * oc, axis=-1)                       # (N,O)
-    a = jnp.sum(dirn * dirn, axis=-1)
-    c = jnp.sum(oc * oc, axis=-1) - sc.radius * sc.radius
+    (lox, loy, loz), (ldx, ldy, ldz) = _local_ray(sc, origins, dirs)
+
+    # sphere: oc = org - center
+    ocx = lox - sc.center[:, 0]
+    ocy = loy - sc.center[:, 1]
+    ocz = loz - sc.center[:, 2]
+    b = ldx * ocx + ldy * ocy + ldz * ocz
+    a = ldx * ldx + ldy * ldy + ldz * ldz
+    c = ocx * ocx + ocy * ocy + ocz * ocz - sc.radius * sc.radius
     delta = b * b - a * c
-    ok = delta >= 0.0
     sq = jnp.sqrt(jnp.maximum(delta, 0.0))
     inva = 1.0 / a
     t2 = (-b + sq) * inva
     t1 = (-b - sq) * inva
-    t = jnp.where(t1 > 0.0, t1, t2)
-    ok = ok & (t2 >= 0.0) & (t > 0.0)
-    return jnp.where(ok, t, BIG_T)
+    t_sph = jnp.where(t1 > 0.0, t1, t2)
+    ok_sph = (delta >= 0.0) & (t2 >= 0.0) & (t_sph > 0.0)
 
-
-def _plane_candidates(sc: SceneArrays, org, dirn):
-    """Plane hit per (ray, object) in object space (reference: Geometry.h:1142-1157)."""
-    ddot = jnp.sum(dirn * sc.normal, axis=-1)             # (N,O)
+    # plane
+    nx, ny, nz = sc.normal[:, 0], sc.normal[:, 1], sc.normal[:, 2]
+    ddot = ldx * nx + ldy * ny + ldz * nz
     safe = jnp.abs(ddot) >= 1e-9
-    t = jnp.sum((sc.center - org) * sc.normal, axis=-1) / jnp.where(safe, ddot, 1.0)
-    ok = safe & (t > 0.0)
-    return jnp.where(ok, t, BIG_T)
+    tnum = ((sc.center[:, 0] - lox) * nx + (sc.center[:, 1] - loy) * ny
+            + (sc.center[:, 2] - loz) * nz)
+    t_pl = tnum / jnp.where(safe, ddot, 1.0)
+    ok_pl = safe & (t_pl > 0.0)
 
-
-def _candidate_ts(sc: SceneArrays, origins, dirs, avoid_ghosts=False,
-                  skip_obj_id=None):
-    """All candidate hit distances: (N, O) with BIG_T for misses.
-
-    Rays are mapped to each object's space first (Geometry.cpp:606-608):
-    org' = inv_trans @ (org, 1);  dir' = inv_trans[:,:3] @ dir.
-    """
-    org_l = _apply_affine(sc.inv_trans, origins)          # (N,O,3)
-    dir_l = _apply_linear(sc.inv_trans[..., :3], dirs)
-
-    t_sph = _sphere_candidates(sc, org_l, dir_l)
-    t_pl = _plane_candidates(sc, org_l, dir_l)
-    t = jnp.where(sc.obj_type == SPHERE, t_sph, t_pl)     # (N,O)
+    is_sphere = sc.obj_type == SPHERE
+    t = jnp.where(is_sphere, jnp.where(ok_sph, t_sph, BIG_T),
+                  jnp.where(ok_pl, t_pl, BIG_T))
     if avoid_ghosts:
         t = jnp.where(sc.ghost, BIG_T, t)
-    if skip_obj_id is not None:
-        oid = jnp.arange(sc.num_objects, dtype=jnp.int32)
-        t = jnp.where(oid[None, :] == skip_obj_id[:, None], BIG_T, t)
-    return t, org_l, dir_l
+    return t, (lox, loy, loz), (ldx, ldy, ldz)
 
 
-def _envmap_ke(sc: SceneArrays, n_unit):
+def _envmap_ke(sc: SceneArrays, nx, ny, nz):
     """Dome radiance lookup (reference: Geometry.h:963-977).
 
     theta = 1 - acos(N.y)/pi; phi = (atan2(-N.z, N.x) + pi) / 2pi;
-    Ke = tex[theta*(H-1), phi*(W-1)] * 100000/255.
+    Ke = tex[theta*(H-1), phi*(W-1)] * 100000/255.  n must be unit.
     """
     if sc.envmap is None:
-        return jnp.zeros_like(n_unit)
+        return None
     eh, ew = sc.envmap.shape[0], sc.envmap.shape[1]
-    theta = 1.0 - jnp.arccos(jnp.clip(n_unit[..., 1], -1.0, 1.0)) / np.pi
-    phi = (jnp.arctan2(-n_unit[..., 2], n_unit[..., 0]) + np.pi) / (2.0 * np.pi)
+    theta = 1.0 - jnp.arccos(jnp.clip(ny, -1.0, 1.0)) / np.pi
+    phi = (jnp.arctan2(-nz, nx) + np.pi) / (2.0 * np.pi)
     ti = jnp.clip((theta * (eh - 1)).astype(jnp.int32), 0, eh - 1)
     pi_ = jnp.clip((phi * (ew - 1)).astype(jnp.int32), 0, ew - 1)
     return sc.envmap[ti, pi_] * jnp.float32(100000.0 / 255.0)
@@ -198,39 +197,73 @@ def intersect(sc: SceneArrays, origins, dirs, avoid_ghosts=False) -> Hit:
     """Closest-hit over all analytic objects (Geometry.cpp:589-688).
 
     origins/dirs: (N,3).  Fully vectorized: one (N,O) candidate matrix,
-    masked argmin, then per-hit gathers — no per-object control flow.
+    masked argmin, then per-hit gathers — no per-object control flow and no
+    rank-3 temporaries (TPU tiling, see module docstring).
     """
-    t_all, org_l, dir_l = _candidate_ts(sc, origins, dirs, avoid_ghosts)
+    t_all, (lox, loy, loz), (ldx, ldy, ldz) = _candidate_ts(
+        sc, origins, dirs, avoid_ghosts)
     obj_id = jnp.argmin(t_all, axis=-1).astype(jnp.int32)     # (N,)
-    t = jnp.take_along_axis(t_all, obj_id[:, None], axis=-1)[:, 0]
+    rows = obj_id[:, None]                                    # (N,1)
+    t = jnp.take_along_axis(t_all, rows, axis=-1)[:, 0]
     hit = t < BIG_T
 
-    rows = obj_id
-    # object-space hit point and normal
-    p_l = (jnp.take_along_axis(org_l, rows[:, None, None], axis=1)[:, 0]
-           + t[:, None] * jnp.take_along_axis(dir_l, rows[:, None, None], axis=1)[:, 0])
-    is_sphere = sc.obj_type[rows] == SPHERE
-    n_sphere = p_l - sc.center[rows]
-    n_plane = sc.normal[rows]
-    n_l = jnp.where(is_sphere[:, None], n_sphere, n_plane)
-    n_l = jnp.where(sc.flip_normals[rows, None], -n_l, n_l)
+    def take(m):  # gather winning object's plane value -> (N,)
+        return jnp.take_along_axis(m, rows, axis=-1)[:, 0]
 
-    # back to world space (Geometry.cpp:677-684)
-    tr = sc.trans[rows]                                       # (N,3,4)
-    p = _apply_rows(tr, p_l) + tr[..., 3]
-    n = vec.normalize(_apply_rows(sc.rot[rows], n_l))
+    # object-space hit point
+    px = take(lox) + t * take(ldx)
+    py = take(loy) + t * take(ldy)
+    pz = take(loz) + t * take(ldz)
+
+    is_sphere = sc.obj_type[obj_id] == SPHERE
+    cen = sc.center[obj_id]                                   # (N,3) gather
+    nrm_o = sc.normal[obj_id]
+    nlx = jnp.where(is_sphere, px - cen[:, 0], nrm_o[:, 0])
+    nly = jnp.where(is_sphere, py - cen[:, 1], nrm_o[:, 1])
+    nlz = jnp.where(is_sphere, pz - cen[:, 2], nrm_o[:, 2])
+    flip = sc.flip_normals[obj_id]
+    sgn = jnp.where(flip, -1.0, 1.0)
+    nlx, nly, nlz = sgn * nlx, sgn * nly, sgn * nlz
+
+    # back to world space (Geometry.cpp:677-684); per-entry gathers keep
+    # everything (N,)-shaped
+    if sc.identity_transform:
+        tr3 = sc.trans[obj_id]                                # (N,12) gather
+        p = jnp.stack([px + tr3[:, 3], py + tr3[:, 7], pz + tr3[:, 11]],
+                      axis=-1)
+        n = jnp.stack([nlx, nly, nlz], axis=-1)
+    else:
+        tm = sc.trans[obj_id]                                 # (N,12)
+        p = jnp.stack([
+            tm[:, 0] * px + tm[:, 1] * py + tm[:, 2] * pz + tm[:, 3],
+            tm[:, 4] * px + tm[:, 5] * py + tm[:, 6] * pz + tm[:, 7],
+            tm[:, 8] * px + tm[:, 9] * py + tm[:, 10] * pz + tm[:, 11],
+        ], axis=-1)
+        rm = sc.rot[obj_id]                                   # (N,9)
+        n = jnp.stack([
+            rm[:, 0] * nlx + rm[:, 1] * nly + rm[:, 2] * nlz,
+            rm[:, 3] * nlx + rm[:, 4] * nly + rm[:, 5] * nlz,
+            rm[:, 6] * nlx + rm[:, 7] * nly + rm[:, 8] * nlz,
+        ], axis=-1)
+    n = vec.normalize(n)
 
     # dome radiance: only object 1 carries the envmap (Raytracer.cpp:1258)
-    n_sph_unit = vec.normalize(n_sphere)
-    ke = jnp.where((rows == 1)[:, None], _envmap_ke(sc, n_sph_unit),
-                   jnp.zeros_like(p))
+    if sc.envmap is not None:
+        inv_len = 1.0 / jnp.sqrt(jnp.maximum(
+            nlx * nlx + nly * nly + nlz * nlz, 1e-20))
+        # dome has flipped normals; envmap lookup uses the outward normal
+        ke_env = _envmap_ke(sc, -sgn * nlx * inv_len, -sgn * nly * inv_len,
+                            -sgn * nlz * inv_len)
+        ke = jnp.where((obj_id == 1)[:, None], ke_env, 0.0)
+    else:
+        ke = jnp.zeros_like(p)
 
     return Hit(
         hit=hit, t=t, p=p, n=n, obj_id=obj_id,
-        kd=sc.kd[rows], ks=sc.ks[rows], ne=sc.ne[rows], ke=ke,
-        ksub=sc.ksub[rows], transp=sc.transp[rows] & hit,
-        refr_index=sc.refr_index[rows],
-        miroir=sc.miroir[rows] & hit, ghost=sc.ghost[rows] & hit,
+        kd=sc.kd[obj_id], ks=sc.ks[obj_id], ne=sc.ne[obj_id], ke=ke,
+        ksub=sc.ksub[obj_id], transp=sc.transp[obj_id] & hit,
+        refr_index=sc.refr_index[obj_id],
+        miroir=sc.miroir[obj_id] & hit, ghost=sc.ghost[obj_id] & hit,
     )
 
 
@@ -315,6 +348,7 @@ def build_scene(objects, light_intensity, envmap_intensity=1.0, envmap=None,
     trans = np.stack([m[0] for m in mats])
     inv_trans = np.stack([m[1] for m in mats])
     rot = np.stack([m[2] for m in mats])
+    identity = all(o.rotation is None and o.scale == 1.0 for o in objects)
 
     light = objects[0]
     light_tr = trans[0]
@@ -335,9 +369,10 @@ def build_scene(objects, light_intensity, envmap_intensity=1.0, envmap=None,
         refr_index=jnp.asarray([float(o.refr_index) for o in objects], jnp.float32),
         miroir=jnp.asarray([o.miroir for o in objects], bool),
         ghost=jnp.asarray([o.ghost for o in objects], bool),
-        trans=jnp.asarray(trans),
-        inv_trans=jnp.asarray(inv_trans),
-        rot=jnp.asarray(rot),
+        trans=jnp.asarray(trans.reshape(n, 12)),
+        inv_trans=jnp.asarray(inv_trans.reshape(n, 12)),
+        rot=jnp.asarray(rot.reshape(n, 9)),
+        identity_transform=identity,
         light_intensity=jnp.float32(light_intensity),
         light_scale=jnp.float32(light_scale * objects[0].scale),
         envmap_intensity=jnp.float32(envmap_intensity),
