@@ -8,15 +8,16 @@ See SURVEY.md at the repo root for the reference structural analysis.
 """
 
 from .core.camera import Camera, make_camera, rotate_camera_np
+from .io.obj import load_mesh
 from .render.renderer import RenderConfig, Renderer
 from .scene.scene import (SceneArrays, build_scene, default_light_intensity,
-                          default_objects, plane, sphere)
+                          default_objects, mesh_object, plane, sphere)
 
 __all__ = [
     'Camera', 'make_camera', 'rotate_camera_np',
-    'RenderConfig', 'Renderer',
+    'RenderConfig', 'Renderer', 'load_mesh',
     'SceneArrays', 'build_scene', 'default_light_intensity',
-    'default_objects', 'plane', 'sphere',
+    'default_objects', 'mesh_object', 'plane', 'sphere',
 ]
 
 __version__ = '0.1.0'

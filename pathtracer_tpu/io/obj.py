@@ -1,0 +1,322 @@
+"""Host-side OBJ/MTL loading with the reference's exact semantics.
+
+TPU-native counterpart of TriMesh::readOBJ / MTL parsing / init transform
+(reference: TriangleMesh.cpp:240-569 reader, :718-841 init).  Pure numpy —
+runs once at scene-build time; the device only ever sees flat SoA arrays.
+
+Reference behaviors reproduced:
+  * fan triangulation of n-gons with showEdges flags marking real polygon
+    edges (TriangleMesh.cpp:314-458),
+  * negative (relative) indices, v/vt/vn index combos, per-vertex colors on
+    6-float "v" lines (clamped to [0,1], :278-287),
+  * usemtl -> group ids, first mtllib wins (:258-270),
+  * MTL: per-group constant Kd/Ks/Ns multipliers; illum 0/1 zeroes Ks
+    (:537-560); map_Kd/map_Ks/map_Bump/map_d texture file references
+    (:504-535) are recorded (texture loading in texture.py),
+  * default per-group material slate Kd=0.5 grey, Ks=0, Ns=0, alpha=1,
+    refr=1.3, transp-mask=1 (:481-490),
+  * axis swap x<->z with negated x (:742-751), unit-box normalize + center +
+    scale + offset (:753-770),
+  * face normals appended for faces missing vertex normals (:652-674),
+  * per-vertex tangent/bitangent accumulation with handedness (:601-711).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import re
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class GroupMaterial:
+    """Per-usemtl-group material (the reference's 8 texture channels with
+    constant multipliers; texture file paths resolved lazily)."""
+
+    kd: np.ndarray = None            # (3,) multiplier
+    ks: np.ndarray = None
+    ns: np.ndarray = None            # phong exponent (RGB)
+    map_kd: Optional[str] = None
+    map_ks: Optional[str] = None
+    map_bump: Optional[str] = None
+    map_d: Optional[str] = None
+
+    def __post_init__(self):
+        if self.kd is None:
+            self.kd = np.array([0.5, 0.5, 0.5], np.float32)
+        if self.ks is None:
+            self.ks = np.zeros(3, np.float32)
+        if self.ns is None:
+            self.ns = np.zeros(3, np.float32)
+
+
+@dataclasses.dataclass
+class MeshData:
+    """Loaded, transformed mesh ready for BVH build / device upload."""
+
+    vertices: np.ndarray          # (V,3) f32
+    normals: np.ndarray           # (Nn,3) f32 (face normals appended)
+    uvs: np.ndarray               # (U,2) f32
+    vtx_idx: np.ndarray           # (T,3) int32
+    uv_idx: np.ndarray            # (T,3) int32, -1 if absent
+    n_idx: np.ndarray             # (T,3) int32 (filled by face normals)
+    group: np.ndarray             # (T,) int32
+    show_edges: np.ndarray        # (T,3) bool
+    vertex_colors: Optional[np.ndarray]  # (V,3) or None
+    materials: List[GroupMaterial]
+    group_names: Dict[str, int]
+    tangents: Optional[np.ndarray] = None     # (V,3)
+    bitangents: Optional[np.ndarray] = None   # (V,3)
+    obj_dir: str = ''
+
+    @property
+    def num_triangles(self):
+        return self.vtx_idx.shape[0]
+
+
+def _resolve_idx(i, n):
+    """OBJ 1-based / negative-relative index -> 0-based (TriangleMesh.cpp:333)."""
+    return n + i if i < 0 else i - 1
+
+
+_FACE_RE = re.compile(r'(-?\d+)(?:/(-?\d*)(?:/(-?\d+))?)?')
+
+
+def read_obj(path: str, load_materials: bool = True) -> MeshData:
+    vertices: List = []
+    vertexcolors: List = []
+    normals: List = []
+    uvs: List = []
+    tris = []          # (vtx3, uv3, n3, group, show_edges3)
+    group_names: Dict[str, int] = {}
+    cur_group = -1
+    matfile = None
+
+    with open(path, 'r', errors='replace') as f:
+        for raw in f:
+            line = raw.rstrip(' \r\t\n')
+            if line.startswith('usemtl'):
+                name = line[6:].strip()
+                if name not in group_names:
+                    group_names[name] = len(group_names)
+                cur_group = group_names[name]
+            elif line.startswith('mtllib'):
+                matfile = line[6:].strip()
+            elif line.startswith('v '):
+                parts = line.split()
+                vals = [float(x) for x in parts[1:7]]
+                vertices.append(vals[:3])
+                if len(vals) == 6:
+                    vertexcolors.append(np.clip(vals[3:6], 0.0, 1.0))
+            elif line.startswith('vn'):
+                parts = line.split()
+                normals.append([float(x) for x in parts[1:4]])
+            elif line.startswith('vt'):
+                parts = line.split()
+                uvs.append([float(x) for x in parts[1:3]])
+            elif line.startswith('f ') or line.startswith('f\t'):
+                corners = _FACE_RE.findall(line[1:])
+                if len(corners) < 3:
+                    continue
+                nv, nu, nn = len(vertices), len(uvs), len(normals)
+
+                def corner(c):
+                    vi = _resolve_idx(int(c[0]), nv)
+                    ui = _resolve_idx(int(c[1]), nu) if c[1] else -1
+                    ni = _resolve_idx(int(c[2]), nn) if c[2] else -1
+                    return vi, ui, ni
+
+                cs = [corner(c) for c in corners]
+                # fan triangulation; showEdges marks real polygon borders
+                # (TriangleMesh.cpp:322-323 first tri, :396-397 fan tris)
+                for k in range(1, len(cs) - 1):
+                    first = (k == 1)
+                    last = (k == len(cs) - 2)
+                    v3 = (cs[0][0], cs[k][0], cs[k + 1][0])
+                    u3 = (cs[0][1], cs[k][1], cs[k + 1][1])
+                    n3 = (cs[0][2], cs[k][2], cs[k + 1][2])
+                    show = (first, True, last)
+                    tris.append((v3, u3, n3, cur_group, show))
+
+    if not group_names:
+        group_names['Default'] = 0
+        tris = [(v, u, n, 0, s) for (v, u, n, g, s) in tris]
+
+    materials = [GroupMaterial() for _ in range(len(group_names))]
+    obj_dir = os.path.dirname(os.path.abspath(path))
+    if load_materials and matfile:
+        mtl_path = os.path.join(obj_dir, matfile)
+        if os.path.exists(mtl_path):
+            _read_mtl(mtl_path, group_names, materials)
+
+    md = MeshData(
+        vertices=np.asarray(vertices, np.float32).reshape(-1, 3),
+        normals=(np.asarray(normals, np.float32).reshape(-1, 3)
+                 if normals else np.zeros((0, 3), np.float32)),
+        uvs=(np.asarray(uvs, np.float32).reshape(-1, 2)
+             if uvs else np.zeros((0, 2), np.float32)),
+        vtx_idx=np.asarray([t[0] for t in tris], np.int32).reshape(-1, 3),
+        uv_idx=np.asarray([t[1] for t in tris], np.int32).reshape(-1, 3),
+        n_idx=np.asarray([t[2] for t in tris], np.int32).reshape(-1, 3),
+        group=np.asarray([t[3] for t in tris], np.int32),
+        show_edges=np.asarray([t[4] for t in tris], bool).reshape(-1, 3),
+        vertex_colors=(np.asarray(vertexcolors, np.float32)
+                       if len(vertexcolors) == len(vertices) and vertexcolors
+                       else None),
+        materials=materials,
+        group_names=group_names,
+        obj_dir=obj_dir,
+    )
+    return md
+
+
+def _read_mtl(path: str, group_names: Dict[str, int],
+              materials: List[GroupMaterial]):
+    """MTL parsing (reference: TriangleMesh.cpp:493-564)."""
+    cur = None
+    illum = -1
+    with open(path, 'r', errors='replace') as f:
+        for raw in f:
+            line = raw.strip()
+            parts = line.split()
+            if not parts:
+                continue
+            key = parts[0]
+            if key == 'newmtl':
+                name = line[6:].strip()
+                cur = group_names.get(name)
+                illum = -1
+            elif cur is None:
+                continue
+            elif key == 'Kd':
+                materials[cur].kd = np.asarray(
+                    [float(x) for x in parts[1:4]], np.float32)
+            elif key == 'Ks':
+                ks = np.asarray([float(x) for x in parts[1:4]], np.float32)
+                if illum in (0, 1):
+                    ks = np.zeros(3, np.float32)
+                materials[cur].ks = ks
+            elif key == 'Ns':
+                vals = [float(x) for x in parts[1:4]]
+                if len(vals) == 1:
+                    vals = vals * 3
+                materials[cur].ns = np.asarray(vals, np.float32)
+            elif key == 'illum':
+                illum = int(float(parts[1]))
+                if illum in (0, 1):
+                    materials[cur].ks = np.zeros(3, np.float32)
+            elif key == 'map_Kd':
+                materials[cur].map_kd = line[6:].strip()
+            elif key == 'map_Ks':
+                materials[cur].map_ks = line[6:].strip()
+            elif key in ('map_Bump', 'map_bump'):
+                materials[cur].map_bump = line[8:].strip()
+            elif key == 'map_d':
+                materials[cur].map_d = line[5:].strip()
+
+
+def transform_mesh(md: MeshData, scaling: float = 1.0,
+                   offset=(0.0, 0.0, 0.0), preserve_input: bool = False,
+                   center: bool = True) -> MeshData:
+    """Axis swap + unit-box normalize (reference: TriangleMesh.cpp:742-770)."""
+    if preserve_input:
+        return md
+    v = md.vertices.copy()
+    v[:, [0, 2]] = v[:, [2, 0]]
+    v[:, 0] = -v[:, 0]
+    n = md.normals.copy()
+    if len(n):
+        n[:, [0, 2]] = n[:, [2, 0]]
+        n[:, 0] = -n[:, 0]
+    if center and len(v):
+        lo, hi = v.min(0), v.max(0)
+        s = float(max(hi - lo))
+        c = (lo + hi) * 0.5
+        v = (v - c) / s * scaling + np.asarray(offset, np.float32)
+    md.vertices = v.astype(np.float32)
+    md.normals = n.astype(np.float32)
+    return md
+
+
+def fill_face_normals(md: MeshData) -> MeshData:
+    """Append face normals for corners missing vertex normals
+    (reference: TriangleMesh.cpp:652-674)."""
+    need = (md.n_idx < 0).any()
+    if not need:
+        return md
+    a = md.vertices[md.vtx_idx[:, 0]]
+    b = md.vertices[md.vtx_idx[:, 1]]
+    c = md.vertices[md.vtx_idx[:, 2]]
+    fn = np.cross(b - a, c - a)
+    ln = np.linalg.norm(fn, axis=-1, keepdims=True)
+    fn = fn / np.maximum(ln, 1e-20)
+    missing = (md.n_idx < 0).any(axis=1)
+    new_ids = np.arange(missing.sum(), dtype=np.int32) + len(md.normals)
+    normals = np.concatenate([md.normals, fn[missing]], axis=0)
+    n_idx = md.n_idx.copy()
+    rows = np.where(missing)[0]
+    for col in range(3):
+        mask = n_idx[rows, col] < 0
+        n_idx[rows[mask], col] = new_ids[mask]
+    md.normals = normals.astype(np.float32)
+    md.n_idx = n_idx
+    return md
+
+
+def setup_tangents(md: MeshData) -> MeshData:
+    """Per-vertex tangent/bitangent accumulation with handedness
+    (reference: TriangleMesh.cpp:601-711), vectorized."""
+    nv = len(md.vertices)
+    tan1 = np.zeros((nv, 3), np.float64)
+    tan2 = np.zeros((nv, 3), np.float64)
+    has_uv = (md.uv_idx >= 0).all(axis=1) & (len(md.uvs) > 0)
+    if has_uv.any():
+        t = np.where(has_uv)[0]
+        a, b, c = md.vtx_idx[t, 0], md.vtx_idx[t, 1], md.vtx_idx[t, 2]
+        va = md.vertices[b] - md.vertices[a]
+        vb = md.vertices[c] - md.vertices[a]
+        sa = md.uvs[md.uv_idx[t, 1]] - md.uvs[md.uv_idx[t, 0]]
+        sb = md.uvs[md.uv_idx[t, 2]] - md.uvs[md.uv_idx[t, 0]]
+        det = sa[:, 0] * sb[:, 1] - sb[:, 0] * sa[:, 1]
+        safe = det != 0
+        inv = np.where(safe, 1.0 / np.where(safe, det, 1.0), 0.0)
+        sdir = np.where(safe[:, None],
+                        (sb[:, 1:2] * va - sa[:, 1:2] * vb) * inv[:, None],
+                        va * 1e-5)
+        tdir = np.where(safe[:, None],
+                        (sa[:, 0:1] * vb - sb[:, 0:1] * va) * inv[:, None],
+                        vb * 1e-5)
+        for vid, dirs in ((a, sdir), (b, sdir), (c, sdir)):
+            np.add.at(tan1, vid, dirs)
+        for vid, dirs in ((a, tdir), (b, tdir), (c, tdir)):
+            np.add.at(tan2, vid, dirs)
+
+    # vertex -> normal id map (last triangle wins, TriangleMesh.cpp:676-681)
+    v2n = np.zeros(nv, np.int32)
+    for col in range(3):
+        v2n[md.vtx_idx[:, col]] = md.n_idx[:, col]
+    n = md.normals[v2n]
+    n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+    t1 = tan1 - n * np.sum(tan1 * n, axis=-1, keepdims=True)
+    t1 = t1 / np.maximum(np.linalg.norm(t1, axis=-1, keepdims=True), 1e-20)
+    w = np.where(np.sum(np.cross(n, tan1) * tan2, axis=-1) < 0, -1.0, 1.0)
+    md.tangents = t1.astype(np.float32)
+    md.bitangents = (np.cross(n, t1) * w[:, None]).astype(np.float32)
+    return md
+
+
+def load_mesh(path: str, scaling: float = 30.0, offset=(0.0, 0.0, 0.0),
+              preserve_input: bool = False, center: bool = True,
+              load_materials: bool = True) -> MeshData:
+    """Full load pipeline matching TriMesh::init (TriangleMesh.cpp:718-841).
+
+    Default scaling 30 + drop-on-ground offset mirrors the GUI drag-drop
+    behavior (mainApp.cpp:2402-2411)."""
+    md = read_obj(path, load_materials=load_materials)
+    md = transform_mesh(md, scaling, offset, preserve_input, center)
+    md = fill_face_normals(md)
+    md = setup_tangents(md)
+    return md

@@ -1,0 +1,139 @@
+"""Host-side BVH build -> flat device arrays.
+
+TPU-native counterpart of TriMesh::build_bvh_recur (reference:
+TriangleMesh.cpp:1029-1130): binary BVH, split axis = largest
+centroid-extent, 16 candidate split planes scored by area*count (SAH-lite),
+in-place partition of the triangle order (the permutation is returned so
+face attributes can be reordered to match, like the reference's
+permuted_triangle_index), leaves of <=4 triangles or failed splits.
+
+The recursive node records of the reference flatten into SoA arrays ready
+for the vectorized/Pallas traversal:
+  node_lo/node_hi : (M,3) child bboxes
+  node_a, node_b  : (M,)  internal: left/right child ids;
+                          leaf: triangle range [a, b)
+  node_leaf       : (M,)  bool
+
+Build is vectorized numpy per node (the 16-way split scoring sweeps all
+triangles in the range at once); a C++ builder can replace this for the
+multi-million-triangle configs without changing the array contract.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+
+class FlatBVH(NamedTuple):
+    node_lo: np.ndarray      # (M,3) f32
+    node_hi: np.ndarray      # (M,3) f32
+    node_a: np.ndarray       # (M,) int32
+    node_b: np.ndarray       # (M,) int32
+    node_leaf: np.ndarray    # (M,) bool
+    order: np.ndarray        # (T,) int32: new position -> original tri index
+    max_leaf: int
+    depth: int
+    n_nodes: int
+
+
+def build_bvh(tri_verts: np.ndarray, max_leaf_size: int = 4,
+              n_split_tests: int = 16) -> FlatBVH:
+    """Build from (T,3,3) triangle vertices (3 corners x xyz)."""
+    t = tri_verts.shape[0]
+    assert t > 0
+    v = tri_verts.astype(np.float32)
+    lo_tri = v.min(axis=1)               # (T,3)
+    hi_tri = v.max(axis=1)
+    centers = v.mean(axis=1)             # (T,3) == (A+B+C)/3, ref :1074
+
+    order = np.arange(t, dtype=np.int32)
+
+    node_lo, node_hi, node_a, node_b, node_leaf = [], [], [], [], []
+    stats = {'max_leaf': 0, 'depth': 0, 'n_nodes': 0}
+
+    def new_node(i0, i1):
+        idx = len(node_lo)
+        sel = order[i0:i1]
+        node_lo.append(lo_tri[sel].min(axis=0))
+        node_hi.append(hi_tri[sel].max(axis=0))
+        node_a.append(i0)
+        node_b.append(i1)
+        node_leaf.append(True)
+        return idx
+
+    # iterative DFS matching the reference's recursion order (left first)
+    root = new_node(0, t)
+    stack = [(root, 0, t, 0)]
+    while stack:
+        node, i0, i1, depth = stack.pop()
+        stats['depth'] = max(stats['depth'], depth)
+        stats['n_nodes'] += 1
+        sel = order[i0:i1]
+        cen = centers[sel]
+        clo, chi = cen.min(axis=0), cen.max(axis=0)
+        diag = chi - clo
+        # split axis: largest centroid extent with the reference's tie rule
+        # (x wins ties over y over z, TriangleMesh.cpp:1047-1055)
+        if diag[0] >= diag[1] and diag[0] >= diag[2]:
+            axis = 0
+        elif diag[1] >= diag[0] and diag[1] >= diag[2]:
+            axis = 1
+        else:
+            axis = 2
+        c_ax = cen[:, axis]
+
+        # score n_split_tests planes by area*count (TriangleMesh.cpp:1066-1099)
+        fracs = (np.arange(1, n_split_tests + 1, dtype=np.float32)
+                 / (n_split_tests + 1))
+        split_vals = clo[axis] + diag[axis] * fracs           # (S,)
+        left = c_ax[None, :] <= split_vals[:, None]           # (S,Tn)
+        tl = lo_tri[sel]
+        th = hi_tri[sel]
+
+        def side_area(mask):
+            # bbox area of the masked set per split, vectorized over S
+            big = np.float32(1e10)
+            mlo = np.where(mask[..., None], tl[None], big).min(axis=1)
+            mhi = np.where(mask[..., None], th[None], -big).max(axis=1)
+            d = np.maximum(mhi - mlo, 0.0)
+            return 2.0 * (d[:, 0] * d[:, 1] + d[:, 0] * d[:, 2]
+                          + d[:, 1] * d[:, 2])
+
+        nl = left.sum(axis=1)
+        nr = (i1 - i0) - nl
+        score = side_area(left) * nl + side_area(~left) * nr
+        best = int(np.argmin(score))
+        split_val = split_vals[best]
+
+        # stable partition keeping the reference's in-place order semantics
+        go_left = c_ax <= split_val
+        perm = np.concatenate([np.where(go_left)[0], np.where(~go_left)[0]])
+        order[i0:i1] = sel[perm]
+        pivot = i0 + int(go_left.sum()) - 1
+
+        if pivot < i0 or pivot >= i1 - 1 or i1 <= i0 + max_leaf_size:
+            stats['max_leaf'] = max(stats['max_leaf'], i1 - i0)
+            continue                      # stays leaf [i0, i1)
+
+        node_leaf[node] = False
+        fg = new_node(i0, pivot + 1)
+        fd = new_node(pivot + 1, i1)
+        node_a[node] = fg
+        node_b[node] = fd
+        # push right first so left pops first (reference recursion order)
+        stack.append((fd, pivot + 1, i1, depth + 1))
+        stack.append((fg, i0, pivot + 1, depth + 1))
+
+    return FlatBVH(
+        node_lo=np.asarray(node_lo, np.float32),
+        node_hi=np.asarray(node_hi, np.float32),
+        node_a=np.asarray(node_a, np.int32),
+        node_b=np.asarray(node_b, np.int32),
+        node_leaf=np.asarray(node_leaf, bool),
+        order=order,
+        max_leaf=stats['max_leaf'] if stats['max_leaf'] else max_leaf_size,
+        depth=stats['depth'],
+        n_nodes=len(node_lo),
+    )

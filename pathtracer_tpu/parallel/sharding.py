@@ -49,18 +49,18 @@ def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,
     return Mesh(arr, ('dp', 'sp'))
 
 
-def _render_shard(sc, cam, cp_shard, sample_ids, pix_i, pix_j, cfg):
+def _render_shard(sc, cam, cp_shard, sample_ids, pix_i, pix_j, row0, cfg):
     """Trace this chip's (pixel-rows x samples) block, return film partial.
 
     Runs *inside* shard_map: all arrays are the local shard; the film
-    partial is full-size (splat windows cross row-shard boundaries, so
+    partial is full-size padded (splat windows cross row-shard boundaries;
     per-chip full films + psum replaces halo exchange — the film is small
     next to the wavefront)."""
     w, h = cfg.width, cfg.height
     nspp = cfg.nrays
+    block_rows = pix_i.shape[0] // w
     film_spec = film_mod.make_film_spec_static(w, h, cfg.sigma_filter)
-    image = jnp.zeros((h, w, 3), jnp.float32)
-    count = jnp.zeros((h, w), jnp.float32)
+    image, count = film_mod.alloc(film_spec)
     pix_flat = pix_i * w + pix_j
 
     def per_sample(carry, k):
@@ -82,7 +82,8 @@ def _render_shard(sc, cam, cp_shard, sample_ids, pix_i, pix_j, cfg):
         color, _, _ = integrator.trace_paths(sc, org, dirn, rng_state, cp_r12,
                                              cfg.nb_bounces)
         image, count = film_mod.splat(film_spec, image, count, color,
-                                      pix_i, pix_j, u_dx - 0.5, u_dy - 0.5)
+                                      u_dx - 0.5, u_dy - 0.5,
+                                      row0=row0, block_rows=block_rows)
         return (image, count), None
 
     (image, count), _ = jax.lax.scan(per_sample, (image, count), sample_ids)
@@ -108,9 +109,13 @@ def make_sharded_render(mesh: Mesh, cfg, film_ratio):
     pix_j_all = jnp.asarray(jj.reshape(-1))
     sample_ids = jnp.arange(cfg.nrays, dtype=jnp.int32)
 
+    rows_per_shard = h // dp
+
     def sharded(sc, cam, cp_table):
         def body(sc, cam, cp_shard, ks, pi, pj):
-            image, count = _render_shard(sc, cam, cp_shard, ks, pi, pj, cfg)
+            row0 = jax.lax.axis_index('dp') * rows_per_shard
+            image, count = _render_shard(sc, cam, cp_shard, ks, pi, pj,
+                                         row0, cfg)
             image = jax.lax.psum(image, ('dp', 'sp'))
             count = jax.lax.psum(count, ('dp', 'sp'))
             return image, count
@@ -142,8 +147,13 @@ def make_train_step(mesh: Mesh, cfg, film_ratio, lr=1e-2):
         return sc.replace(kd=params['kd'], ks=params['ks'],
                           light_intensity=params['light_intensity'])
 
+    film_spec = film_mod.make_film_spec_static(cfg.width, cfg.height,
+                                               cfg.sigma_filter)
+
     def loss_fn(params, sc, cam, cp_table, target):
         image, count = render(apply_params(sc, params), cam, cp_table)
+        image = film_mod.crop(film_spec, image)
+        count = film_mod.crop(film_spec, count)
         hdr = image / film_mod.RADIANCE_SCALE / jnp.maximum(count, 1e-9)[..., None]
         return jnp.mean((hdr - target) ** 2)
 

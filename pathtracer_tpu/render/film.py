@@ -16,6 +16,7 @@ import math
 from typing import NamedTuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 RADIANCE_SCALE = np.float32(196964.7)
@@ -63,42 +64,92 @@ def make_film_spec_static(width: int, height: int, sigma: float) -> FilmSpec:
     return make_film(width, height, sigma)
 
 
-def splat(film: FilmSpec, image, sample_count, colors, pix_i, pix_j, dx, dy):
-    """Scatter-add one wavefront of samples into the film.
+def alloc(film: FilmSpec):
+    """Fresh padded accumulators: (H+2F, W+2F, 3) image + (H+2F, W+2F) count.
+
+    The F-pixel halo absorbs splat contributions that fall outside the image
+    (the reference clamps its window instead, Raytracer.cpp:1477-1480; the
+    ratio table already normalizes border pixels identically)."""
+    f = film.filter_size
+    h, w = film.height + 2 * f, film.width + 2 * f
+    return (jnp.zeros((h, w, 3), jnp.float32), jnp.zeros((h, w), jnp.float32))
+
+
+def crop(film: FilmSpec, padded):
+    f = film.filter_size
+    return padded[f:f + film.height, f:f + film.width]
+
+
+def splat(film: FilmSpec, image, sample_count, colors, dx, dy, row0=0,
+          block_rows=None):
+    """Splat a row-contiguous block of grid samples into the film — STENCIL.
 
     reference: Raytracer.cpp:1486-1497 — each sample contributes to the
     (2F+1)^2 window around its pixel with weight
     w = exp(-((i2-i-dy)^2 + (j2-j-dx)^2) / (2 sigma^2)) * ratio / (2 pi sigma^2),
-    and the same w accumulates into sample_count.  Image rows are flipped
-    (row 0 = top = i of H-1) exactly like the reference's (H-i-1) indexing.
+    the same w accumulating into sample_count; image rows are flipped
+    (row 0 = top = sensor row H-1), matching the reference's (H-i-1).
+
+    TPU note: samples arrive one-per-pixel in grid order, so the splat is a
+    gather stencil, not a scatter: for each of the (2F+1)^2 offsets the whole
+    weighted color plane shifts by (oi,oj) and adds elementwise into the
+    padded film.  This replaced an .at[].add scatter that cost 1.26 s/wave
+    at 1080p (~100x).
 
     Args:
-      image: (H, W, 3) accumulator.  sample_count: (H, W).
-      colors: (N, 3); pix_i/pix_j: (N,) int32; dx/dy: (N,) jitter in [-.5, .5].
+      image, sample_count: padded accumulators from alloc().
+      colors: (Nb, 3), Nb == block_rows*W, sensor rows [row0, row0+block_rows)
+        in row-major order.  dx/dy: (Nb,) jitter.
+      row0: first sensor row of the block (static int or traced scalar —
+        traced when called inside shard_map with axis_index).
+      block_rows: rows in this block (static); default full height.
     Returns:
       (image, sample_count) updated.
     """
     h, w, fs = film.height, film.width, film.filter_size
+    hs = block_rows if block_rows is not None else h
     sigma = film.sigma
     denom2 = np.float32(1.0 / (2.0 * sigma * sigma))
     base = np.float32(1.0 / (sigma * sigma * 2.0 * np.pi))
-    ratio = film.ratio[pix_i, pix_j] * base                    # (N,) denom1
 
-    fi = pix_i.astype(jnp.float32)
-    fj = pix_j.astype(jnp.float32)
+    # flip to image space: sensor row i -> image row h-1-i; the block maps to
+    # image rows [h-row0-hs, h-row0), i.e. padded rows starting at
+    # h-row0-hs (+fs pad) - fs stencil reach = h-row0-hs.
+    cg = colors.reshape(hs, w, 3)[::-1]
+    dxg = dx.reshape(hs, w)[::-1]
+    dyg = dy.reshape(hs, w)[::-1]
+    if isinstance(row0, int) and row0 == 0 and hs == h:
+        ratio_f = film.ratio[::-1] * base
+    else:
+        ratio_f = jax.lax.dynamic_slice(
+            film.ratio[::-1], (h - row0 - hs, 0), (hs, w)) * base
 
+    part_img = jnp.zeros((hs + 2 * fs, w + 2 * fs, 3), jnp.float32)
+    part_cnt = jnp.zeros((hs + 2 * fs, w + 2 * fs), jnp.float32)
     for oi in range(-fs, fs + 1):
         for oj in range(-fs, fs + 1):
-            i2 = pix_i + oi
-            j2 = pix_j + oj
-            inb = (i2 >= 0) & (i2 < h) & (j2 >= 0) & (j2 < w)
-            wgt = jnp.exp(-((i2.astype(jnp.float32) - fi - dy) ** 2
-                            + (j2.astype(jnp.float32) - fj - dx) ** 2) * denom2)
-            wgt = jnp.where(inb, wgt * ratio, 0.0)
-            row = jnp.clip(h - 1 - i2, 0, h - 1)
-            col = jnp.clip(j2, 0, w - 1)
-            image = image.at[row, col].add(colors * wgt[:, None])
-            sample_count = sample_count.at[row, col].add(wgt)
+            wgt = jnp.exp(-((oi - dyg) ** 2 + (oj - dxg) ** 2) * denom2) * ratio_f
+            # flipped-space target = (src - oi, src + oj); partial is padded
+            # by fs so indices stay in range for all offsets
+            r0 = fs - oi
+            c0 = fs + oj
+            part_img = part_img.at[r0:r0 + hs, c0:c0 + w].add(
+                cg * wgt[..., None])
+            part_cnt = part_cnt.at[r0:r0 + hs, c0:c0 + w].add(wgt)
+
+    start = h - row0 - hs  # padded-film row of the partial's first row
+    if isinstance(row0, int):
+        image = image.at[start:start + hs + 2 * fs].add(part_img)
+        sample_count = sample_count.at[start:start + hs + 2 * fs].add(part_cnt)
+    else:
+        blk = jax.lax.dynamic_slice(
+            image, (start, 0, 0), (hs + 2 * fs, w + 2 * fs, 3))
+        image = jax.lax.dynamic_update_slice(image, blk + part_img,
+                                             (start, 0, 0))
+        blk_c = jax.lax.dynamic_slice(sample_count, (start, 0),
+                                      (hs + 2 * fs, w + 2 * fs))
+        sample_count = jax.lax.dynamic_update_slice(
+            sample_count, blk_c + part_cnt, (start, 0))
     return image, sample_count
 
 

@@ -87,7 +87,7 @@ def _wave(sc: scn.SceneArrays, cam: cam_mod.Camera, cp_table, cfg: RenderConfig,
             sc, org, dirn, rng_state, cp_r12, cfg.nb_bounces)
 
         image, sample_count = film_mod.splat(
-            film_spec, image, sample_count, color, pix_i, pix_j, dx, dy)
+            film_spec, image, sample_count, color, dx, dy)
         return (image, sample_count), None
 
     (image, sample_count), _ = jax.lax.scan(
@@ -161,9 +161,7 @@ class Renderer:
         self.reset()
 
     def reset(self):
-        h, w = self.cfg.height, self.cfg.width
-        self.image = jnp.zeros((h, w, 3), jnp.float32)
-        self.sample_count = jnp.zeros((h, w), jnp.float32)
+        self.image, self.sample_count = film_mod.alloc(self.film)
         self.samples_done = 0
 
     def step(self, nsamples: Optional[int] = None):
@@ -188,11 +186,13 @@ class Renderer:
 
     def hdr(self):
         """Accumulated HDR image (pre-tonemap), divided by splat weights."""
-        return self.image / film_mod.RADIANCE_SCALE / jnp.maximum(
-            self.sample_count, 1e-9)[..., None]
+        img = film_mod.crop(self.film, self.image)
+        cnt = film_mod.crop(self.film, self.sample_count)
+        return img / film_mod.RADIANCE_SCALE / jnp.maximum(cnt, 1e-9)[..., None]
 
     def display(self):
-        return film_mod.to_display(self.image, self.sample_count,
+        return film_mod.to_display(film_mod.crop(self.film, self.image),
+                                   film_mod.crop(self.film, self.sample_count),
                                    gamma=self.cfg.gamma)
 
     def u8(self):

@@ -1,0 +1,116 @@
+"""Device-side triangle meshes: soup + BVH + per-group materials.
+
+TPU-native counterpart of TriMesh (reference: TriangleMesh.h:115-260) as a
+flax pytree: flat SoA triangle/BVH arrays (built host-side by io/obj.py and
+ops/bvh.py), per-group constant material channels (MTL multipliers —
+texture images arrive with models/texture.py), interpolated shading normals
+(reference getMaterial, TriangleMesh.cpp:940-948).
+
+Each mesh is bound to a row of the analytic object table (its transform,
+miroir/ghost flags and keyframes live there, like the reference's
+Object base-class state).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+import flax.struct
+
+from ..io import obj as obj_io
+from ..ops import bvh as bvh_mod
+from ..ops import traverse
+
+
+@flax.struct.dataclass
+class MeshArrays:
+    soup: traverse.TriSoup
+    bvh: traverse.BVHArrays
+    # shading attributes, in BVH triangle order
+    n0: jnp.ndarray          # (T,3) per-corner shading normals
+    n1: jnp.ndarray
+    n2: jnp.ndarray
+    uv0: jnp.ndarray         # (T,2)
+    uv1: jnp.ndarray
+    uv2: jnp.ndarray
+    group: jnp.ndarray       # (T,) int32
+    vc0: Optional[jnp.ndarray]   # (T,3) vertex colors or None
+    vc1: Optional[jnp.ndarray]
+    vc2: Optional[jnp.ndarray]
+    # per-group constant materials (differentiable leaves)
+    g_kd: jnp.ndarray        # (G,3)
+    g_ks: jnp.ndarray        # (G,3)
+    g_ne: jnp.ndarray        # (G,3)
+    g_ksub: jnp.ndarray      # (G,3)
+    g_transp: jnp.ndarray    # (G,) bool
+    g_refr: jnp.ndarray      # (G,)
+    # statics
+    obj_row: int = flax.struct.field(pytree_node=False)
+    max_leaf: int = flax.struct.field(pytree_node=False)
+    use_brute: bool = flax.struct.field(pytree_node=False)
+    interp_normals: bool = flax.struct.field(pytree_node=False)
+
+    @property
+    def num_triangles(self):
+        return self.soup.ax.shape[0]
+
+
+BRUTE_FORCE_MAX_TRIS = 8192   # below this, dense sweep beats traversal on TPU
+
+
+def upload_mesh(md: obj_io.MeshData, obj_row: int,
+                interp_normals: bool = True,
+                use_brute: Optional[bool] = None) -> MeshArrays:
+    """Build BVH + device arrays from host MeshData (TriMesh::init tail,
+    TriangleMesh.cpp:784-841)."""
+    tri_verts = md.vertices[md.vtx_idx]                     # (T,3,3)
+    fb = bvh_mod.build_bvh(tri_verts)
+    order = fb.order
+    soup = traverse.make_soup(tri_verts[order])
+    bvh = traverse.upload_bvh(fb)
+
+    n_idx = md.n_idx[order]
+    normals = md.normals if len(md.normals) else np.zeros((1, 3), np.float32)
+    n0 = normals[np.clip(n_idx[:, 0], 0, len(normals) - 1)]
+    n1 = normals[np.clip(n_idx[:, 1], 0, len(normals) - 1)]
+    n2 = normals[np.clip(n_idx[:, 2], 0, len(normals) - 1)]
+
+    uv_idx = md.uv_idx[order]
+    has_uv = len(md.uvs) > 0
+    uvs = md.uvs if has_uv else np.zeros((1, 2), np.float32)
+    uvc = np.clip(uv_idx, 0, len(uvs) - 1)
+    uv0, uv1, uv2 = uvs[uvc[:, 0]], uvs[uvc[:, 1]], uvs[uvc[:, 2]]
+
+    if md.vertex_colors is not None:
+        vidx = md.vtx_idx[order]
+        vc = md.vertex_colors
+        vc0, vc1, vc2 = (jnp.asarray(vc[vidx[:, 0]]),
+                         jnp.asarray(vc[vidx[:, 1]]),
+                         jnp.asarray(vc[vidx[:, 2]]))
+    else:
+        vc0 = vc1 = vc2 = None
+
+    g = len(md.materials)
+    g_kd = np.stack([m.kd for m in md.materials])
+    g_ks = np.stack([m.ks for m in md.materials])
+    g_ne = np.stack([m.ns for m in md.materials])
+
+    if use_brute is None:
+        use_brute = len(order) <= BRUTE_FORCE_MAX_TRIS
+
+    return MeshArrays(
+        soup=soup, bvh=bvh,
+        n0=jnp.asarray(n0), n1=jnp.asarray(n1), n2=jnp.asarray(n2),
+        uv0=jnp.asarray(uv0), uv1=jnp.asarray(uv1), uv2=jnp.asarray(uv2),
+        group=jnp.asarray(md.group[order], jnp.int32),
+        vc0=vc0, vc1=vc1, vc2=vc2,
+        g_kd=jnp.asarray(g_kd), g_ks=jnp.asarray(g_ks),
+        g_ne=jnp.asarray(g_ne),
+        g_ksub=jnp.zeros((g, 3), jnp.float32),
+        g_transp=jnp.zeros((g,), bool),   # transp-mask default 1 -> opaque
+        g_refr=jnp.full((g,), 1.3, jnp.float32),
+        obj_row=int(obj_row), max_leaf=int(fb.max_leaf),
+        use_brute=bool(use_brute), interp_normals=bool(interp_normals),
+    )

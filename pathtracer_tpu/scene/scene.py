@@ -40,6 +40,7 @@ from ..core import vec
 # object type tags
 SPHERE = 0
 PLANE = 1
+MESH = 2       # row is transform/flags holder; geometry in SceneArrays.meshes
 
 BIG_T = jnp.float32(1e30)
 
@@ -81,6 +82,8 @@ class SceneArrays:
     # cached light constants (prepare_render, Raytracer.cpp:1377-1380)
     center_light: jnp.ndarray      # (3,)
     radius_light: jnp.ndarray      # scalar
+    # triangle meshes, each bound to an object row (empty tuple if none)
+    meshes: tuple = ()
 
     @property
     def num_objects(self):
@@ -170,8 +173,9 @@ def _candidate_ts(sc: SceneArrays, origins, dirs, avoid_ghosts=False):
     ok_pl = safe & (t_pl > 0.0)
 
     is_sphere = sc.obj_type == SPHERE
-    t = jnp.where(is_sphere, jnp.where(ok_sph, t_sph, BIG_T),
-                  jnp.where(ok_pl, t_pl, BIG_T))
+    is_plane = sc.obj_type == PLANE
+    t = jnp.where(is_sphere & ok_sph, t_sph,
+                  jnp.where(is_plane & ok_pl, t_pl, BIG_T))
     if avoid_ghosts:
         t = jnp.where(sc.ghost, BIG_T, t)
     return t, (lox, loy, loz), (ldx, ldy, ldz)
@@ -258,20 +262,131 @@ def intersect(sc: SceneArrays, origins, dirs, avoid_ghosts=False) -> Hit:
     else:
         ke = jnp.zeros_like(p)
 
-    return Hit(
+    out = Hit(
         hit=hit, t=t, p=p, n=n, obj_id=obj_id,
         kd=sc.kd[obj_id], ks=sc.ks[obj_id], ne=sc.ne[obj_id], ke=ke,
         ksub=sc.ksub[obj_id], transp=sc.transp[obj_id] & hit,
         refr_index=sc.refr_index[obj_id],
         miroir=sc.miroir[obj_id] & hit, ghost=sc.ghost[obj_id] & hit,
     )
+    for mesh in sc.meshes:
+        out = _merge_mesh_hit(sc, mesh, origins, dirs, out, avoid_ghosts)
+    return out
+
+
+def _local_ray_row(sc: SceneArrays, row: int, origins, dirs):
+    """Map rays into one object row's space (static row)."""
+    m = sc.inv_trans[row]                     # (12,)
+    if sc.identity_transform:
+        org_l = origins + jnp.stack([m[3], m[7], m[11]])
+        return org_l, dirs
+    rotm = m.reshape(3, 4)
+    org_l = origins @ rotm[:, :3].T + rotm[:, 3]
+    dir_l = dirs @ rotm[:, :3].T
+    return org_l, dir_l
+
+
+def _merge_mesh_hit(sc: SceneArrays, mesh, origins, dirs, cur: Hit,
+                    avoid_ghosts: bool) -> Hit:
+    """Intersect one mesh and fold the result into the running closest hit.
+
+    The reference does this via Embree instancing of each TriMesh with its
+    3x4 transform (Geometry.cpp:627-674) then getMaterial for the winning
+    triangle (TriangleMesh.cpp:919-1026); here the mesh hit prunes against
+    the current best t and the material interpolation is vectorized.
+    """
+    from ..ops import traverse  # local import to avoid cycle at module load
+
+    row = mesh.obj_row
+    if avoid_ghosts:
+        # ghost-ness is per object; a ghost mesh is skipped entirely
+        pass  # handled below by masking with sc.ghost[row]
+    org_l, dir_l = _local_ray_row(sc, row, origins, dirs)
+
+    if mesh.use_brute:
+        mh = traverse.brute_force_hit(mesh.soup, org_l, dir_l, t_max=cur.t)
+    else:
+        mh = traverse.bvh_hit(mesh.bvh, mesh.soup, org_l, dir_l,
+                              max_leaf=mesh.max_leaf, t_init=cur.t)
+
+    win = mh.t < cur.t
+    if avoid_ghosts:
+        win = win & ~sc.ghost[row]
+    tri = jnp.maximum(mh.tri, 0)
+    al, be, ga = traverse.bary_cleanup(mh.alpha, mh.beta, mh.gamma)
+
+    # shading normal (TriangleMesh.cpp:940-948)
+    if mesh.interp_normals:
+        n_l = (mesh.n0[tri] * al[:, None] + mesh.n1[tri] * be[:, None]
+               + mesh.n2[tri] * ga[:, None])
+    else:
+        n_l = jnp.stack([mesh.soup.nx[tri], mesh.soup.ny[tri],
+                         mesh.soup.nz[tri]], axis=-1)
+    n_l = vec.normalize(n_l)
+    n_l = jnp.where(sc.flip_normals[row], -n_l, n_l)
+
+    # world-space point and normal through the object transform
+    p_l = org_l + mh.t[:, None] * dir_l
+    if sc.identity_transform:
+        tr = sc.trans[row]
+        p_w = p_l + jnp.stack([tr[3], tr[7], tr[11]])
+        n_w = n_l
+    else:
+        tr = sc.trans[row].reshape(3, 4)
+        p_w = p_l @ tr[:, :3].T + tr[:, 3]
+        n_w = vec.normalize(n_l @ sc.rot[row].reshape(3, 3).T)
+
+    grp = mesh.group[tri]
+    kd = mesh.g_kd[grp]
+    if mesh.vc0 is not None:
+        # vertex-color override (TriangleMesh.cpp:975-977)
+        kd = (mesh.vc0[tri] * al[:, None] + mesh.vc1[tri] * be[:, None]
+              + mesh.vc2[tri] * ga[:, None])
+
+    def sel(new, old):
+        m = win[..., None] if new.ndim > win.ndim else win
+        return jnp.where(m, new, old)
+
+    return Hit(
+        hit=cur.hit | win,
+        t=jnp.where(win, mh.t, cur.t),
+        p=sel(p_w, cur.p),
+        n=sel(n_w, cur.n),
+        obj_id=jnp.where(win, jnp.int32(row), cur.obj_id),
+        kd=sel(kd, cur.kd),
+        ks=sel(mesh.g_ks[grp], cur.ks),
+        ne=sel(mesh.g_ne[grp], cur.ne),
+        ke=sel(jnp.zeros_like(cur.ke), cur.ke),
+        ksub=sel(mesh.g_ksub[grp], cur.ksub),
+        transp=jnp.where(win, mesh.g_transp[grp], cur.transp),
+        refr_index=jnp.where(win, mesh.g_refr[grp], cur.refr_index),
+        miroir=jnp.where(win, sc.miroir[row], cur.miroir),
+        ghost=jnp.where(win, sc.ghost[row], cur.ghost),
+    )
 
 
 def intersect_shadow(sc: SceneArrays, origins, dirs, dist_light,
                      avoid_ghosts=True):
     """Any-hit within 0.999*dist_light (Geometry.cpp:691-744). Returns bool (N,)."""
+    from ..ops import traverse
+
     t_all, _, _ = _candidate_ts(sc, origins, dirs, avoid_ghosts)
     blocked = jnp.any(t_all < (dist_light[:, None] * 0.999), axis=-1)
+    limit = dist_light * 0.999
+    for mesh in sc.meshes:
+        if avoid_ghosts:
+            pass  # masked below
+        org_l, dir_l = _local_ray_row(sc, mesh.obj_row, origins, dirs)
+        if mesh.use_brute:
+            mb = traverse.brute_force_any(mesh.soup, org_l, dir_l, limit)
+        else:
+            mh = traverse.bvh_hit(mesh.bvh, mesh.soup, org_l, dir_l,
+                                  max_leaf=mesh.max_leaf,
+                                  any_hit_limit=limit)
+            mb = mh.t < limit
+        if avoid_ghosts:
+            mb = mb & ~sc.ghost[mesh.obj_row]
+        blocked = blocked | mb
     return blocked
 
 
@@ -300,6 +415,8 @@ class ObjectSpec:
     rotation: Any = None            # 3x3 or None
     scale: float = 1.0
     rotation_center: Any = None     # defaults to sphere center / (0,0,0)
+    mesh_data: Any = None           # host MeshData for obj_type == MESH
+    interp_normals: bool = True
 
 
 def sphere(center, radius, **kw) -> ObjectSpec:
@@ -313,6 +430,16 @@ def plane(point, normal, **kw) -> ObjectSpec:
     spec = ObjectSpec(obj_type=PLANE, center=point, normal=normal, **kw)
     if spec.rotation_center is None:
         spec.rotation_center = (0.0, 0.0, 0.0)
+    return spec
+
+
+def mesh_object(mesh_data, **kw) -> ObjectSpec:
+    """A triangle mesh occupying one object-table row (transform/flags),
+    like the reference TriMesh : Object (TriangleMesh.h:115)."""
+    spec = ObjectSpec(obj_type=MESH, mesh_data=mesh_data, **kw)
+    if spec.rotation_center is None:
+        v = mesh_data.vertices
+        spec.rotation_center = ((v.min(0) + v.max(0)) * 0.5).tolist()
     return spec
 
 
@@ -355,7 +482,14 @@ def build_scene(objects, light_intensity, envmap_intensity=1.0, envmap=None,
     center_light = (light_tr[:, :3] @ np.asarray(light.center, np.float32)
                     + light_tr[:, 3])
 
+    from . import mesh as mesh_mod
+    meshes = tuple(
+        mesh_mod.upload_mesh(o.mesh_data, obj_row=i,
+                             interp_normals=o.interp_normals)
+        for i, o in enumerate(objects) if o.obj_type == MESH)
+
     return SceneArrays(
+        meshes=meshes,
         obj_type=jnp.asarray([o.obj_type for o in objects], jnp.int32),
         center=jnp.asarray(stack('center', dim3=True)),
         radius=jnp.asarray([float(o.radius) for o in objects], jnp.float32),

@@ -76,10 +76,11 @@ class Obj:
     def __init__(self, kind, center=None, radius=None, point=None, normal=None,
                  flip_normals=False, kd=(1, 1, 1), ks=(0, 0, 0), ne=(1, 1, 1),
                  transp=False, refr_index=1.3, miroir=False,
-                 translation=(0, 0, 0)):
+                 translation=(0, 0, 0), tri_verts=None, tri_normals=None):
         self.kind = kind
-        self.center = np.asarray(center if center is not None else point,
-                                 np.float32)
+        self.center = (np.asarray(center if center is not None else point,
+                                  np.float32)
+                       if (center is not None or point is not None) else None)
         self.radius = radius
         self.normal = None if normal is None else np.asarray(normal, np.float32)
         self.flip_normals = flip_normals
@@ -90,6 +91,8 @@ class Obj:
         self.refr_index = refr_index
         self.miroir = miroir
         self.translation = np.asarray(translation, np.float32)
+        self.tri_verts = tri_verts        # (T,3,3) for kind == 'mesh'
+        self.tri_normals = tri_normals    # (T,3,3) per-corner shading normals
 
     def intersect(self, org, dirn):
         """Returns (t, normal_localframe) or None.  Translation-only
@@ -114,7 +117,7 @@ class Obj:
             if self.flip_normals:
                 n = -n
             return t, n
-        else:
+        elif self.kind == 'plane':
             ddot = np.dot(dirn, self.normal)
             if abs(ddot) < 1e-9:
                 return None
@@ -125,6 +128,43 @@ class Obj:
             if self.flip_normals:
                 n = -n
             return t, n
+        else:  # mesh: brute force over triangles, edge-matrix test
+            best_t, best_n = np.inf, None
+            for k in range(len(self.tri_verts)):
+                a3, b3, c3 = self.tri_verts[k]
+                u = b3 - a3
+                v = c3 - a3
+                nrm = np.cross(u, v)
+                dn = np.dot(dirn, nrm)
+                t = np.dot(a3 - o, nrm) / dn
+                if not (t >= 0) or np.isnan(t):
+                    continue
+                p = o + t * dirn
+                w = p - a3
+                m11 = np.dot(u, u); m22 = np.dot(v, v); m12 = np.dot(u, v)
+                invdet = 1.0 / (m11 * m22 - m12 * m12)
+                b11 = np.dot(w, u); b21 = np.dot(w, v)
+                beta = (b11 * m22 - b21 * m12) * invdet
+                if beta < 0:
+                    continue
+                gamma = (b21 * m11 - b11 * m12) * invdet
+                if gamma < 0:
+                    continue
+                alpha = 1 - beta - gamma
+                if alpha < 0:
+                    continue
+                if t < best_t:
+                    best_t = t
+                    if self.tri_normals is not None:
+                        sn = (self.tri_normals[k, 0] * alpha
+                              + self.tri_normals[k, 1] * beta
+                              + self.tri_normals[k, 2] * gamma)
+                    else:
+                        sn = nrm
+                    best_n = -sn if self.flip_normals else sn
+            if best_n is None:
+                return None
+            return best_t, best_n
 
 
 class CPUScene:
