@@ -118,9 +118,11 @@ def _tri_test_block(soup: TriSoup, sl, org, dirn):
     return jnp.where(ok, t, BIG_T), alpha, beta, gamma
 
 
-def brute_force_hit(soup: TriSoup, org, dirn, t_max=None,
+def brute_force_hit(soup: TriSoup, org, dirn, t_max=None, t_min=None,
                     chunk: int = 2048) -> MeshHit:
-    """Dense all-pairs sweep, chunked over triangles (closest hit)."""
+    """Dense all-pairs sweep, chunked over triangles (closest hit).
+
+    t_min (N,): reject hits at or below it (alpha-cutout re-intersection)."""
     n = org.shape[0]
     t_total = soup.ax.shape[0]
     best_t = jnp.full((n,), BIG_T) if t_max is None else t_max
@@ -130,6 +132,8 @@ def brute_force_hit(soup: TriSoup, org, dirn, t_max=None,
     for start in range(0, t_total, chunk):
         sl = slice(start, min(start + chunk, t_total))
         t, al, be, ga = _tri_test_block(soup, sl, org, dirn)
+        if t_min is not None:
+            t = jnp.where(t > t_min[:, None], t, BIG_T)
         j = jnp.argmin(t, axis=-1)                          # (N,)
         jj = j[:, None]
         tj = jnp.take_along_axis(t, jj, axis=-1)[:, 0]
@@ -201,7 +205,8 @@ def _slab(bvh: BVHArrays, node, ox, oy, oz, ix, iy, iz):
 
 
 def bvh_hit(bvh: BVHArrays, soup: TriSoup, org, dirn, max_leaf: int,
-            stack_depth: int = 48, t_init=None, any_hit_limit=None) -> MeshHit:
+            stack_depth: int = 48, t_init=None, any_hit_limit=None,
+            t_min=None) -> MeshHit:
     """Lockstep BVH traversal (reference TriMesh::intersection,
     TriangleMesh.cpp:1133-1235): near-first child ordering, prune by
     current best t, leaves test <= max_leaf triangles.
@@ -281,6 +286,8 @@ def bvh_hit(bvh: BVHArrays, soup: TriSoup, org, dirn, max_leaf: int,
             valid = do_leaf & (a + k < b)
             t_k, al_k, be_k, ga_k = _tri_test_lane(soup, tri, org, dirn)
             win = valid & (t_k < best_t)
+            if t_min is not None:
+                win = win & (t_k > t_min)
             best_t = jnp.where(win, t_k, best_t)
             best_tri = jnp.where(win, tri, best_tri)
             al = jnp.where(win, al_k, al)

@@ -35,6 +35,9 @@ class MeshArrays:
     uv0: jnp.ndarray         # (T,2)
     uv1: jnp.ndarray
     uv2: jnp.ndarray
+    t0: jnp.ndarray          # (T,3) per-corner tangents (normal mapping)
+    t1: jnp.ndarray
+    t2: jnp.ndarray
     group: jnp.ndarray       # (T,) int32
     vc0: Optional[jnp.ndarray]   # (T,3) vertex colors or None
     vc1: Optional[jnp.ndarray]
@@ -46,6 +49,8 @@ class MeshArrays:
     g_ksub: jnp.ndarray      # (G,3)
     g_transp: jnp.ndarray    # (G,) bool
     g_refr: jnp.ndarray      # (G,)
+    # per-group texture images (static structure; None entries = constant)
+    textures: tuple          # tuple of models.texture.GroupTextures, len G
     # statics
     obj_row: int = flax.struct.field(pytree_node=False)
     max_leaf: int = flax.struct.field(pytree_node=False)
@@ -62,9 +67,12 @@ BRUTE_FORCE_MAX_TRIS = 8192   # below this, dense sweep beats traversal on TPU
 
 def upload_mesh(md: obj_io.MeshData, obj_row: int,
                 interp_normals: bool = True,
-                use_brute: Optional[bool] = None) -> MeshArrays:
+                use_brute: Optional[bool] = None,
+                load_textures: bool = True) -> MeshArrays:
     """Build BVH + device arrays from host MeshData (TriMesh::init tail,
     TriangleMesh.cpp:784-841)."""
+    from ..models import texture as tex_mod
+    import os
     tri_verts = md.vertices[md.vtx_idx]                     # (T,3,3)
     fb = bvh_mod.build_bvh(tri_verts)
     order = fb.order
@@ -97,6 +105,43 @@ def upload_mesh(md: obj_io.MeshData, obj_row: int,
     g_ks = np.stack([m.ks for m in md.materials])
     g_ne = np.stack([m.ns for m in md.materials])
 
+    # per-corner tangents for normal mapping (tangentSoup,
+    # TriangleMesh.cpp:699-709)
+    if md.tangents is not None:
+        vidx = md.vtx_idx[order]
+        t0 = md.tangents[vidx[:, 0]]
+        t1 = md.tangents[vidx[:, 1]]
+        t2 = md.tangents[vidx[:, 2]]
+    else:
+        t0 = t1 = t2 = np.zeros_like(n0)
+
+    # texture images (MTL map_* refs resolved relative to the OBJ dir,
+    # TriangleMesh.cpp:504-535)
+    textures = []
+    for m in md.materials:
+        gt = tex_mod.GroupTextures()
+        if load_textures:
+            def resolve(name):
+                if not name:
+                    return None
+                p = os.path.join(md.obj_dir, name.replace('\\', '/'))
+                return p if os.path.exists(p) else None
+            kd_p = resolve(m.map_kd)
+            ks_p = resolve(m.map_ks)
+            nm_p = resolve(m.map_bump)
+            al_p = resolve(m.map_d)
+            gt = tex_mod.GroupTextures(
+                kd=None if kd_p is None else jnp.asarray(
+                    tex_mod.load_color_image(kd_p)),
+                ks=None if ks_p is None else jnp.asarray(
+                    tex_mod.load_color_image(ks_p)),
+                normal=None if nm_p is None else jnp.asarray(
+                    tex_mod.load_normal_image(nm_p)),
+                alpha=None if al_p is None else jnp.asarray(
+                    tex_mod.load_color_image(al_p)),
+            )
+        textures.append(gt)
+
     if use_brute is None:
         use_brute = len(order) <= BRUTE_FORCE_MAX_TRIS
 
@@ -104,6 +149,8 @@ def upload_mesh(md: obj_io.MeshData, obj_row: int,
         soup=soup, bvh=bvh,
         n0=jnp.asarray(n0), n1=jnp.asarray(n1), n2=jnp.asarray(n2),
         uv0=jnp.asarray(uv0), uv1=jnp.asarray(uv1), uv2=jnp.asarray(uv2),
+        t0=jnp.asarray(t0), t1=jnp.asarray(t1), t2=jnp.asarray(t2),
+        textures=tuple(textures),
         group=jnp.asarray(md.group[order], jnp.int32),
         vc0=vc0, vc1=vc1, vc2=vc2,
         g_kd=jnp.asarray(g_kd), g_ks=jnp.asarray(g_ks),

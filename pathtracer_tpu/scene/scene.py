@@ -286,6 +286,69 @@ def _local_ray_row(sc: SceneArrays, row: int, origins, dirs):
     return org_l, dir_l
 
 
+def _mesh_uv(mesh, tri, al, be, ga):
+    """Interpolated texture coordinates (TriangleMesh.cpp:930-931)."""
+    uv = (mesh.uv0[tri] * al[:, None] + mesh.uv1[tri] * be[:, None]
+          + mesh.uv2[tri] * ga[:, None])
+    return uv[:, 0], uv[:, 1]
+
+
+def _mesh_alpha(mesh, mh):
+    """Per-lane alpha-map red value; 1.0 where no map (TriangleMesh.cpp:1199-1205)."""
+    from ..models import texture as tex_mod
+
+    tri = jnp.maximum(mh.tri, 0)
+    al, be, ga = mh.alpha, mh.beta, mh.gamma
+    u, v = _mesh_uv(mesh, tri, al, be, ga)
+    grp = mesh.group[tri]
+    aval = jnp.ones_like(mh.t)
+    for g, gt in enumerate(mesh.textures):
+        if gt.alpha is not None:
+            aval = jnp.where(grp == g, tex_mod.sample_red(gt.alpha, u, v),
+                             aval)
+    return aval
+
+
+def _mesh_closest_hit(mesh, org_l, dir_l, t_max, cutout_rounds=4):
+    """Closest hit honoring alpha cutouts: re-intersect past texels with
+    alpha < 0.5, up to cutout_rounds skips (the reference skips them inside
+    the leaf loop, TriangleMesh.cpp:1199-1205; the wavefront equivalent is
+    iterative re-intersection with a rising t floor)."""
+    from ..ops import traverse
+
+    has_alpha = any(gt.alpha is not None for gt in mesh.textures)
+
+    def one_hit(t_min):
+        if mesh.use_brute:
+            return traverse.brute_force_hit(mesh.soup, org_l, dir_l,
+                                            t_max=t_max, t_min=t_min)
+        return traverse.bvh_hit(mesh.bvh, mesh.soup, org_l, dir_l,
+                                max_leaf=mesh.max_leaf, t_init=t_max,
+                                t_min=t_min)
+
+    if not has_alpha:
+        return one_hit(None)
+
+    n = org_l.shape[0]
+    acc = traverse.MeshHit(t=jnp.full((n,), traverse.BIG_T),
+                           tri=jnp.full((n,), -1, jnp.int32),
+                           alpha=jnp.ones((n,)), beta=jnp.zeros((n,)),
+                           gamma=jnp.zeros((n,)))
+    done = jnp.zeros((n,), bool)
+    t_floor = jnp.full((n,), -1.0)
+    for _ in range(cutout_rounds):
+        mh = one_hit(t_floor)
+        found = mh.t < t_max
+        aval = _mesh_alpha(mesh, mh)
+        cutout = found & (aval < 0.5) & ~done
+        accept = ~done & ~cutout
+        acc = traverse.MeshHit(*[jnp.where(accept, new, old)
+                                 for new, old in zip(mh, acc)])
+        done = done | accept
+        t_floor = jnp.where(cutout, mh.t, t_floor)
+    return acc
+
+
 def _merge_mesh_hit(sc: SceneArrays, mesh, origins, dirs, cur: Hit,
                     avoid_ghosts: bool) -> Hit:
     """Intersect one mesh and fold the result into the running closest hit.
@@ -295,25 +358,17 @@ def _merge_mesh_hit(sc: SceneArrays, mesh, origins, dirs, cur: Hit,
     triangle (TriangleMesh.cpp:919-1026); here the mesh hit prunes against
     the current best t and the material interpolation is vectorized.
     """
-    from ..ops import traverse  # local import to avoid cycle at module load
+    from ..models import texture as tex_mod
 
     row = mesh.obj_row
-    if avoid_ghosts:
-        # ghost-ness is per object; a ghost mesh is skipped entirely
-        pass  # handled below by masking with sc.ghost[row]
     org_l, dir_l = _local_ray_row(sc, row, origins, dirs)
-
-    if mesh.use_brute:
-        mh = traverse.brute_force_hit(mesh.soup, org_l, dir_l, t_max=cur.t)
-    else:
-        mh = traverse.bvh_hit(mesh.bvh, mesh.soup, org_l, dir_l,
-                              max_leaf=mesh.max_leaf, t_init=cur.t)
+    mh = _mesh_closest_hit(mesh, org_l, dir_l, cur.t)
 
     win = mh.t < cur.t
     if avoid_ghosts:
         win = win & ~sc.ghost[row]
     tri = jnp.maximum(mh.tri, 0)
-    al, be, ga = traverse.bary_cleanup(mh.alpha, mh.beta, mh.gamma)
+    al, be, ga = traverse_bary_cleanup(mh)
 
     # shading normal (TriangleMesh.cpp:940-948)
     if mesh.interp_normals:
@@ -323,6 +378,25 @@ def _merge_mesh_hit(sc: SceneArrays, mesh, origins, dirs, cur: Hit,
         n_l = jnp.stack([mesh.soup.nx[tri], mesh.soup.ny[tri],
                          mesh.soup.nz[tri]], axis=-1)
     n_l = vec.normalize(n_l)
+
+    grp = mesh.group[tri]
+    u, v = _mesh_uv(mesh, tri, al, be, ga)
+
+    # tangent-space normal mapping (TriangleMesh.cpp:952-970)
+    if any(gt.normal is not None for gt in mesh.textures):
+        tangent = vec.normalize(
+            mesh.t0[tri] * al[:, None] + mesh.t1[tri] * be[:, None]
+            + mesh.t2[tri] * ga[:, None])
+        bitangent = vec.cross(n_l, tangent)
+        for g, gt in enumerate(mesh.textures):
+            if gt.normal is not None:
+                ns_loc = tex_mod.sample_point(gt.normal, u, v)
+                ns = (ns_loc[:, 0:1] * tangent + ns_loc[:, 1:2] * bitangent
+                      + ns_loc[:, 2:3] * n_l)
+                degenerate = vec.norm2(ns) < 1e-20
+                ns = jnp.where(degenerate[:, None], n_l, vec.normalize(ns))
+                n_l = jnp.where((grp == g)[:, None], ns, n_l)
+
     n_l = jnp.where(sc.flip_normals[row], -n_l, n_l)
 
     # world-space point and normal through the object transform
@@ -336,8 +410,22 @@ def _merge_mesh_hit(sc: SceneArrays, mesh, origins, dirs, cur: Hit,
         p_w = p_l @ tr[:, :3].T + tr[:, 3]
         n_w = vec.normalize(n_l @ sc.rot[row].reshape(3, 3).T)
 
-    grp = mesh.group[tri]
+    # material: group constants x optional texture images (queryMaterial,
+    # Geometry.h:399-445 — image value multiplied by the channel multiplier)
     kd = mesh.g_kd[grp]
+    ks = mesh.g_ks[grp]
+    ne = mesh.g_ne[grp]
+    for g, gt in enumerate(mesh.textures):
+        sel_g = (grp == g)[:, None]
+        if gt.kd is not None:
+            kd = jnp.where(sel_g, tex_mod.sample_point(gt.kd, u, v)
+                           * mesh.g_kd[g], kd)
+        if gt.ks is not None:
+            ks = jnp.where(sel_g, tex_mod.sample_point(gt.ks, u, v)
+                           * mesh.g_ks[g], ks)
+        if gt.roughness is not None:
+            ne = jnp.where(sel_g, tex_mod.sample_point(gt.roughness, u, v)
+                           * mesh.g_ne[g], ne)
     if mesh.vc0 is not None:
         # vertex-color override (TriangleMesh.cpp:975-977)
         kd = (mesh.vc0[tri] * al[:, None] + mesh.vc1[tri] * be[:, None]
@@ -354,8 +442,8 @@ def _merge_mesh_hit(sc: SceneArrays, mesh, origins, dirs, cur: Hit,
         n=sel(n_w, cur.n),
         obj_id=jnp.where(win, jnp.int32(row), cur.obj_id),
         kd=sel(kd, cur.kd),
-        ks=sel(mesh.g_ks[grp], cur.ks),
-        ne=sel(mesh.g_ne[grp], cur.ne),
+        ks=sel(ks, cur.ks),
+        ne=sel(ne, cur.ne),
         ke=sel(jnp.zeros_like(cur.ke), cur.ke),
         ksub=sel(mesh.g_ksub[grp], cur.ksub),
         transp=jnp.where(win, mesh.g_transp[grp], cur.transp),
@@ -363,6 +451,11 @@ def _merge_mesh_hit(sc: SceneArrays, mesh, origins, dirs, cur: Hit,
         miroir=jnp.where(win, sc.miroir[row], cur.miroir),
         ghost=jnp.where(win, sc.ghost[row], cur.ghost),
     )
+
+
+def traverse_bary_cleanup(mh):
+    from ..ops import traverse
+    return traverse.bary_cleanup(mh.alpha, mh.beta, mh.gamma)
 
 
 def intersect_shadow(sc: SceneArrays, origins, dirs, dist_light,
@@ -374,10 +467,14 @@ def intersect_shadow(sc: SceneArrays, origins, dirs, dist_light,
     blocked = jnp.any(t_all < (dist_light[:, None] * 0.999), axis=-1)
     limit = dist_light * 0.999
     for mesh in sc.meshes:
-        if avoid_ghosts:
-            pass  # masked below
         org_l, dir_l = _local_ray_row(sc, mesh.obj_row, origins, dirs)
-        if mesh.use_brute:
+        has_alpha = any(gt.alpha is not None for gt in mesh.textures)
+        if has_alpha:
+            # alpha-cutout texels must not occlude (TriangleMesh.cpp:1299-1305)
+            mh = _mesh_closest_hit(mesh, org_l, dir_l,
+                                   jnp.broadcast_to(BIG_T, limit.shape))
+            mb = mh.t < limit
+        elif mesh.use_brute:
             mb = traverse.brute_force_any(mesh.soup, org_l, dir_l, limit)
         else:
             mh = traverse.bvh_hit(mesh.bvh, mesh.soup, org_l, dir_l,
