@@ -25,16 +25,19 @@ Uniform floats follow the reference convention ``u = out * (1/(2^32-1))``
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 # PCG multiplier / default increment, split into 32-bit halves.
+# numpy scalars, NOT jnp: module-level jnp constants initialize the JAX
+# backend at import time, before callers can select a platform.
 _MULT = 6364136223846793005  # 0x5851F42D4C957F2D
-_MULT_HI = jnp.uint32(_MULT >> 32)
-_MULT_LO = jnp.uint32(_MULT & 0xFFFFFFFF)
+_MULT_HI = np.uint32(_MULT >> 32)
+_MULT_LO = np.uint32(_MULT & 0xFFFFFFFF)
 
-_U16 = jnp.uint32(0xFFFF)
+_U16 = np.uint32(0xFFFF)
 
-INV_UINT32_MAX = jnp.float32(1.0 / 4294967295.0)  # reference invmax
+INV_UINT32_MAX = np.float32(1.0 / 4294967295.0)  # reference invmax
 
 
 def _mulhi32(a, b):

@@ -25,13 +25,19 @@ def phong_eval(kd, ks, ne, wi, wo, n):
 
     reflechi = reflect(-wo, n); d = dot(reflechi, wi);
     d < 0  ->  kd/pi;  else kd/pi + ks * d^ne * (ne+2)/(2*pi)  (per channel).
+
+    Differentiable in (kd, ks, ne): the pow base is masked to 1 on the
+    d<=0 branch BEFORE the power — otherwise the cotangent of pow(0, ne)
+    is NaN and poisons the whole gradient through the where (the classic
+    JAX where-grad trap).
     """
     refl = vec.reflect(-wo, n)
     d = vec.dot(refl, wi)
-    dpos = jnp.maximum(d, 0.0)
-    lobe = jnp.power(dpos[..., None], ne) * (ne + 2.0) / M_TWO_PI
+    front = d > 0.0
+    d_safe = jnp.where(front, d, 1.0)
+    lobe = jnp.power(d_safe[..., None], ne) * (ne + 2.0) / M_TWO_PI
     diffuse = kd / M_PI
-    return jnp.where((d > 0.0)[..., None], diffuse + lobe * ks, diffuse)
+    return jnp.where(front[..., None], diffuse + lobe * ks, diffuse)
 
 
 def phong_sample(kd, ks, ne, wo, n, u_choice, r1, r2):

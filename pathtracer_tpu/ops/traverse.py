@@ -29,7 +29,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-BIG_T = jnp.float32(1e30)
+BIG_T = np.float32(1e30)   # numpy: no backend init at import
 
 
 class TriSoup(NamedTuple):

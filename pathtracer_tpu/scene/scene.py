@@ -42,7 +42,7 @@ SPHERE = 0
 PLANE = 1
 MESH = 2       # row is transform/flags holder; geometry in SceneArrays.meshes
 
-BIG_T = jnp.float32(1e30)
+BIG_T = np.float32(1e30)   # numpy: no backend init at import
 
 
 @flax.struct.dataclass
