@@ -43,6 +43,121 @@ from ..scene import scene as scn
 M_PI = np.float32(np.pi)
 
 
+def _int_exponential(y0, ysol, beta, s, uy):
+    """Optical depth of exponential-height extinction along a segment
+    (reference: int_exponential, Raytracer.cpp:20-38), with the small
+    |uy*beta| series branch."""
+    small = jnp.abs(uy * beta) < 1e-4
+    near = jnp.exp(-beta * (y0 - ysol)) * s
+    denom = jnp.where(small, 1.0, uy * beta)
+    far = (jnp.exp(-beta * (y0 - ysol))
+           - jnp.exp(-beta * (y0 + s * uy - ysol))) / denom
+    return jnp.where(small, near, far)
+
+
+def _fog_optical_depth(sc, org_y, dir_y, s):
+    """alpha * integral of extinction over [0, s] (Raytracer.cpp:58-63)."""
+    if sc.fog_type == 0:
+        return sc.fog_absorption * s * 0.05
+    return sc.fog_absorption * _int_exponential(
+        org_y, sc.ground_level, sc.fog_absorption_decay, s, dir_y)
+
+
+def _fog_event(sc, org, dirn, seg_t, sample_light_pos, rng_st):
+    """Fog in-scattering event for one wavefront of segments
+    (reference: fogContribution, Raytracer.cpp:44-192).
+
+    Returns (T, fog_dir, fog_org, fog_weight, fog_valid, rng_st):
+      T          — transmittance of the segment (multiplies all surface
+                   contributions of this event),
+      fog_*      — the in-scatter continuation ray and its weight factor
+                   (pathWeight multiplier), valid where fog_valid.
+    Draw order: t-sample u, direction-choice u, dir u1, u2 (4 gated draws).
+    The reference's rejection loop for the truncated-exponential t-sample
+    (Raytracer.cpp:91-93) is replaced by exact CDF inversion (one draw).
+    """
+    ray_y = dirn[:, 1]
+    org_y = org[:, 1]
+    int_ext = _fog_optical_depth(sc, org_y, ray_y, seg_t)
+    transmittance = jnp.exp(-int_ext)
+
+    gate = jnp.ones(org.shape[0], bool)
+    u_t, rng_st = prng.next_uniform(rng_st, gate=gate)
+    u_choice, rng_st = prng.next_uniform(rng_st, gate=gate)
+    u1, u2, rng_st = prng.next_uniform2(rng_st, gate=gate)
+
+    clamped_t = jnp.minimum(1000.0, seg_t)
+
+    # equiangular t-sampling toward the light when a > 0 (Raytracer.cpp:70-82)
+    a = vec.dot(sample_light_pos - org, dirn)
+    proj_p = org + a[:, None] * dirn
+    dd = jnp.sqrt(jnp.maximum(vec.norm2(sample_light_pos - proj_p), 1e-12))
+    theta_a = -jnp.arctan2(a, dd)
+    theta_b = jnp.arctan2(seg_t - a, dd)
+    t_eq = dd * jnp.tan((1.0 - u_t) * theta_a + u_t * theta_b)
+    p_eq = dd / ((theta_b - theta_a) * (dd * dd + t_eq * t_eq))
+    t_eq = t_eq + a
+
+    # truncated-exponential fallback (Raytracer.cpp:89-97), CDF-inverted
+    alpha_s = 5.0 / clamped_t
+    cdf_max = 1.0 - jnp.exp(-alpha_s * clamped_t)
+    t_ex = -jnp.log(jnp.maximum(1.0 - u_t * cdf_max, 1e-30)) / alpha_s
+    norm_ex = (1.0 / alpha_s) * cdf_max
+    p_ex = jnp.exp(-alpha_s * t_ex) / norm_ex
+
+    use_eq = a > 0.0
+    random_t = jnp.where(use_eq, t_eq, t_ex)
+    proba_t = jnp.where(use_eq, p_eq, p_ex)
+
+    int_ext_part = _fog_optical_depth(sc, org_y, ray_y, random_t)
+    random_p = org + random_t[:, None] * dirn
+    above_ground = random_p[:, 1] >= sc.ground_level
+
+    # direction: MIS uniform sphere vs cosine-cone to the light (:112-126)
+    axe_op = vec.normalize(random_p - sc.center_light)
+    d_uniform = sampling.random_uniform_sphere(u1, u2)
+    d_cos = sampling.random_cos(axe_op, u1, u2)
+    point_al = d_cos * sc.radius_light + sc.center_light
+    to_light = point_al - random_p
+    d_light = vec.normalize(to_light)
+    is_uniform = u_choice < 0.5
+    random_dir = jnp.where(is_uniform[:, None], d_uniform, d_light)
+
+    # phase function (:129-141)
+    mu = vec.dot(random_dir, dirn)
+    if sc.fog_phase_type == 0:
+        phase = jnp.full_like(mu, 1.0 / (4.0 * np.pi))
+    elif sc.fog_phase_type == 1:
+        k = sc.phase_aniso
+        phase = (1.0 - k * k) / (4.0 * np.pi * (1.0 + k * (-mu)))
+    else:
+        phase = 3.0 / (16.0 * np.pi) * (1.0 + mu * mu)
+
+    # probe the scene along the scatter ray for visibility + light pdf (:143-172)
+    hit = scn.intersect(sc, random_p, random_dir)
+    d_light2 = vec.norm2(to_light)
+    vis_block = hit.hit & (hit.t * hit.t < d_light2 * 0.99)
+    visible = is_uniform | ~vis_block
+
+    jac = vec.dot(hit.n, -random_dir) / jnp.maximum(vec.norm2(hit.p - random_p),
+                                                   1e-12)
+    pdf_light_sa = (vec.dot(vec.normalize(hit.p - sc.center_light), axe_op)
+                    / (np.pi * sc.radius_light ** 2)
+                    / jnp.where(jnp.abs(jac) > 1e-20, jac, 1.0))
+    pdf_light = jnp.where(hit.hit & (hit.obj_id == 0), pdf_light_sa, 0.0)
+    proba_dir = 0.5 * (1.0 / (4.0 * np.pi)) + 0.5 * pdf_light
+
+    if sc.fog_type == 0:
+        ext = jnp.full_like(random_t, 1.0) * (sc.fog_density * 0.05)
+    else:
+        ext = sc.fog_density * jnp.exp(-sc.fog_density_decay
+                                       * (random_p[:, 1] - sc.ground_level))
+    fog_w = (phase * ext * jnp.exp(-int_ext_part)
+             / jnp.maximum(proba_t * proba_dir, 1e-30))
+    fog_valid = above_ground & visible & (fog_w > 0.0) & jnp.isfinite(fog_w)
+    return (transmittance, random_dir, random_p, fog_w, fog_valid, rng_st)
+
+
 class PathState(NamedTuple):
     org: jnp.ndarray          # (N,3)
     dirn: jnp.ndarray         # (N,3)
@@ -116,24 +231,10 @@ def trace_paths(sc: scn.SceneArrays, origins, dirs, rng_state, cp_r12,
         at_light = alive & hit.hit & (hit.obj_id == 0)
         at_surface = alive & hit.hit & (hit.obj_id >= 2)
 
-        color = state.color
-        # dome: envmap radiance if the path may see it (Raytracer.cpp:274-302)
-        dome_rad = sc.envmap_intensity * hit.ke
-        color = color + jnp.where((at_dome & state.show_env)[:, None],
-                                  state.weight * dome_rad, 0.0)
-        # light sphere: emitted power only on NEE-deduped paths (:303-316)
-        color = color + jnp.where((at_light & state.show_lights)[:, None],
-                                  state.weight * light_power, 0.0)
-
-        # ---- surface shading ----
+        # ---- surface classification ----
         is_mirror = at_surface & hit.miroir
         is_transp = at_surface & hit.transp & ~hit.miroir
         is_diffuse = at_surface & ~hit.miroir & ~hit.transp
-
-        # emission (Raytracer.cpp:411)
-        color = color + jnp.where(at_surface[:, None],
-                                  state.weight * hit.ke * sc.envmap_intensity,
-                                  0.0)
 
         # === NEE to the spherical light (Raytracer.cpp:492-556) ===
         u1, u2, rng_st = prng.next_uniform2(state.rng, gate=is_diffuse)
@@ -155,7 +256,42 @@ def trace_paths(sc: scn.SceneArrays, origins, dirs, rng_state, cp_r12,
         nee = (light_power * jnp.maximum(cos_surf, 0.0) * jac
                / jnp.where(proba > 0.0, proba, 1.0))[:, None] * f_brdf
         nee_ok = is_diffuse & ~shadowed & (proba > 0.0) & ~hit.ghost
-        color = color + jnp.where(nee_ok[:, None], state.weight * nee, 0.0)
+
+        # === fog event for this segment (Raytracer.cpp:44-192) ===
+        if sc.fog_enabled:
+            # diffuse lanes aim the equiangular sample at the NEE light
+            # point, others at the light center (:278 vs :558)
+            sample_lp = jnp.where(is_diffuse[:, None], point_al,
+                                  center_light[None, :])
+            fog_gate = alive & hit.hit
+            trans_T, fog_dir, fog_org, fog_w, fog_valid, rng_st = _fog_event(
+                sc, state.org, ray_dir, hit.t, sample_lp, rng_st)
+            trans_T = jnp.where(fog_gate, trans_T, 1.0)
+            fog_valid = fog_valid & fog_gate
+        else:
+            trans_T = jnp.ones_like(hit.t)
+            fog_valid = jnp.zeros_like(alive)
+            fog_dir = ray_dir
+            fog_org = p
+            fog_w = jnp.zeros_like(hit.t)
+
+        color = state.color
+        # dome: envmap radiance if the path may see it (Raytracer.cpp:274-302)
+        dome_rad = sc.envmap_intensity * hit.ke
+        color = color + jnp.where((at_dome & state.show_env)[:, None],
+                                  trans_T[:, None] * state.weight * dome_rad,
+                                  0.0)
+        # light sphere: emitted power only on NEE-deduped paths (:303-316)
+        color = color + jnp.where((at_light & state.show_lights)[:, None],
+                                  trans_T[:, None] * state.weight * light_power,
+                                  0.0)
+        # emission — NOT fog-attenuated, matching the reference (:411)
+        color = color + jnp.where(at_surface[:, None],
+                                  state.weight * hit.ke * sc.envmap_intensity,
+                                  0.0)
+        # NEE contribution, attenuated (:557-567)
+        color = color + jnp.where(nee_ok[:, None],
+                                  trans_T[:, None] * state.weight * nee, 0.0)
 
         # === continuations ===
         # mirror (Raytracer.cpp:413-437)
@@ -205,7 +341,7 @@ def trace_paths(sc: scn.SceneArrays, origins, dirs, rng_state, cp_r12,
 
         # ---- merge continuations into next state ----
         cont_diffuse = is_diffuse & ~reject
-        next_alive = is_mirror | is_transp | cont_diffuse
+        surf_alive = is_mirror | is_transp | cont_diffuse
         new_org = jnp.where(is_mirror[:, None], mirror_org,
                             jnp.where(is_transp[:, None], transp_org, ind_org))
         new_dir = jnp.where(is_mirror[:, None], mirror_dir,
@@ -213,6 +349,29 @@ def trace_paths(sc: scn.SceneArrays, origins, dirs, rng_state, cp_r12,
         new_weight = jnp.where(cont_diffuse[:, None], ind_weight, state.weight)
         # diffuse continuations must not re-see the light (NEE dedup, :626-630)
         new_show_lights = jnp.where(cont_diffuse, False, state.show_lights)
+
+        if sc.fog_enabled:
+            # Wavefront fog branching: the reference pushes BOTH the surface
+            # continuation and the in-scatter Contrib (:279-283 etc.); one
+            # lane carries one ray, so russian-roulette between them —
+            # 50/50 with 2x weight when both exist, the survivor otherwise.
+            # Unbiased; the CPU harness mirrors the same estimator.
+            both = surf_alive & fog_valid
+            u_rr, rng_st = prng.next_uniform(rng_st, gate=both)
+            take_fog = fog_valid & (~surf_alive | (both & (u_rr < 0.5)))
+            rr_mult = jnp.where(both, 2.0, 1.0)
+            w_surface = new_weight * trans_T[:, None]
+            w_fog = state.weight * fog_w[:, None]
+            new_weight = jnp.where(take_fog[:, None], w_fog,
+                                   w_surface) * rr_mult[:, None]
+            new_org = jnp.where(take_fog[:, None], fog_org, new_org)
+            new_dir = jnp.where(take_fog[:, None], fog_dir, new_dir)
+            # fog branch keeps show_lights/show_env of the parent (:188)
+            new_show_lights = jnp.where(take_fog, state.show_lights,
+                                        new_show_lights)
+            next_alive = surf_alive | fog_valid
+        else:
+            next_alive = surf_alive
 
         return state._replace(
             org=_masked_update(next_alive, new_org, state.org),

@@ -82,6 +82,16 @@ class SceneArrays:
     # cached light constants (prepare_render, Raytracer.cpp:1377-1380)
     center_light: jnp.ndarray      # (3,)
     radius_light: jnp.ndarray      # scalar
+    # fog (reference: Geometry.h:1371-1377 scene params, Raytracer.cpp:44-192)
+    fog_density: jnp.ndarray = None        # scalar
+    fog_absorption: jnp.ndarray = None
+    fog_density_decay: jnp.ndarray = None
+    fog_absorption_decay: jnp.ndarray = None
+    phase_aniso: jnp.ndarray = None        # Schlick k
+    ground_level: jnp.ndarray = None       # objects[2] translation y
+    fog_enabled: bool = flax.struct.field(pytree_node=False, default=False)
+    fog_type: int = flax.struct.field(pytree_node=False, default=0)
+    fog_phase_type: int = flax.struct.field(pytree_node=False, default=0)
     # triangle meshes, each bound to an object row (empty tuple if none)
     meshes: tuple = ()
 
@@ -556,7 +566,7 @@ def _build_matrices(spec: ObjectSpec):
 
 
 def build_scene(objects, light_intensity, envmap_intensity=1.0, envmap=None,
-                light_scale=1.0) -> SceneArrays:
+                light_scale=1.0, fog=None) -> SceneArrays:
     """Assemble SceneArrays from ObjectSpecs. objects[0]=light, [1]=dome."""
     n = len(objects)
     assert n >= 2, "scene needs at least light (0) and dome (1) objects"
@@ -585,8 +595,24 @@ def build_scene(objects, light_intensity, envmap_intensity=1.0, envmap=None,
                              interp_normals=o.interp_normals)
         for i, o in enumerate(objects) if o.obj_type == MESH)
 
+    # fog block (reference .scn fog params, Raytracer.cpp:1134-1139)
+    fog = fog or {}
+    fog_density = float(fog.get('density', 0.0))
+    # ground level: objects[2]'s translation y (Raytracer.cpp:56)
+    ground_y = (float(np.asarray(objects[2].translation).reshape(-1)[1])
+                if n > 2 else 0.0)
+
     return SceneArrays(
         meshes=meshes,
+        fog_density=jnp.float32(fog_density),
+        fog_absorption=jnp.float32(fog.get('absorption', 0.0)),
+        fog_density_decay=jnp.float32(fog.get('density_decay', 0.0)),
+        fog_absorption_decay=jnp.float32(fog.get('absorption_decay', 0.0)),
+        phase_aniso=jnp.float32(fog.get('phase_aniso', 0.8)),
+        ground_level=jnp.float32(ground_y),
+        fog_enabled=fog_density > 1e-8,
+        fog_type=int(fog.get('type', 0)),
+        fog_phase_type=int(fog.get('phase_type', 0)),
         obj_type=jnp.asarray([o.obj_type for o in objects], jnp.int32),
         center=jnp.asarray(stack('center', dim3=True)),
         radius=jnp.asarray([float(o.radius) for o in objects], jnp.float32),

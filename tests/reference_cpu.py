@@ -168,7 +168,8 @@ class Obj:
 
 
 class CPUScene:
-    def __init__(self, objects, light_intensity, envmap_intensity=1.0):
+    def __init__(self, objects, light_intensity, envmap_intensity=1.0,
+                 fog=None):
         self.objects = objects
         self.light_intensity = light_intensity
         self.envmap_intensity = envmap_intensity
@@ -176,6 +177,16 @@ class CPUScene:
         self.center_light = light.center + light.translation
         self.radius_light = light.radius
         self.light_power = light_intensity  # scale == 1
+        fog = fog or {}
+        self.fog_density = fog.get('density', 0.0)
+        self.fog_absorption = fog.get('absorption', 0.0)
+        self.fog_density_decay = fog.get('density_decay', 0.0)
+        self.fog_absorption_decay = fog.get('absorption_decay', 0.0)
+        self.fog_type = fog.get('type', 0)
+        self.fog_phase_type = fog.get('phase_type', 0)
+        self.phase_aniso = fog.get('phase_aniso', 0.8)
+        self.ground_level = float(objects[2].translation[1]) if len(objects) > 2 else 0.0
+        self.fog_enabled = self.fog_density > 1e-8
 
     def intersection(self, org, dirn):
         best_t, best_i, best_n = np.inf, -1, None
@@ -193,6 +204,102 @@ class CPUScene:
             if res is not None and res[0] < dist_light * 0.999:
                 return True
         return False
+
+
+def _int_exponential(y0, ysol, beta, s, uy):
+    if abs(uy * beta) < 1e-4:
+        return math.exp(-beta * (y0 - ysol)) * s
+    return (math.exp(-beta * (y0 - ysol))
+            - math.exp(-beta * (y0 + s * uy - ysol))) / (uy * beta)
+
+
+def _fog_depth(scene, y0, uy, s):
+    if scene.fog_type == 0:
+        return scene.fog_absorption * s * 0.05
+    return scene.fog_absorption * _int_exponential(
+        y0, scene.ground_level, scene.fog_absorption_decay, s, uy)
+
+
+def random_uniform_sphere(r1, r2):
+    s = math.sqrt(max(0.0, r2 * (1.0 - r2)))
+    return np.array([2 * math.cos(2 * math.pi * r1) * s,
+                     2 * math.sin(2 * math.pi * r1) * s,
+                     1 - 2 * r2], np.float32)
+
+
+def fog_event(scene, org, dirn, seg_t, sample_lp, eng):
+    """Twin of integrator._fog_event: same canonical draws + estimator."""
+    int_ext = _fog_depth(scene, org[1], dirn[1], seg_t)
+    T = math.exp(-int_ext)
+    u_t = eng.next_float()
+    u_choice = eng.next_float()
+    u1 = eng.next_float()
+    u2 = eng.next_float()
+    clamped_t = min(1000.0, seg_t)
+
+    a = np.dot(sample_lp - org, dirn)
+    if a > 0:
+        proj = org + a * dirn
+        dd = math.sqrt(max(np.dot(sample_lp - proj, sample_lp - proj), 1e-12))
+        theta_a = -math.atan2(a, dd)
+        theta_b = math.atan2(seg_t - a, dd)
+        random_t = dd * math.tan((1 - u_t) * theta_a + u_t * theta_b)
+        proba_t = dd / ((theta_b - theta_a) * (dd * dd + random_t * random_t))
+        random_t += a
+    else:
+        alpha_s = 5.0 / clamped_t
+        cdf_max = 1.0 - math.exp(-alpha_s * clamped_t)
+        random_t = -math.log(max(1.0 - u_t * cdf_max, 1e-30)) / alpha_s
+        proba_t = math.exp(-alpha_s * random_t) / ((1.0 / alpha_s) * cdf_max)
+
+    int_part = _fog_depth(scene, org[1], dirn[1], random_t)
+    random_p = org + random_t * dirn
+    if random_p[1] < scene.ground_level:
+        return T, None
+    axe_op = normalize(random_p - scene.center_light)
+    if u_choice < 0.5:
+        random_dir = random_uniform_sphere(u1, u2)
+        is_uniform = True
+    else:
+        d_cos = random_cos(axe_op, u1, u2)
+        point_al = d_cos * scene.radius_light + scene.center_light
+        random_dir = normalize(point_al - random_p)
+        is_uniform = False
+
+    mu = np.dot(random_dir, dirn)
+    if scene.fog_phase_type == 0:
+        phase = 1.0 / (4 * math.pi)
+    elif scene.fog_phase_type == 1:
+        k = scene.phase_aniso
+        phase = (1 - k * k) / (4 * math.pi * (1 + k * (-mu)))
+    else:
+        phase = 3.0 / (16 * math.pi) * (1 + mu * mu)
+
+    res = scene.intersection(random_p, random_dir)
+    if not is_uniform:
+        point_al = d_cos * scene.radius_light + scene.center_light
+        d2 = np.dot(point_al - random_p, point_al - random_p)
+        if res is not None and res[0] * res[0] < d2 * 0.99:
+            return T, None
+    pdf_light = 0.0
+    if res is not None and res[1] == 0:
+        t_hit, oid, n_hit = res
+        p_hit = random_p + t_hit * random_dir
+        jac = np.dot(n_hit, -random_dir) / max(
+            np.dot(p_hit - random_p, p_hit - random_p), 1e-12)
+        if abs(jac) > 1e-20:
+            pdf_light = (np.dot(normalize(p_hit - scene.center_light), axe_op)
+                         / (math.pi * scene.radius_light ** 2) / jac)
+    proba_dir = 0.5 / (4 * math.pi) + 0.5 * pdf_light
+    if scene.fog_type == 0:
+        ext = scene.fog_density * 0.05
+    else:
+        ext = scene.fog_density * math.exp(
+            -scene.fog_density_decay * (random_p[1] - scene.ground_level))
+    w = phase * ext * math.exp(-int_part) / max(proba_t * proba_dir, 1e-30)
+    if not (w > 0 and np.isfinite(w)):
+        return T, None
+    return T, (random_p, random_dir, w)
 
 
 def generate_ray(cam, i, j, dx, dy, dxa, dya, W, H):
@@ -238,20 +345,59 @@ def trace_path(scene: CPUScene, cam, i, j, key, cp_shift, lattice_pt,
         t, oid, n = res
         p = org + t * dirn
         obj = scene.objects[oid]
+        is_diffuse = oid >= 2 and not obj.miroir and not obj.transp
+        is_transp = oid >= 2 and obj.transp and not obj.miroir
+        is_mirror = oid >= 2 and obj.miroir
+
+        # --- NEE draws + geometry (diffuse only; canonical order #1) ---
+        nee_contrib = np.zeros(3, np.float32)
+        point_al = None
+        if is_diffuse:
+            r1 = eng.next_float()
+            r2 = eng.next_float()
+            axe_op = normalize(p - scene.center_light)
+            dir_al = random_cos(axe_op, r1, r2)
+            point_al = dir_al * scene.radius_light + scene.center_light
+            to_l = point_al - p
+            d2 = np.dot(to_l, to_l)
+            wi = normalize(to_l)
+            cos_surf = np.dot(n, wi)
+            if cos_surf < 0:
+                shadowed = True
+            else:
+                shadowed = scene.intersection_shadow(p + 0.01 * wi, wi,
+                                                     math.sqrt(d2) - 0.01)
+            if not shadowed:
+                f = phong_eval(obj.kd, obj.ks, obj.ne, wi, -dirn, n)
+                jac = np.dot(dir_al, -wi) / d2
+                proba = np.dot(axe_op, dir_al) / (np.pi
+                                                  * scene.radius_light ** 2)
+                if proba > 0:
+                    nee_contrib = (weight * (scene.light_power
+                                             * max(0.0, cos_surf) * jac
+                                             / proba) * f)
+
+        # --- fog event (canonical order #2: 4 draws on any hit) ---
+        T = 1.0
+        fog_branch = None
+        if scene.fog_enabled:
+            sample_lp = point_al if is_diffuse else scene.center_light
+            T, fog_branch = fog_event(scene, org, dirn, t, sample_lp, eng)
+
+        # --- color adds, fog-attenuated ---
         if oid == 1:
-            # dome: Ke is 0 without an envmap texture
-            break
-        if oid == 0:
+            pass  # dome Ke = 0 without envmap
+        elif oid == 0:
             if show_lights:
-                color += weight * scene.light_power
-            break
+                color += T * weight * scene.light_power
+        else:
+            color += T * nee_contrib
 
-        if obj.miroir:
-            dirn = reflect(dirn, n)
-            org = p + 0.001 * n
-            continue
-
-        if obj.transp:
+        # --- surface continuation ---
+        surf = None  # (org, dir, weight, show_lights)
+        if is_mirror:
+            surf = (p + 0.001 * n, reflect(dirn, n), weight, show_lights)
+        elif is_transp:
             cos_in = np.dot(dirn, n)
             if cos_in > 0:
                 n1, n2, n_t = obj.refr_index, 1.0, -n
@@ -260,7 +406,7 @@ def trace_path(scene: CPUScene, cam, i, j, key, cp_shift, lattice_pt,
             eta = n1 / n2
             cos_t = np.dot(n_t, dirn)
             radical = 1.0 - eta * eta * (1.0 - cos_t * cos_t)
-            u = eng.next_float()
+            u = eng.next_float()   # canonical order #3
             if radical > 0:
                 refr = eta * (dirn - cos_t * n_t) - n_t * math.sqrt(radical)
                 r0 = ((n1 - n2) / (n1 + n2)) ** 2
@@ -269,56 +415,53 @@ def trace_path(scene: CPUScene, cam, i, j, key, cp_shift, lattice_pt,
                 else:
                     fres = r0 + (1 - r0) * max(0.0, 1.0 + cos_in) ** 5
                 if u < fres:
-                    org, dirn = p + 0.001 * n_t, reflect(dirn, n)
+                    surf = (p + 0.001 * n_t, reflect(dirn, n), weight,
+                            show_lights)
                 else:
-                    org, dirn = p - 0.001 * n_t, refr
+                    surf = (p - 0.001 * n_t, refr, weight, show_lights)
             else:
-                org, dirn = p + 0.001 * n_t, reflect(dirn, n)
-            continue
+                surf = (p + 0.001 * n_t, reflect(dirn, n), weight, show_lights)
+        elif is_diffuse:
+            u_choice = eng.next_float()   # canonical order #4
+            avg_ne = float(np.mean(obj.ne))
+            pdiff = 1.0 - float(np.mean(obj.ks))
+            r_mirror = reflect(dirn, n)
+            if u_choice < pdiff:
+                d_ind = random_cos(n, r1_cp, r2_cp)
+            else:
+                d_ind = random_phong(r_mirror, avg_ne, r1_cp, r2_cp)
+            proba_phong = ((avg_ne + 1.0) / (2.0 * np.pi)
+                           * max(0.0, np.dot(r_mirror, d_ind)) ** avg_ne)
+            pdf = (pdiff * np.dot(n, d_ind) / np.pi
+                   + (1.0 - pdiff) * proba_phong)
+            if not (np.dot(d_ind, n) < 0 or np.dot(d_ind, r_mirror) < 0
+                    or pdf <= 0):
+                f_ind = phong_eval(obj.kd, obj.ks, obj.ne, d_ind, -dirn, n)
+                w_ind = weight * f_ind * (np.dot(n, d_ind) / pdf)
+                surf = (p + 0.01 * d_ind, d_ind, w_ind, False)
 
-        # --- diffuse surface: NEE + indirect ---
-        r1 = eng.next_float()
-        r2 = eng.next_float()
-        axe_op = normalize(p - scene.center_light)
-        dir_al = random_cos(axe_op, r1, r2)
-        point_al = dir_al * scene.radius_light + scene.center_light
-        to_l = point_al - p
-        d2 = np.dot(to_l, to_l)
-        wi = normalize(to_l)
-        cos_surf = np.dot(n, wi)
-        if cos_surf < 0:
-            shadowed = True
+        # --- RR-merge surface vs fog branches (canonical order #5) ---
+        if scene.fog_enabled:
+            both = surf is not None and fog_branch is not None
+            if both:
+                u_rr = eng.next_float()
+            if fog_branch is not None and (surf is None
+                                           or (both and u_rr < 0.5)):
+                fp, fd, fw = fog_branch
+                mult = 2.0 if both else 1.0
+                org, dirn = fp, fd
+                weight = weight * fw * mult
+                # show_lights/show_env preserved on the fog branch
+            elif surf is not None:
+                mult = 2.0 if both else 1.0
+                org, dirn, w_new, show_lights = surf
+                weight = w_new * T * mult
+            else:
+                break
         else:
-            shadowed = scene.intersection_shadow(p + 0.01 * wi, wi,
-                                                 math.sqrt(d2) - 0.01)
-        if not shadowed:
-            f = phong_eval(obj.kd, obj.ks, obj.ne, wi, -dirn, n)
-            jac = np.dot(dir_al, -wi) / d2
-            proba = np.dot(axe_op, dir_al) / (np.pi * scene.radius_light ** 2)
-            if proba > 0:
-                color += weight * (scene.light_power * max(0.0, cos_surf)
-                                   * jac / proba) * f
-
-        # indirect: engine lobe choice + CP lattice 2D point
-        u_choice = eng.next_float()
-        avg_ne = float(np.mean(obj.ne))
-        pdiff = 1.0 - float(np.mean(obj.ks))
-        r_mirror = reflect(dirn, n)
-        if u_choice < pdiff:
-            d_ind = random_cos(n, r1_cp, r2_cp)
-        else:
-            d_ind = random_phong(r_mirror, avg_ne, r1_cp, r2_cp)
-        proba_phong = ((avg_ne + 1.0) / (2.0 * np.pi)
-                       * max(0.0, np.dot(r_mirror, d_ind)) ** avg_ne)
-        pdf = (pdiff * np.dot(n, d_ind) / np.pi
-               + (1.0 - pdiff) * proba_phong)
-        if (np.dot(d_ind, n) < 0 or np.dot(d_ind, r_mirror) < 0 or pdf <= 0):
-            break
-        f_ind = phong_eval(obj.kd, obj.ks, obj.ne, d_ind, -dirn, n)
-        weight = weight * f_ind * (np.dot(n, d_ind) / pdf)
-        org = p + 0.01 * d_ind
-        dirn = d_ind
-        show_lights = False
+            if surf is None:
+                break
+            org, dirn, weight, show_lights = surf
 
     return color, dx, dy
 
