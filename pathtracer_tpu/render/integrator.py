@@ -166,10 +166,79 @@ class PathState(NamedTuple):
     alive: jnp.ndarray        # (N,) bool
     show_lights: jnp.ndarray  # (N,) bool — NEE double-count guard
     show_env: jnp.ndarray     # (N,) bool
+    had_ss: jnp.ndarray       # (N,) bool — subsurface re-entry guard (:318)
     rng: tuple                # 4x (N,) uint32 PCG state
     # denoiser aux captured at the primary hit (Raytracer.cpp:254-257)
     normal_aux: jnp.ndarray   # (N,3)
     albedo_aux: jnp.ndarray   # (N,3)
+
+
+SS_SIGMA = np.float32(1.5)                       # Raytracer.cpp:330
+SS_DISK_R = np.float32((12.46 ** 0.5) * 1.5)     # Raytracer.cpp:331
+SS_PROBA = np.float32(0.6)                       # Raytracer.cpp:318
+
+
+def _subsurface_event(sc, hit, p, nrm, ray_dir, take_ss, rng_st):
+    """Disk-probe BSSRDF relocation (reference: Raytracer.cpp:317-406).
+
+    Gaussian disk sample above the surface, probe-axis MIS over
+    {-N: 0.5, Tg: 0.25, Tg2: 0.25}, restricted reservoir intersection on
+    the same object, weight = pdfdisk/max(pdfgauss,0.05)*chris*(2|4)*Ksub/pi.
+
+    Returns (ss_ok, new_p, new_n, new_dir, ss_factor (N,3), probe_ksub, rng).
+    Draws (all gated on take_ss): randR u, angle u, axis u, [offset u gated
+    tangent-axis], reservoir u.
+    """
+    sigma = SS_SIGMA
+    disk_r = SS_DISK_R
+    u_r, rng_st = prng.next_uniform(rng_st, gate=take_ss)
+    u_ang, rng_st = prng.next_uniform(rng_st, gate=take_ss)
+
+    integ = 1.0 - np.exp(-float(disk_r) ** 2 / (2.0 * float(sigma) ** 2))
+    rand_r = sigma * jnp.sqrt(-2.0 * jnp.log(
+        jnp.maximum(1.0 - u_r * integ, 1e-30)))
+    angle = u_ang * (2.0 * np.pi)
+    gx = rand_r * jnp.sin(angle)
+    gy = rand_r * jnp.cos(angle)
+    gz = rand_r
+    gaussval = (1.0 / (sigma * sigma * 2.0 * np.pi)
+                * jnp.exp(-(gz * gz) / (2.0 * sigma * sigma)))
+    pdfgauss = gaussval / integ
+
+    tg = vec.get_tangent(nrm)
+    tg2 = vec.cross(nrm, tg)
+    pt_above = p + gx[:, None] * tg + gy[:, None] * tg2 + nrm * disk_r
+
+    u_ax, rng_st = prng.next_uniform(rng_st, gate=take_ss)
+    h = jnp.sqrt(jnp.maximum(disk_r * disk_r - gz * gz, 0.0))
+    subs_org = pt_above + (disk_r - h)[:, None] * (-nrm)
+    axis_is_n = u_ax < 0.5
+    w_axis = jnp.where(axis_is_n, 0.5, 0.25)
+    tmax_p = jnp.where(axis_is_n, 2.0 * h, 2.0 * gz)
+    axis = jnp.where(axis_is_n[:, None], -nrm,
+                     jnp.where((u_ax < 0.75)[:, None], tg, tg2))
+    u_off, rng_st = prng.next_uniform(rng_st, gate=take_ss & ~axis_is_n)
+    subs_org = jnp.where((~axis_is_n & (u_off < 0.5))[:, None],
+                         subs_org - h[:, None] * nrm, subs_org)
+
+    u_res, rng_st = prng.next_uniform(rng_st, gate=take_ss)
+    probe = scn.reservoir_same_object(sc, subs_org, axis, tmax_p,
+                                      hit.obj_id, u_res)
+    ss_ok = take_ss & probe.found
+
+    chris = jnp.exp(-vec.norm2(p - probe.p) / (2.0 * sigma * sigma))
+    sumpdfs = ((0.5 * vec.dot(probe.n, nrm)) ** 2
+               + (0.25 * vec.dot(probe.n, tg)) ** 2
+               + (0.25 * vec.dot(probe.n, tg2)) ** 2)
+    pdfdisk = w_axis * jnp.abs(vec.dot(axis, probe.n)) / jnp.maximum(sumpdfs,
+                                                                     1e-20)
+    mult = jnp.where(axis_is_n, 2.0, 4.0)
+    factor = (pdfdisk / jnp.maximum(pdfgauss, 0.05) * chris * mult)[:, None] \
+        * (hit.ksub / M_PI)
+
+    new_dir = vec.normalize(probe.p - p)
+    new_p = probe.p + 0.005 * probe.n
+    return ss_ok, new_p, probe.n, new_dir, factor, probe.ksub, rng_st
 
 
 def _masked_update(mask, new, old):
@@ -202,9 +271,11 @@ def trace_paths(sc: scn.SceneArrays, origins, dirs, rng_state, cp_r12,
         alive=jnp.ones((n,), bool),
         show_lights=jnp.ones((n,), bool),
         show_env=jnp.ones((n,), bool),
+        had_ss=jnp.zeros((n,), bool),
         rng=rng_state,
         normal_aux=zeros3, albedo_aux=zeros3,
     )
+    ss_enabled = sc.ss_enabled
 
     light_power = sc.light_power
     center_light = sc.center_light
@@ -236,8 +307,30 @@ def trace_paths(sc: scn.SceneArrays, origins, dirs, rng_state, cp_r12,
         is_transp = at_surface & hit.transp & ~hit.miroir
         is_diffuse = at_surface & ~hit.miroir & ~hit.transp
 
+        # === subsurface entry RR (Raytracer.cpp:318-327; draws first) ===
+        is_sub_mat = vec.norm2(hit.ksub) > 1e-8
+        can_ss = is_diffuse & is_sub_mat & ~state.had_ss
+        u_ss, rng_st = prng.next_uniform(state.rng, gate=can_ss)
+        take_ss = can_ss & (u_ss < SS_PROBA)
+        # subsW: 1/p on the SS branch, 1/(1-p) on the surviving surface
+        # branch of an SS-capable material, 1 otherwise
+        subs_w = jnp.where(take_ss, 1.0 / SS_PROBA,
+                           jnp.where(can_ss, 1.0 / (1.0 - SS_PROBA), 1.0)
+                           )[:, None] * jnp.ones((1, 3))
+        if ss_enabled:
+            (ss_ok, ss_p, ss_n, ss_dir, ss_factor, ss_ksub,
+             rng_st) = _subsurface_event(sc, hit, p, nrm, ray_dir, take_ss,
+                                         rng_st)
+            p = jnp.where(ss_ok[:, None], ss_p, p)
+            nrm = jnp.where(ss_ok[:, None], ss_n, nrm)
+            ray_dir = jnp.where(ss_ok[:, None], ss_dir, ray_dir)
+            subs_w = jnp.where(ss_ok[:, None], subs_w * ss_factor, subs_w)
+        else:
+            ss_ok = jnp.zeros_like(take_ss)
+            ss_ksub = hit.ksub
+
         # === NEE to the spherical light (Raytracer.cpp:492-556) ===
-        u1, u2, rng_st = prng.next_uniform2(state.rng, gate=is_diffuse)
+        u1, u2, rng_st = prng.next_uniform2(rng_st, gate=is_diffuse)
         axe_op = vec.normalize(p - center_light)
         dir_al = sampling.random_cos(axe_op, u1, u2)
         point_al = dir_al * radius_light + center_light
@@ -251,10 +344,12 @@ def trace_paths(sc: scn.SceneArrays, origins, dirs, rng_state, cp_r12,
                                        avoid_ghosts=True)
         shadowed = (cos_surf < 0.0) | blocked
         f_brdf = brdf.phong_eval(hit.kd, hit.ks, hit.ne, wi, -ray_dir, nrm)
+        # after a subsurface exit the BRDF is Ksub/pi (Raytracer.cpp:540-544)
+        f_brdf = jnp.where(ss_ok[:, None], ss_ksub / M_PI, f_brdf)
         jac = vec.dot(dir_al, -wi) / jnp.maximum(d_light2, 1e-12)
         proba = vec.dot(axe_op, dir_al) / (M_PI * radius_light * radius_light)
         nee = (light_power * jnp.maximum(cos_surf, 0.0) * jac
-               / jnp.where(proba > 0.0, proba, 1.0))[:, None] * f_brdf
+               / jnp.where(proba > 0.0, proba, 1.0))[:, None] * f_brdf * subs_w
         nee_ok = is_diffuse & ~shadowed & (proba > 0.0) & ~hit.ghost
 
         # === fog event for this segment (Raytracer.cpp:44-192) ===
@@ -264,8 +359,10 @@ def trace_paths(sc: scn.SceneArrays, origins, dirs, rng_state, cp_r12,
             sample_lp = jnp.where(is_diffuse[:, None], point_al,
                                   center_light[None, :])
             fog_gate = alive & hit.hit
+            # fog integrates the INCOMING segment: original ray, not the
+            # subsurface-relocated one (:278 uses currentRay)
             trans_T, fog_dir, fog_org, fog_w, fog_valid, rng_st = _fog_event(
-                sc, state.org, ray_dir, hit.t, sample_lp, rng_st)
+                sc, state.org, state.dirn, hit.t, sample_lp, rng_st)
             trans_T = jnp.where(fog_gate, trans_T, 1.0)
             fog_valid = fog_valid & fog_gate
         else:
@@ -323,18 +420,25 @@ def trace_paths(sc: scn.SceneArrays, origins, dirs, rng_state, cp_r12,
         transp_org = jnp.where(take_reflect[:, None],
                                p + 0.001 * n_t, p - 0.001 * n_t)
 
-        # diffuse indirect: Phong MIS with CP-lattice 2D sample (:569-631)
-        u_choice, rng_st = prng.next_uniform(rng_st, gate=is_diffuse)
+        # diffuse indirect: Phong MIS with CP-lattice 2D sample (:569-631);
+        # subsurface exits continue diffuse-only with pdf = cos/pi and
+        # BRDF = Ksub/pi (:584-587, :603-607); their lobe-choice draw is
+        # skipped (gate), matching the reference's branch
+        u_choice, rng_st = prng.next_uniform(rng_st, gate=is_diffuse & ~ss_ok)
         ind_dir, ind_pdf, _sampled_diff = brdf.phong_sample(
             hit.kd, hit.ks, hit.ne, -ray_dir, nrm,
             u_choice, cp_r12[:, 0], cp_r12[:, 1])
+        ss_dir_cos = sampling.random_cos(nrm, cp_r12[:, 0], cp_r12[:, 1])
+        ind_dir = jnp.where(ss_ok[:, None], ss_dir_cos, ind_dir)
+        ind_pdf = jnp.where(ss_ok, vec.dot(nrm, ss_dir_cos) / M_PI, ind_pdf)
         ind_dir = jax.lax.stop_gradient(ind_dir)
         ind_pdf = jax.lax.stop_gradient(ind_pdf)
         reject = ((vec.dot(ind_dir, nrm) < 0.0)
                   | (vec.dot(ind_dir, vec.reflect(ray_dir, nrm)) < 0.0)
                   | (ind_pdf <= 0.0))
         f_ind = brdf.phong_eval(hit.kd, hit.ks, hit.ne, ind_dir, -ray_dir, nrm)
-        ind_weight = (state.weight * f_ind
+        f_ind = jnp.where(ss_ok[:, None], ss_ksub / M_PI, f_ind)
+        ind_weight = (state.weight * subs_w * f_ind
                       * (vec.dot(nrm, ind_dir)
                          / jnp.where(ind_pdf > 0.0, ind_pdf, 1.0))[:, None])
         ind_org = p + 0.01 * ind_dir
@@ -349,6 +453,7 @@ def trace_paths(sc: scn.SceneArrays, origins, dirs, rng_state, cp_r12,
         new_weight = jnp.where(cont_diffuse[:, None], ind_weight, state.weight)
         # diffuse continuations must not re-see the light (NEE dedup, :626-630)
         new_show_lights = jnp.where(cont_diffuse, False, state.show_lights)
+        new_had_ss = state.had_ss | (ss_ok & cont_diffuse)
 
         if sc.fog_enabled:
             # Wavefront fog branching: the reference pushes BOTH the surface
@@ -366,9 +471,10 @@ def trace_paths(sc: scn.SceneArrays, origins, dirs, rng_state, cp_r12,
                                    w_surface) * rr_mult[:, None]
             new_org = jnp.where(take_fog[:, None], fog_org, new_org)
             new_dir = jnp.where(take_fog[:, None], fog_dir, new_dir)
-            # fog branch keeps show_lights/show_env of the parent (:188)
+            # fog branch keeps show_lights/show_env/had_ss of the parent (:188)
             new_show_lights = jnp.where(take_fog, state.show_lights,
                                         new_show_lights)
+            new_had_ss = jnp.where(take_fog, state.had_ss, new_had_ss)
             next_alive = surf_alive | fog_valid
         else:
             next_alive = surf_alive
@@ -380,6 +486,7 @@ def trace_paths(sc: scn.SceneArrays, origins, dirs, rng_state, cp_r12,
             color=color,
             alive=next_alive,
             show_lights=new_show_lights,
+            had_ss=new_had_ss,
             rng=rng_st,
         )
 

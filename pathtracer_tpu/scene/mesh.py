@@ -68,7 +68,8 @@ BRUTE_FORCE_MAX_TRIS = 8192   # below this, dense sweep beats traversal on TPU
 def upload_mesh(md: obj_io.MeshData, obj_row: int,
                 interp_normals: bool = True,
                 use_brute: Optional[bool] = None,
-                load_textures: bool = True) -> MeshArrays:
+                load_textures: bool = True,
+                default_ksub=(0.0, 0.0, 0.0)) -> MeshArrays:
     """Build BVH + device arrays from host MeshData (TriMesh::init tail,
     TriangleMesh.cpp:784-841)."""
     from ..models import texture as tex_mod
@@ -155,7 +156,8 @@ def upload_mesh(md: obj_io.MeshData, obj_row: int,
         vc0=vc0, vc1=vc1, vc2=vc2,
         g_kd=jnp.asarray(g_kd), g_ks=jnp.asarray(g_ks),
         g_ne=jnp.asarray(g_ne),
-        g_ksub=jnp.zeros((g, 3), jnp.float32),
+        g_ksub=jnp.broadcast_to(
+            jnp.asarray(default_ksub, jnp.float32), (g, 3)),
         g_transp=jnp.zeros((g,), bool),   # transp-mask default 1 -> opaque
         g_refr=jnp.full((g,), 1.3, jnp.float32),
         obj_row=int(obj_row), max_leaf=int(fb.max_leaf),

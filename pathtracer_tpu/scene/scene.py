@@ -92,6 +92,8 @@ class SceneArrays:
     fog_enabled: bool = flax.struct.field(pytree_node=False, default=False)
     fog_type: int = flax.struct.field(pytree_node=False, default=0)
     fog_phase_type: int = flax.struct.field(pytree_node=False, default=0)
+    # subsurface scattering compiled in? (any object with Ksub > 0)
+    ss_enabled: bool = flax.struct.field(pytree_node=False, default=False)
     # triangle meshes, each bound to an object row (empty tuple if none)
     meshes: tuple = ()
 
@@ -468,6 +470,156 @@ def traverse_bary_cleanup(mh):
     return traverse.bary_cleanup(mh.alpha, mh.beta, mh.gamma)
 
 
+class ProbeHit(NamedTuple):
+    """Result of the restricted reservoir probe (subsurface exit point)."""
+
+    found: jnp.ndarray    # (N,) bool
+    t: jnp.ndarray        # (N,)
+    p: jnp.ndarray        # (N,3) world
+    n: jnp.ndarray        # (N,3) unit shading normal (world)
+    ksub: jnp.ndarray     # (N,3) material at the exit point
+
+
+def reservoir_same_object(sc: SceneArrays, origins, dirs, tmax, obj_id, u):
+    """Uniformly-random intersection with the SAME object along [0, tmax].
+
+    TPU-native counterpart of Scene::get_random_intersection restricted to
+    one object (reference: Geometry.cpp:339-472 with sphere_id != -1;
+    per-object reservoir variants Geometry.h:994-1094, :1159-1183,
+    TriangleMesh.cpp:1321-1428).  The reference's sequential reservoir
+    (one engine draw per candidate) is replaced by count-then-pick with a
+    single uniform — identical distribution, vectorizable draw count.
+
+    Analytic objects contribute their (<=2) quadric roots; brute-force
+    meshes contribute all triangle hits in range (two chunked passes).
+    """
+    from ..ops import traverse
+
+    n = origins.shape[0]
+    t_all, (lox, loy, loz), (ldx, ldy, ldz) = _candidate_ts(sc, origins, dirs)
+    del t_all  # we need both roots, recompute below
+
+    # both sphere roots per (N,O)
+    ocx = lox - sc.center[:, 0]
+    ocy = loy - sc.center[:, 1]
+    ocz = loz - sc.center[:, 2]
+    b = ldx * ocx + ldy * ocy + ldz * ocz
+    a = ldx * ldx + ldy * ldy + ldz * ldz
+    c = ocx * ocx + ocy * ocy + ocz * ocz - sc.radius * sc.radius
+    delta = b * b - a * c
+    sq = jnp.sqrt(jnp.maximum(delta, 0.0))
+    inva = 1.0 / a
+    s_t1 = (-b - sq) * inva
+    s_t2 = (-b + sq) * inva
+    ok_sph = delta >= 0.0
+
+    nx, ny, nz = sc.normal[:, 0], sc.normal[:, 1], sc.normal[:, 2]
+    ddot = ldx * nx + ldy * ny + ldz * nz
+    safe = jnp.abs(ddot) >= 1e-9
+    p_t = (((sc.center[:, 0] - lox) * nx + (sc.center[:, 1] - loy) * ny
+            + (sc.center[:, 2] - loz) * nz) / jnp.where(safe, ddot, 1.0))
+
+    is_sphere = sc.obj_type == SPHERE
+    is_plane = sc.obj_type == PLANE
+    row_sel = jnp.arange(sc.num_objects)[None, :] == obj_id[:, None]
+
+    # candidates restricted to the hit object, gathered per lane
+    def gather(m):
+        return jnp.sum(jnp.where(row_sel, m, 0.0), axis=1)
+
+    def gatherb(m):
+        return jnp.any(row_sel & m, axis=1)
+
+    tmax_ = tmax
+    c1_t = gather(jnp.where(is_sphere, s_t1, p_t))
+    c2_t = gather(jnp.where(is_sphere, s_t2, 0.0))
+    c1_ok = gatherb((is_sphere & ok_sph) | (is_plane & safe))
+    c2_ok = gatherb(is_sphere & ok_sph)
+    c1_ok = c1_ok & (c1_t >= 0.0) & (c1_t < tmax_)
+    c2_ok = c2_ok & (c2_t >= 0.0) & (c2_t < tmax_)
+
+    count = c1_ok.astype(jnp.int32) + c2_ok.astype(jnp.int32)
+    pick2 = (jnp.floor(u * count.astype(jnp.float32)).astype(jnp.int32)
+             >= c1_ok.astype(jnp.int32))
+    take2 = c2_ok & (pick2 | ~c1_ok)
+    t_sel = jnp.where(take2, c2_t, c1_t)
+    found = count > 0
+
+    # local hit point + normal of the selected analytic candidate
+    lo = jnp.stack([gather(lox), gather(loy), gather(loz)], axis=-1)
+    ld = jnp.stack([gather(ldx), gather(ldy), gather(ldz)], axis=-1)
+    p_l = lo + t_sel[:, None] * ld
+    cen = sc.center[obj_id]
+    n_sphere = p_l - cen
+    n_l = jnp.where((sc.obj_type[obj_id] == SPHERE)[:, None], n_sphere,
+                    sc.normal[obj_id])
+    n_l = jnp.where(sc.flip_normals[obj_id, None], -n_l, n_l)
+
+    # meshes: uniform pick among triangle hits in range (brute meshes only)
+    for mesh in sc.meshes:
+        if not mesh.use_brute:
+            continue  # BVH-mesh subsurface lands with the Pallas kernel
+        row = mesh.obj_row
+        org_m, dir_m = _local_ray_row(sc, row, origins, dirs)
+        mcount = jnp.zeros((n,), jnp.int32)
+        chunk = 2048
+        t_total = mesh.soup.ax.shape[0]
+        for start in range(0, t_total, chunk):
+            sl = slice(start, min(start + chunk, t_total))
+            tt, _, _, _ = traverse._tri_test_block(mesh.soup, sl, org_m, dir_m)
+            mcount = mcount + jnp.sum(
+                (tt >= 0.0) & (tt < tmax_[:, None]), axis=-1).astype(jnp.int32)
+        lane_on_mesh = obj_id == row
+        target = jnp.floor(u * mcount.astype(jnp.float32)).astype(jnp.int32)
+        # second pass: select the target-th valid hit
+        runner = jnp.zeros((n,), jnp.int32)
+        mt = jnp.zeros((n,), jnp.float32)
+        mtri = jnp.zeros((n,), jnp.int32)
+        for start in range(0, t_total, chunk):
+            sl = slice(start, min(start + chunk, t_total))
+            tt, _, _, _ = traverse._tri_test_block(mesh.soup, sl, org_m, dir_m)
+            valid = (tt >= 0.0) & (tt < tmax_[:, None])
+            idx_in = jnp.cumsum(valid.astype(jnp.int32), axis=-1) - 1 + runner[:, None]
+            want = valid & (idx_in == target[:, None])
+            anyw = jnp.any(want, axis=-1)
+            j = jnp.argmax(want, axis=-1)
+            mt = jnp.where(anyw, jnp.take_along_axis(tt, j[:, None], -1)[:, 0],
+                           mt)
+            mtri = jnp.where(anyw, j.astype(jnp.int32) + start, mtri)
+            runner = runner + jnp.sum(valid.astype(jnp.int32), axis=-1)
+        m_found = lane_on_mesh & (mcount > 0)
+        # interpolated normal at the mesh exit
+        t3, a3, b3, g3 = traverse._tri_test_lane(mesh.soup, mtri, org_m, dir_m)
+        del t3
+        n_m = (mesh.n0[mtri] * a3[:, None] + mesh.n1[mtri] * b3[:, None]
+               + mesh.n2[mtri] * g3[:, None])
+        found = jnp.where(lane_on_mesh, m_found, found)
+        t_sel = jnp.where(m_found, mt, t_sel)
+        p_l = jnp.where(m_found[:, None], org_m + mt[:, None] * dir_m, p_l)
+        n_l = jnp.where(m_found[:, None], n_m, n_l)
+
+    # back to world
+    if sc.identity_transform:
+        tr3 = sc.trans[obj_id]
+        p_w = p_l + jnp.stack([tr3[:, 3], tr3[:, 7], tr3[:, 11]], axis=-1)
+        n_w = vec.normalize(n_l)
+    else:
+        tm = sc.trans[obj_id]
+        p_w = jnp.stack([
+            tm[:, 0] * p_l[:, 0] + tm[:, 1] * p_l[:, 1] + tm[:, 2] * p_l[:, 2] + tm[:, 3],
+            tm[:, 4] * p_l[:, 0] + tm[:, 5] * p_l[:, 1] + tm[:, 6] * p_l[:, 2] + tm[:, 7],
+            tm[:, 8] * p_l[:, 0] + tm[:, 9] * p_l[:, 1] + tm[:, 10] * p_l[:, 2] + tm[:, 11],
+        ], axis=-1)
+        rm = sc.rot[obj_id]
+        n_w = vec.normalize(jnp.stack([
+            rm[:, 0] * n_l[:, 0] + rm[:, 1] * n_l[:, 1] + rm[:, 2] * n_l[:, 2],
+            rm[:, 3] * n_l[:, 0] + rm[:, 4] * n_l[:, 1] + rm[:, 5] * n_l[:, 2],
+            rm[:, 6] * n_l[:, 0] + rm[:, 7] * n_l[:, 1] + rm[:, 8] * n_l[:, 2],
+        ], axis=-1))
+
+    return ProbeHit(found=found, t=t_sel, p=p_w, n=n_w, ksub=sc.ksub[obj_id])
+
+
 def intersect_shadow(sc: SceneArrays, origins, dirs, dist_light,
                      avoid_ghosts=True):
     """Any-hit within 0.999*dist_light (Geometry.cpp:691-744). Returns bool (N,)."""
@@ -592,7 +744,9 @@ def build_scene(objects, light_intensity, envmap_intensity=1.0, envmap=None,
     from . import mesh as mesh_mod
     meshes = tuple(
         mesh_mod.upload_mesh(o.mesh_data, obj_row=i,
-                             interp_normals=o.interp_normals)
+                             interp_normals=o.interp_normals,
+                             default_ksub=np.broadcast_to(
+                                 np.asarray(o.ksub, np.float32), (3,)))
         for i, o in enumerate(objects) if o.obj_type == MESH)
 
     # fog block (reference .scn fog params, Raytracer.cpp:1134-1139)
@@ -613,6 +767,10 @@ def build_scene(objects, light_intensity, envmap_intensity=1.0, envmap=None,
         fog_enabled=fog_density > 1e-8,
         fog_type=int(fog.get('type', 0)),
         fog_phase_type=int(fog.get('phase_type', 0)),
+        ss_enabled=any(
+            float(np.sum(np.square(np.broadcast_to(
+                np.asarray(o.ksub, np.float32), (3,))))) > 1e-8
+            for o in objects),
         obj_type=jnp.asarray([o.obj_type for o in objects], jnp.int32),
         center=jnp.asarray(stack('center', dim3=True)),
         radius=jnp.asarray([float(o.radius) for o in objects], jnp.float32),

@@ -76,7 +76,8 @@ class Obj:
     def __init__(self, kind, center=None, radius=None, point=None, normal=None,
                  flip_normals=False, kd=(1, 1, 1), ks=(0, 0, 0), ne=(1, 1, 1),
                  transp=False, refr_index=1.3, miroir=False,
-                 translation=(0, 0, 0), tri_verts=None, tri_normals=None):
+                 translation=(0, 0, 0), tri_verts=None, tri_normals=None,
+                 ksub=(0, 0, 0)):
         self.kind = kind
         self.center = (np.asarray(center if center is not None else point,
                                   np.float32)
@@ -93,6 +94,59 @@ class Obj:
         self.translation = np.asarray(translation, np.float32)
         self.tri_verts = tri_verts        # (T,3,3) for kind == 'mesh'
         self.tri_normals = tri_normals    # (T,3,3) per-corner shading normals
+        self.ksub = np.asarray(ksub, np.float32)
+
+    def all_intersections(self, org, dirn, tmax):
+        """All hits with this object in [0, tmax): list of (t, normal)."""
+        o = org - self.translation
+        out = []
+        if self.kind == 'sphere':
+            oc = o - self.center
+            b = np.dot(dirn, oc)
+            a = np.dot(dirn, dirn)
+            c = np.dot(oc, oc) - self.radius * self.radius
+            delta = b * b - a * c
+            if delta >= 0:
+                sq = math.sqrt(delta)
+                for t in ((-b - sq) / a, (-b + sq) / a):
+                    if 0 <= t < tmax:
+                        n = (o + t * dirn) - self.center
+                        out.append((t, -n if self.flip_normals else n))
+        elif self.kind == 'plane':
+            ddot = np.dot(dirn, self.normal)
+            if abs(ddot) >= 1e-9:
+                t = np.dot(self.center - o, self.normal) / ddot
+                if 0 <= t < tmax:
+                    n = -self.normal if self.flip_normals else self.normal
+                    out.append((t, n))
+        else:
+            for k in range(len(self.tri_verts)):
+                a3, b3, c3 = self.tri_verts[k]
+                u = b3 - a3
+                v = c3 - a3
+                nrm = np.cross(u, v)
+                dn = np.dot(dirn, nrm)
+                t = np.dot(a3 - o, nrm) / dn
+                if not (0 <= t < tmax) or np.isnan(t):
+                    continue
+                pp = o + t * dirn
+                w = pp - a3
+                m11 = np.dot(u, u); m22 = np.dot(v, v); m12 = np.dot(u, v)
+                invdet = 1.0 / (m11 * m22 - m12 * m12)
+                b11 = np.dot(w, u); b21 = np.dot(w, v)
+                beta = (b11 * m22 - b21 * m12) * invdet
+                gamma = (b21 * m11 - b11 * m12) * invdet
+                alpha = 1 - beta - gamma
+                if beta < 0 or gamma < 0 or alpha < 0:
+                    continue
+                if self.tri_normals is not None:
+                    sn = (self.tri_normals[k, 0] * alpha
+                          + self.tri_normals[k, 1] * beta
+                          + self.tri_normals[k, 2] * gamma)
+                else:
+                    sn = nrm
+                out.append((t, -sn if self.flip_normals else sn))
+        return out
 
     def intersect(self, org, dirn):
         """Returns (t, normal_localframe) or None.  Translation-only
@@ -302,6 +356,57 @@ def fog_event(scene, org, dirn, seg_t, sample_lp, eng):
     return T, (random_p, random_dir, w)
 
 
+SS_SIGMA = 1.5
+SS_DISK_R = (12.46 ** 0.5) * 1.5
+SS_PROBA = 0.6
+
+
+def subsurface_event(scene, obj, oid, p, n, eng):
+    """Twin of integrator._subsurface_event (same canonical draws)."""
+    u_r = eng.next_float()
+    u_ang = eng.next_float()
+    sigma = SS_SIGMA
+    disk_r = SS_DISK_R
+    integ = 1.0 - math.exp(-disk_r ** 2 / (2 * sigma ** 2))
+    rand_r = sigma * math.sqrt(-2 * math.log(max(1 - u_r * integ, 1e-30)))
+    angle = u_ang * 2 * math.pi
+    gx, gy, gz = (rand_r * math.sin(angle), rand_r * math.cos(angle), rand_r)
+    gaussval = (1 / (sigma * sigma * 2 * math.pi)
+                * math.exp(-(gz * gz) / (2 * sigma * sigma)))
+    pdfgauss = gaussval / integ
+    tg = get_tangent(n)
+    tg2 = np.cross(n, tg)
+    pt_above = p + gx * tg + gy * tg2 + n * disk_r
+    u_ax = eng.next_float()
+    h = math.sqrt(max(disk_r ** 2 - gz * gz, 0.0))
+    subs_org = pt_above + (disk_r - h) * (-n)
+    if u_ax < 0.5:
+        w_axis, tmax_p, axis = 0.5, 2 * h, -n
+    else:
+        w_axis = 0.25
+        tmax_p = 2 * gz
+        axis = tg if u_ax < 0.75 else tg2
+        u_off = eng.next_float()
+        if u_off < 0.5:
+            subs_org = subs_org - h * n
+    u_res = eng.next_float()
+    cands = obj.all_intersections(subs_org, axis, tmax_p)
+    if not cands:
+        return None
+    j = min(int(u_res * len(cands)), len(cands) - 1)
+    t_sel, n_sel = cands[j]
+    n_sel = normalize(n_sel)
+    p2 = subs_org + t_sel * axis
+    chris = math.exp(-float(np.dot(p - p2, p - p2)) / (2 * sigma * sigma))
+    sumpdfs = ((0.5 * np.dot(n_sel, n)) ** 2 + (0.25 * np.dot(n_sel, tg)) ** 2
+               + (0.25 * np.dot(n_sel, tg2)) ** 2)
+    pdfdisk = w_axis * abs(np.dot(axis, n_sel)) / max(sumpdfs, 1e-20)
+    mult = 2.0 if u_ax < 0.5 else 4.0
+    factor = (pdfdisk / max(pdfgauss, 0.05) * chris * mult) * (obj.ksub / np.pi)
+    new_dir = normalize(p2 - p)
+    return p2 + 0.005 * n_sel, n_sel, new_dir, factor
+
+
 def generate_ray(cam, i, j, dx, dy, dxa, dya, W, H):
     """Mirror of Camera::generateDirection (Vector.h:792-825), float math."""
     pos, direction, up, fov, focus = (cam['position'], cam['direction'],
@@ -335,6 +440,7 @@ def trace_path(scene: CPUScene, cam, i, j, key, cp_shift, lattice_pt,
     weight = np.ones(3, np.float32)
     show_lights = True
     show_env = True
+    had_ss = False
 
     for _depth in range(nb_bounces):
         if np.dot(weight, weight) < 1e-4:
@@ -348,6 +454,25 @@ def trace_path(scene: CPUScene, cam, i, j, key, cp_shift, lattice_pt,
         is_diffuse = oid >= 2 and not obj.miroir and not obj.transp
         is_transp = oid >= 2 and obj.transp and not obj.miroir
         is_mirror = oid >= 2 and obj.miroir
+
+        # --- subsurface RR + event (canonical order #0) ---
+        subs_w = np.ones(3, np.float32)
+        ss_now = False
+        if is_diffuse and np.dot(obj.ksub, obj.ksub) > 1e-8 and not had_ss:
+            u_ss = eng.next_float()
+            if u_ss < SS_PROBA:
+                subs_w = np.full(3, 1.0 / SS_PROBA, np.float32)
+                ev = subsurface_event(scene, obj, oid, p, n, eng)
+                if ev is not None:
+                    p2, n2, ndir, factor = ev
+                    subs_w = subs_w * factor
+                    p, n = p2, n2
+                    dirn_shading = ndir
+                    ss_now = True
+            else:
+                subs_w = np.full(3, 1.0 / (1.0 - SS_PROBA), np.float32)
+        if not ss_now:
+            dirn_shading = dirn
 
         # --- NEE draws + geometry (diffuse only; canonical order #1) ---
         nee_contrib = np.zeros(3, np.float32)
@@ -368,14 +493,18 @@ def trace_path(scene: CPUScene, cam, i, j, key, cp_shift, lattice_pt,
                 shadowed = scene.intersection_shadow(p + 0.01 * wi, wi,
                                                      math.sqrt(d2) - 0.01)
             if not shadowed:
-                f = phong_eval(obj.kd, obj.ks, obj.ne, wi, -dirn, n)
+                if ss_now:
+                    f = obj.ksub / np.pi
+                else:
+                    f = phong_eval(obj.kd, obj.ks, obj.ne, wi,
+                                   -dirn_shading, n)
                 jac = np.dot(dir_al, -wi) / d2
                 proba = np.dot(axe_op, dir_al) / (np.pi
                                                   * scene.radius_light ** 2)
                 if proba > 0:
-                    nee_contrib = (weight * (scene.light_power
-                                             * max(0.0, cos_surf) * jac
-                                             / proba) * f)
+                    nee_contrib = (weight * subs_w * (scene.light_power
+                                                      * max(0.0, cos_surf)
+                                                      * jac / proba) * f)
 
         # --- fog event (canonical order #2: 4 draws on any hit) ---
         T = 1.0
@@ -396,7 +525,7 @@ def trace_path(scene: CPUScene, cam, i, j, key, cp_shift, lattice_pt,
         # --- surface continuation ---
         surf = None  # (org, dir, weight, show_lights)
         if is_mirror:
-            surf = (p + 0.001 * n, reflect(dirn, n), weight, show_lights)
+            surf = (p + 0.001 * n, reflect(dirn, n), weight, show_lights, had_ss)
         elif is_transp:
             cos_in = np.dot(dirn, n)
             if cos_in > 0:
@@ -416,29 +545,35 @@ def trace_path(scene: CPUScene, cam, i, j, key, cp_shift, lattice_pt,
                     fres = r0 + (1 - r0) * max(0.0, 1.0 + cos_in) ** 5
                 if u < fres:
                     surf = (p + 0.001 * n_t, reflect(dirn, n), weight,
-                            show_lights)
+                            show_lights, had_ss)
                 else:
-                    surf = (p - 0.001 * n_t, refr, weight, show_lights)
+                    surf = (p - 0.001 * n_t, refr, weight, show_lights, had_ss)
             else:
-                surf = (p + 0.001 * n_t, reflect(dirn, n), weight, show_lights)
+                surf = (p + 0.001 * n_t, reflect(dirn, n), weight, show_lights, had_ss)
         elif is_diffuse:
-            u_choice = eng.next_float()   # canonical order #4
-            avg_ne = float(np.mean(obj.ne))
-            pdiff = 1.0 - float(np.mean(obj.ks))
-            r_mirror = reflect(dirn, n)
-            if u_choice < pdiff:
+            r_mirror = reflect(dirn_shading, n)
+            if ss_now:
                 d_ind = random_cos(n, r1_cp, r2_cp)
+                pdf = np.dot(n, d_ind) / np.pi
+                f_ind = obj.ksub / np.pi
             else:
-                d_ind = random_phong(r_mirror, avg_ne, r1_cp, r2_cp)
-            proba_phong = ((avg_ne + 1.0) / (2.0 * np.pi)
-                           * max(0.0, np.dot(r_mirror, d_ind)) ** avg_ne)
-            pdf = (pdiff * np.dot(n, d_ind) / np.pi
-                   + (1.0 - pdiff) * proba_phong)
+                u_choice = eng.next_float()   # canonical order #4
+                avg_ne = float(np.mean(obj.ne))
+                pdiff = 1.0 - float(np.mean(obj.ks))
+                if u_choice < pdiff:
+                    d_ind = random_cos(n, r1_cp, r2_cp)
+                else:
+                    d_ind = random_phong(r_mirror, avg_ne, r1_cp, r2_cp)
+                proba_phong = ((avg_ne + 1.0) / (2.0 * np.pi)
+                               * max(0.0, np.dot(r_mirror, d_ind)) ** avg_ne)
+                pdf = (pdiff * np.dot(n, d_ind) / np.pi
+                       + (1.0 - pdiff) * proba_phong)
+                f_ind = phong_eval(obj.kd, obj.ks, obj.ne, d_ind,
+                                   -dirn_shading, n)
             if not (np.dot(d_ind, n) < 0 or np.dot(d_ind, r_mirror) < 0
                     or pdf <= 0):
-                f_ind = phong_eval(obj.kd, obj.ks, obj.ne, d_ind, -dirn, n)
-                w_ind = weight * f_ind * (np.dot(n, d_ind) / pdf)
-                surf = (p + 0.01 * d_ind, d_ind, w_ind, False)
+                w_ind = weight * subs_w * f_ind * (np.dot(n, d_ind) / pdf)
+                surf = (p + 0.01 * d_ind, d_ind, w_ind, False, had_ss or ss_now)
 
         # --- RR-merge surface vs fog branches (canonical order #5) ---
         if scene.fog_enabled:
@@ -454,14 +589,14 @@ def trace_path(scene: CPUScene, cam, i, j, key, cp_shift, lattice_pt,
                 # show_lights/show_env preserved on the fog branch
             elif surf is not None:
                 mult = 2.0 if both else 1.0
-                org, dirn, w_new, show_lights = surf
+                org, dirn, w_new, show_lights, had_ss = surf
                 weight = w_new * T * mult
             else:
                 break
         else:
             if surf is None:
                 break
-            org, dirn, weight, show_lights = surf
+            org, dirn, weight, show_lights, had_ss = surf
 
     return color, dx, dy
 
