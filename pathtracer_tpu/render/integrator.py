@@ -38,7 +38,18 @@ import jax.numpy as jnp
 from ..core import rng as prng
 from ..core import sampling, vec
 from ..models import brdf
+from ..models import merl as merl_mod
 from ..scene import scene as scn
+
+
+def _eval_brdf(sc, hit, wi, wo, nrm):
+    """BRDF dispatch: Phong everywhere, overridden per measured table
+    (the reference's per-Object virtual brdf->eval, Raytracer.cpp:543)."""
+    f = brdf.phong_eval(hit.kd, hit.ks, hit.ne, wi, wo, nrm)
+    for k, table in enumerate(sc.measured_brdfs):
+        mask = (hit.brdf_type == k + 1)[:, None]
+        f = jnp.where(mask, merl_mod.measured_eval(table, wi, wo, nrm), f)
+    return f
 
 M_PI = np.float32(np.pi)
 
@@ -343,7 +354,7 @@ def trace_paths(sc: scn.SceneArrays, origins, dirs, rng_state, cp_r12,
         blocked = scn.intersect_shadow(sc, shadow_org, wi, dist,
                                        avoid_ghosts=True)
         shadowed = (cos_surf < 0.0) | blocked
-        f_brdf = brdf.phong_eval(hit.kd, hit.ks, hit.ne, wi, -ray_dir, nrm)
+        f_brdf = _eval_brdf(sc, hit, wi, -ray_dir, nrm)
         # after a subsurface exit the BRDF is Ksub/pi (Raytracer.cpp:540-544)
         f_brdf = jnp.where(ss_ok[:, None], ss_ksub / M_PI, f_brdf)
         jac = vec.dot(dir_al, -wi) / jnp.maximum(d_light2, 1e-12)
@@ -424,19 +435,24 @@ def trace_paths(sc: scn.SceneArrays, origins, dirs, rng_state, cp_r12,
         # subsurface exits continue diffuse-only with pdf = cos/pi and
         # BRDF = Ksub/pi (:584-587, :603-607); their lobe-choice draw is
         # skipped (gate), matching the reference's branch
-        u_choice, rng_st = prng.next_uniform(rng_st, gate=is_diffuse & ~ss_ok)
+        # measured BRDFs sample pure cosine (BRDF.h:126-131, :198-203) and
+        # draw no lobe-choice uniform — gate it to true Phong lanes
+        is_measured = hit.brdf_type > 0
+        u_choice, rng_st = prng.next_uniform(
+            rng_st, gate=is_diffuse & ~ss_ok & ~is_measured)
         ind_dir, ind_pdf, _sampled_diff = brdf.phong_sample(
             hit.kd, hit.ks, hit.ne, -ray_dir, nrm,
             u_choice, cp_r12[:, 0], cp_r12[:, 1])
-        ss_dir_cos = sampling.random_cos(nrm, cp_r12[:, 0], cp_r12[:, 1])
-        ind_dir = jnp.where(ss_ok[:, None], ss_dir_cos, ind_dir)
-        ind_pdf = jnp.where(ss_ok, vec.dot(nrm, ss_dir_cos) / M_PI, ind_pdf)
+        dir_cos = sampling.random_cos(nrm, cp_r12[:, 0], cp_r12[:, 1])
+        use_cos = ss_ok | is_measured
+        ind_dir = jnp.where(use_cos[:, None], dir_cos, ind_dir)
+        ind_pdf = jnp.where(use_cos, vec.dot(nrm, dir_cos) / M_PI, ind_pdf)
         ind_dir = jax.lax.stop_gradient(ind_dir)
         ind_pdf = jax.lax.stop_gradient(ind_pdf)
         reject = ((vec.dot(ind_dir, nrm) < 0.0)
                   | (vec.dot(ind_dir, vec.reflect(ray_dir, nrm)) < 0.0)
                   | (ind_pdf <= 0.0))
-        f_ind = brdf.phong_eval(hit.kd, hit.ks, hit.ne, ind_dir, -ray_dir, nrm)
+        f_ind = _eval_brdf(sc, hit, ind_dir, -ray_dir, nrm)
         f_ind = jnp.where(ss_ok[:, None], ss_ksub / M_PI, f_ind)
         ind_weight = (state.weight * subs_w * f_ind
                       * (vec.dot(nrm, ind_dir)

@@ -94,6 +94,9 @@ class SceneArrays:
     fog_phase_type: int = flax.struct.field(pytree_node=False, default=0)
     # subsurface scattering compiled in? (any object with Ksub > 0)
     ss_enabled: bool = flax.struct.field(pytree_node=False, default=False)
+    # measured BRDFs: per-object selector (0 = Phong, k+1 = table k) + tables
+    brdf_type: jnp.ndarray = None          # (O,) int32
+    measured_brdfs: tuple = ()
     # triangle meshes, each bound to an object row (empty tuple if none)
     meshes: tuple = ()
 
@@ -124,6 +127,7 @@ class Hit(NamedTuple):
     refr_index: jnp.ndarray  # (N,)
     miroir: jnp.ndarray     # (N,) bool
     ghost: jnp.ndarray      # (N,) bool
+    brdf_type: jnp.ndarray  # (N,) int32: 0=Phong, k+1=measured table k
 
 
 def _local_ray(sc: SceneArrays, origins, dirs):
@@ -280,6 +284,7 @@ def intersect(sc: SceneArrays, origins, dirs, avoid_ghosts=False) -> Hit:
         ksub=sc.ksub[obj_id], transp=sc.transp[obj_id] & hit,
         refr_index=sc.refr_index[obj_id],
         miroir=sc.miroir[obj_id] & hit, ghost=sc.ghost[obj_id] & hit,
+        brdf_type=sc.brdf_type[obj_id],
     )
     for mesh in sc.meshes:
         out = _merge_mesh_hit(sc, mesh, origins, dirs, out, avoid_ghosts)
@@ -462,6 +467,7 @@ def _merge_mesh_hit(sc: SceneArrays, mesh, origins, dirs, cur: Hit,
         refr_index=jnp.where(win, mesh.g_refr[grp], cur.refr_index),
         miroir=jnp.where(win, sc.miroir[row], cur.miroir),
         ghost=jnp.where(win, sc.ghost[row], cur.ghost),
+        brdf_type=jnp.where(win, sc.brdf_type[row], cur.brdf_type),
     )
 
 
@@ -676,6 +682,7 @@ class ObjectSpec:
     rotation_center: Any = None     # defaults to sphere center / (0,0,0)
     mesh_data: Any = None           # host MeshData for obj_type == MESH
     interp_normals: bool = True
+    measured_brdf: Any = None       # models.merl.MeasuredBRDF or None
 
 
 def sphere(center, radius, **kw) -> ObjectSpec:
@@ -749,6 +756,21 @@ def build_scene(objects, light_intensity, envmap_intensity=1.0, envmap=None,
                                  np.asarray(o.ksub, np.float32), (3,)))
         for i, o in enumerate(objects) if o.obj_type == MESH)
 
+    # measured-BRDF assignment: dedupe tables by identity
+    measured_tables = []
+    brdf_type_arr = []
+    for o in objects:
+        if o.measured_brdf is None:
+            brdf_type_arr.append(0)
+        else:
+            try:
+                k = next(i for i, t in enumerate(measured_tables)
+                         if t is o.measured_brdf)
+            except StopIteration:
+                k = len(measured_tables)
+                measured_tables.append(o.measured_brdf)
+            brdf_type_arr.append(k + 1)
+
     # fog block (reference .scn fog params, Raytracer.cpp:1134-1139)
     fog = fog or {}
     fog_density = float(fog.get('density', 0.0))
@@ -771,6 +793,8 @@ def build_scene(objects, light_intensity, envmap_intensity=1.0, envmap=None,
             float(np.sum(np.square(np.broadcast_to(
                 np.asarray(o.ksub, np.float32), (3,))))) > 1e-8
             for o in objects),
+        brdf_type=jnp.asarray(brdf_type_arr, jnp.int32),
+        measured_brdfs=tuple(measured_tables),
         obj_type=jnp.asarray([o.obj_type for o in objects], jnp.int32),
         center=jnp.asarray(stack('center', dim3=True)),
         radius=jnp.asarray([float(o.radius) for o in objects], jnp.float32),

@@ -1,0 +1,147 @@
+"""Measured BRDFs: MERL table lookup + Titopo interpolation + render path."""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+import pathtracer_tpu as pt
+from pathtracer_tpu.core import rng_host
+from pathtracer_tpu.models import merl as merl_mod
+from pathtracer_tpu.render import renderer as rnd
+from pathtracer_tpu.scene import scene as scn
+
+
+def _write_merl(path, fill=None):
+    n = merl_mod.RES_TH * merl_mod.RES_TD * merl_mod.RES_PD // 2
+    with open(path, 'wb') as f:
+        np.asarray([merl_mod.RES_TH, merl_mod.RES_TD, merl_mod.RES_PD // 2],
+                   np.int32).tofile(f)
+        if fill is None:
+            data = np.arange(3 * n, dtype=np.float64) % 1000
+        else:
+            data = np.full(3 * n, fill, np.float64)
+        data.tofile(f)
+    return n
+
+
+def _scalar_merl_index(theta_in, fi_in, theta_out, fi_out):
+    """Independent python port of MERLBRDFRead.cpp:76-197 for cross-check."""
+    def rot(v, axis, ang):
+        c, s = math.cos(ang), math.sin(ang)
+        vv = np.asarray(v, np.float64)
+        ax = np.asarray(axis, np.float64)
+        return (vv * c + ax * np.dot(ax, vv) * (1 - c)
+                + np.cross(ax, vv) * s)
+
+    vin = np.array([math.sin(theta_in) * math.cos(fi_in),
+                    math.sin(theta_in) * math.sin(fi_in),
+                    math.cos(theta_in)])
+    vout = np.array([math.sin(theta_out) * math.cos(fi_out),
+                     math.sin(theta_out) * math.sin(fi_out),
+                     math.cos(theta_out)])
+    half = (vin + vout) / 2
+    half /= np.linalg.norm(half)
+    th = math.acos(min(1, max(-1, half[2])))
+    fh = math.atan2(half[1], half[0])
+    diff = rot(rot(vin, [0, 0, 1], -fh), [0, 1, 0], -th)
+    td = math.acos(min(1, max(-1, diff[2])))
+    fd = math.atan2(diff[1], diff[0])
+    if fd < 0:
+        fd += math.pi
+    ith = 0
+    if th > 0:
+        ith = int(math.sqrt(th / (math.pi / 2) * 90 * 90))
+    ith = min(ith, 89)
+    itd = min(int(td / (math.pi / 2) * 90), 89)
+    ipd = min(int(fd / math.pi * 180), 179)
+    return ipd + itd * 180 + ith * 180 * 90
+
+
+def test_merl_index_matches_scalar_port(tmp_path):
+    p = str(tmp_path / 'm.binary')
+    n = _write_merl(p)
+    table = merl_mod.load_merl(p)
+    rng = np.random.default_rng(0)
+    nrm = jnp.asarray(np.tile([[0.0, 0.0, 1.0]], (32, 1)), jnp.float32)
+    # the reference frame for n=+z: tangent1=(0,-1,0)... use _local_frame's
+    # own convention by feeding world=local directions through n=+z is NOT
+    # identity; instead compare through angles computed in the SAME frame.
+    wi_l = rng.normal(size=(32, 3))
+    wo_l = rng.normal(size=(32, 3))
+    wi_l[:, 2] = np.abs(wi_l[:, 2]) + 0.1
+    wo_l[:, 2] = np.abs(wo_l[:, 2]) + 0.1
+    wi_l /= np.linalg.norm(wi_l, axis=1, keepdims=True)
+    wo_l /= np.linalg.norm(wo_l, axis=1, keepdims=True)
+
+    # drive merl_eval with n = +z and wi/wo already in some world frame;
+    # compute the expected index from the SAME local projections that
+    # _local_frame produces
+    from pathtracer_tpu.core import vec as vec_mod
+    t1 = np.asarray(vec_mod.get_tangent(nrm))[0]
+    t2 = np.cross(t1, [0.0, 0.0, 1.0])
+    got = np.asarray(merl_mod.merl_eval(
+        table, jnp.asarray(wi_l, jnp.float32), jnp.asarray(wo_l, jnp.float32),
+        nrm))
+    data = np.asarray(table.data)
+    for k in range(32):
+        wil = np.array([np.dot(wi_l[k], t1), np.dot(wi_l[k], t2), wi_l[k][2]])
+        wol = np.array([np.dot(wo_l[k], t1), np.dot(wo_l[k], t2), wo_l[k][2]])
+        ti = math.acos(min(1, max(-1, wil[2])))
+        to = math.acos(min(1, max(-1, wol[2])))
+        pi_ = math.atan2(wil[1], wil[0])
+        po = math.atan2(wol[1], wol[0])
+        idx = _scalar_merl_index(ti, pi_, to, po)
+        expect_r = data[0, idx] * merl_mod.RED_SCALE
+        np.testing.assert_allclose(got[k, 0], max(expect_r, 0), rtol=1e-5,
+                                   err_msg=f'sample {k}')
+
+
+def test_constant_merl_equals_lambert_direct(tmp_path):
+    """A constant-c MERL table is a constant BRDF: its direct lighting must
+    match a Phong diffuse with kd = pi * c * scale (kd/pi = c*scale)."""
+    p = str(tmp_path / 'c.binary')
+    _write_merl(p, fill=300.0)
+    table = merl_mod.load_merl(p)
+
+    W, H = 16, 12
+    cam = pt.make_camera((0, 0, 50), (0, 0, -1), (0, 1, 0))
+    cp = jnp.asarray(rng_host.random_per_pixel_fast(W, H))
+    cfg = rnd.RenderConfig(width=W, height=H, nrays=2, nb_bounces=1)
+
+    objs = scn.default_objects()
+    objs.append(scn.sphere((0.0, -17.0, 0.0), 10.0, measured_brdf=table))
+    sc = scn.build_scene(objs, scn.default_light_intensity())
+    img_merl, _ = rnd.render_unsplatted(sc, cam, cp, cfg)
+
+    kd_equiv = tuple(np.pi * 300.0 * s for s in
+                     (merl_mod.RED_SCALE, merl_mod.GREEN_SCALE,
+                      merl_mod.BLUE_SCALE))
+    objs2 = scn.default_objects()
+    objs2.append(scn.sphere((0.0, -17.0, 0.0), 10.0, kd=kd_equiv))
+    sc2 = scn.build_scene(objs2, scn.default_light_intensity())
+    img_ref, _ = rnd.render_unsplatted(sc2, cam, cp, cfg)
+
+    np.testing.assert_allclose(np.asarray(img_merl), np.asarray(img_ref),
+                               rtol=1e-4, atol=1e-2)
+
+
+def test_titopo_interp(tmp_path):
+    nti, nto, npd = 4, 4, 8
+    data = np.random.default_rng(1).uniform(
+        0, 1, (nti * nto * npd, 3)).astype(np.float32)
+    p = str(tmp_path / 't.titopo')
+    data.tofile(p)
+    table = merl_mod.load_titopo(p, nti, nto, npd)
+    nrm = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
+    wi = jnp.asarray([[0.3, 0.2, 0.93]], jnp.float32)
+    wi = wi / jnp.linalg.norm(wi)
+    wo = jnp.asarray([[-0.4, 0.1, 0.91]], jnp.float32)
+    wo = wo / jnp.linalg.norm(wo)
+    v = np.asarray(merl_mod.titopo_eval(table, wi, wo, nrm))[0]
+    assert np.all(np.isfinite(v)) and np.all(v >= 0)
+    assert v.max() <= 1.0  # interpolation stays within data range
+    # below horizon -> zero
+    wo_dn = jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32)
+    v0 = np.asarray(merl_mod.titopo_eval(table, wi, wo_dn, nrm))[0]
+    np.testing.assert_array_equal(v0, 0.0)
