@@ -79,8 +79,11 @@ def _render_shard(sc, cam, cp_shard, sample_ids, pix_i, pix_j, row0, cfg):
             w, h, init_t=cfg.double_frustum_start_t)
         lattice = qmc.extensible_lattice_2d(k.astype(jnp.uint32))
         cp_r12 = qmc.cranley_patterson(lattice[None, :], cp_shard)
+        from ..render.renderer import _background_pixels
+        bg_pixel = _background_pixels(sc, pix_i, pix_j, w, h)
         color, _, _ = integrator.trace_paths(sc, org, dirn, rng_state, cp_r12,
-                                             cfg.nb_bounces)
+                                             cfg.nb_bounces,
+                                             bg_pixel=bg_pixel)
         image, count = film_mod.splat(film_spec, image, count, color,
                                       u_dx - 0.5, u_dy - 0.5,
                                       row0=row0, block_rows=block_rows)

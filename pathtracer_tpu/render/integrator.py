@@ -259,7 +259,7 @@ def _masked_update(mask, new, old):
 
 
 def trace_paths(sc: scn.SceneArrays, origins, dirs, rng_state, cp_r12,
-                nb_bounces: int):
+                nb_bounces: int, bg_pixel=None):
     """Trace a wavefront of paths to completion.
 
     Args:
@@ -312,6 +312,13 @@ def trace_paths(sc: scn.SceneArrays, origins, dirs, rng_state, cp_r12,
         at_dome = alive & hit.hit & (hit.obj_id == 1)
         at_light = alive & hit.hit & (hit.obj_id == 0)
         at_surface = alive & hit.hit & (hit.obj_id >= 2)
+
+        # background-photo compositing on PRIMARY miss/dome (:260-268)
+        bg_hit = jnp.zeros_like(alive)
+        if bg_pixel is not None and is_primary:
+            bg_hit = miss | at_dome
+            at_dome = at_dome & ~bg_hit
+            miss = miss & ~bg_hit
 
         # ---- surface classification ----
         is_mirror = at_surface & hit.miroir
@@ -384,6 +391,9 @@ def trace_paths(sc: scn.SceneArrays, origins, dirs, rng_state, cp_r12,
             fog_w = jnp.zeros_like(hit.t)
 
         color = state.color
+        if bg_pixel is not None and is_primary:
+            color = color + jnp.where(bg_hit[:, None],
+                                      state.weight * bg_pixel, 0.0)
         # dome: envmap radiance if the path may see it (Raytracer.cpp:274-302)
         dome_rad = sc.envmap_intensity * hit.ke
         color = color + jnp.where((at_dome & state.show_env)[:, None],
@@ -459,6 +469,40 @@ def trace_paths(sc: scn.SceneArrays, origins, dirs, rng_state, cp_r12,
                          / jnp.where(ind_pdf > 0.0, ind_pdf, 1.0))[:, None])
         ind_org = p + 0.01 * ind_dir
 
+        # ---- ghost objects: compositing catchers (:522-537, :614-631) ----
+        new_show_env = state.show_env
+        if sc.ghost_enabled:
+            is_ghost_surf = is_diffuse & hit.ghost
+            if bg_pixel is not None:
+                # ghost indirect carries the photo color (:614-621)
+                ind_weight = jnp.where(
+                    is_ghost_surf[:, None],
+                    ind_weight * bg_pixel / np.float32(196964.699),
+                    ind_weight)
+            # pass-through continuation when the light is visible (:522-537);
+            # the reference pushes BOTH it and the indirect ray — RR 50/50
+            # like the fog branch (one lane, one ray)
+            ghost_pass = is_ghost_surf & ~shadowed
+            both_g = ghost_pass & ~reject
+            u_g, rng_st = prng.next_uniform(rng_st, gate=both_g)
+            take_pass = ghost_pass & (reject | (both_g & (u_g < 0.5)))
+            g_mult = jnp.where(both_g, 2.0, 1.0)
+            pass_off = jnp.where(vec.dot(nrm, ray_dir)[:, None] > 0.0,
+                                 nrm, -nrm)
+            pass_org = p + ray_dir * 0.001 + pass_off * 0.001
+            ind_org = jnp.where(take_pass[:, None], pass_org, ind_org)
+            ind_dir = jnp.where(take_pass[:, None], ray_dir, ind_dir)
+            ind_weight = jnp.where(take_pass[:, None],
+                                   state.weight * g_mult[:, None],
+                                   ind_weight * jnp.where(
+                                       is_ghost_surf, g_mult, 1.0)[:, None])
+            reject = reject & ~take_pass
+            # ghost indirect sees the envmap only via shadowed diffuse
+            # samples (:626-631)
+            new_show_env = jnp.where(
+                is_ghost_surf & ~take_pass,
+                state.show_env & shadowed & _sampled_diff, new_show_env)
+
         # ---- merge continuations into next state ----
         cont_diffuse = is_diffuse & ~reject
         surf_alive = is_mirror | is_transp | cont_diffuse
@@ -469,6 +513,10 @@ def trace_paths(sc: scn.SceneArrays, origins, dirs, rng_state, cp_r12,
         new_weight = jnp.where(cont_diffuse[:, None], ind_weight, state.weight)
         # diffuse continuations must not re-see the light (NEE dedup, :626-630)
         new_show_lights = jnp.where(cont_diffuse, False, state.show_lights)
+        if sc.ghost_enabled:
+            # ghost pass-through keeps show_lights (:533)
+            new_show_lights = jnp.where(take_pass, state.show_lights,
+                                        new_show_lights)
         new_had_ss = state.had_ss | (ss_ok & cont_diffuse)
 
         if sc.fog_enabled:
@@ -490,6 +538,7 @@ def trace_paths(sc: scn.SceneArrays, origins, dirs, rng_state, cp_r12,
             # fog branch keeps show_lights/show_env/had_ss of the parent (:188)
             new_show_lights = jnp.where(take_fog, state.show_lights,
                                         new_show_lights)
+            new_show_env = jnp.where(take_fog, state.show_env, new_show_env)
             new_had_ss = jnp.where(take_fog, state.had_ss, new_had_ss)
             next_alive = surf_alive | fog_valid
         else:
@@ -502,6 +551,7 @@ def trace_paths(sc: scn.SceneArrays, origins, dirs, rng_state, cp_r12,
             color=color,
             alive=next_alive,
             show_lights=new_show_lights,
+            show_env=new_show_env,
             had_ss=new_had_ss,
             rng=rng_st,
         )

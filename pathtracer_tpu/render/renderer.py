@@ -42,6 +42,19 @@ class RenderConfig(NamedTuple):
     double_frustum_start_t: float = 0.0
 
 
+
+def _background_pixels(sc, pix_i, pix_j, w, h):
+    """Per-pixel photo color (reference: Raytracer.cpp:260-266 index math)."""
+    if sc.background is None:
+        return None
+    bgh, bgw = sc.background.shape[0], sc.background.shape[1]
+    bi = jnp.clip((pix_i.astype(jnp.float32) / h * bgh).astype(jnp.int32),
+                  0, bgh - 1)
+    bj = jnp.clip((pix_j.astype(jnp.float32) / w * bgw).astype(jnp.int32),
+                  0, bgw - 1)
+    return sc.background[bi, bj]
+
+
 def _wave(sc: scn.SceneArrays, cam: cam_mod.Camera, cp_table, cfg: RenderConfig,
           image, sample_count, film_spec_ratio, sample_ids):
     """Render one wave: all pixels x len(sample_ids) samples. Jitted."""
@@ -56,6 +69,7 @@ def _wave(sc: scn.SceneArrays, cam: cam_mod.Camera, cp_table, cfg: RenderConfig,
     pix_i = ii.reshape(-1)
     pix_j = jj.reshape(-1)
     pix_flat = pix_i * w + pix_j
+    bg_pixel = _background_pixels(sc, pix_i, pix_j, w, h)
 
     def per_sample(carry, k):
         image, sample_count = carry
@@ -84,7 +98,8 @@ def _wave(sc: scn.SceneArrays, cam: cam_mod.Camera, cp_table, cfg: RenderConfig,
         cp_r12 = qmc.cranley_patterson(lattice[None, :], cp_table)
 
         color, _naux, _aaux = integrator.trace_paths(
-            sc, org, dirn, rng_state, cp_r12, cfg.nb_bounces)
+            sc, org, dirn, rng_state, cp_r12, cfg.nb_bounces,
+            bg_pixel=bg_pixel)
 
         image, sample_count = film_mod.splat(
             film_spec, image, sample_count, color, dx, dy)
@@ -113,6 +128,7 @@ def render_unsplatted(sc: scn.SceneArrays, cam: cam_mod.Camera, cp_table,
     pix_i = ii.reshape(-1)
     pix_j = jj.reshape(-1)
     pix_flat = pix_i * w + pix_j
+    bg_pixel = _background_pixels(sc, pix_i, pix_j, w, h)
 
     def per_sample(acc, k):
         key_lo = (pix_flat.astype(jnp.uint32) * jnp.uint32(nspp)
@@ -130,7 +146,8 @@ def render_unsplatted(sc: scn.SceneArrays, cam: cam_mod.Camera, cp_table,
         lattice = qmc.extensible_lattice_2d(k.astype(jnp.uint32))
         cp_r12 = qmc.cranley_patterson(lattice[None, :], cp_table)
         color, _, _ = integrator.trace_paths(sc, org, dirn, rng_state, cp_r12,
-                                             cfg.nb_bounces)
+                                             cfg.nb_bounces,
+                                             bg_pixel=bg_pixel)
         return acc + color, color
 
     acc, samples = jax.lax.scan(per_sample, jnp.zeros((h * w, 3), jnp.float32),

@@ -94,9 +94,14 @@ class SceneArrays:
     fog_phase_type: int = flax.struct.field(pytree_node=False, default=0)
     # subsurface scattering compiled in? (any object with Ksub > 0)
     ss_enabled: bool = flax.struct.field(pytree_node=False, default=False)
+    # ghost compositing objects present?
+    ghost_enabled: bool = flax.struct.field(pytree_node=False, default=False)
     # measured BRDFs: per-object selector (0 = Phong, k+1 = table k) + tables
     brdf_type: jnp.ndarray = None          # (O,) int32
     measured_brdfs: tuple = ()
+    # background photo for compositing, already gamma-linearized and scaled
+    # by 196964.699 (reference: Geometry.h:1355-1362); None when unset
+    background: Optional[jnp.ndarray] = None   # (Hb,Wb,3)
     # triangle meshes, each bound to an object row (empty tuple if none)
     meshes: tuple = ()
 
@@ -748,8 +753,16 @@ def _build_matrices(spec: ObjectSpec):
     return trans.astype(np.float32), inv.astype(np.float32), m.astype(np.float32)
 
 
+def load_background(path: str, gamma: float = 2.2) -> np.ndarray:
+    """(u8/255)^gamma * 196964.699 (reference: Scene::load_background,
+    Geometry.h:1355-1362)."""
+    from ..io.image import load_image
+    img = load_image(path) / 255.0
+    return (np.power(img, gamma) * 196964.699).astype(np.float32)
+
+
 def build_scene(objects, light_intensity, envmap_intensity=1.0, envmap=None,
-                light_scale=1.0, fog=None) -> SceneArrays:
+                light_scale=1.0, fog=None, background=None) -> SceneArrays:
     """Assemble SceneArrays from ObjectSpecs. objects[0]=light, [1]=dome."""
     n = len(objects)
     assert n >= 2, "scene needs at least light (0) and dome (1) objects"
@@ -817,8 +830,11 @@ def build_scene(objects, light_intensity, envmap_intensity=1.0, envmap=None,
             float(np.sum(np.square(np.broadcast_to(
                 np.asarray(o.ksub, np.float32), (3,))))) > 1e-8
             for o in objects),
+        ghost_enabled=any(o.ghost for o in objects),
         brdf_type=jnp.asarray(brdf_type_arr, jnp.int32),
         measured_brdfs=tuple(measured_tables),
+        background=(None if background is None
+                    else jnp.asarray(background, jnp.float32)),
         obj_type=jnp.asarray([o.obj_type for o in objects], jnp.int32),
         center=jnp.asarray(stack('center', dim3=True)),
         radius=jnp.asarray([float(o.radius) for o in objects], jnp.float32),
