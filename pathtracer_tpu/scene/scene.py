@@ -712,6 +712,9 @@ class ObjectSpec:
     mesh_data: Any = None           # host MeshData for obj_type == MESH
     interp_normals: bool = True
     measured_brdf: Any = None       # models.merl.MeasuredBRDF or None
+    # keyframe animation: {frame: {'translation','rotation','scale'}}
+    # (reference: Object keyframe maps, Geometry.h:258-320)
+    keyframes: Any = None
 
 
 def sphere(center, radius, **kw) -> ObjectSpec:
@@ -762,10 +765,25 @@ def load_background(path: str, gamma: float = 2.2) -> np.ndarray:
 
 
 def build_scene(objects, light_intensity, envmap_intensity=1.0, envmap=None,
-                light_scale=1.0, fog=None, background=None) -> SceneArrays:
-    """Assemble SceneArrays from ObjectSpecs. objects[0]=light, [1]=dome."""
+                light_scale=1.0, fog=None, background=None,
+                frame=None) -> SceneArrays:
+    """Assemble SceneArrays from ObjectSpecs. objects[0]=light, [1]=dome.
+
+    `frame`: evaluate per-object keyframes at this frame (the reference's
+    build_matrix(frame) per render, Geometry.h:322-360 via prepare_render).
+    """
     n = len(objects)
     assert n >= 2, "scene needs at least light (0) and dome (1) objects"
+
+    if frame is not None:
+        from ..core import transform as tf
+        objects = [dataclasses.replace(o) for o in objects]
+        for o in objects:
+            if o.keyframes:
+                tr, rot, s = tf.interpolate_keyframes(o.keyframes, frame)
+                o.translation = tuple(tr)
+                o.rotation = rot
+                o.scale = float(s)
 
     def stack(field, dim3=False):
         vals = [getattr(o, field) for o in objects]
