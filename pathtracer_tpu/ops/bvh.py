@@ -41,12 +41,19 @@ class FlatBVH(NamedTuple):
 def build_bvh(tri_verts: np.ndarray, max_leaf_size: int = 4,
               n_split_tests: int = 16) -> FlatBVH:
     """Build from (T,3,3) triangle vertices (3 corners x xyz)."""
-    t = tri_verts.shape[0]
-    assert t > 0
     v = tri_verts.astype(np.float32)
-    lo_tri = v.min(axis=1)               # (T,3)
-    hi_tri = v.max(axis=1)
-    centers = v.mean(axis=1)             # (T,3) == (A+B+C)/3, ref :1074
+    return build_bvh_from_bounds(v.min(axis=1), v.max(axis=1),
+                                 v.mean(axis=1),  # (A+B+C)/3, ref :1074
+                                 max_leaf_size, n_split_tests)
+
+
+def build_bvh_from_bounds(lo_tri: np.ndarray, hi_tri: np.ndarray,
+                          centers: np.ndarray, max_leaf_size: int = 4,
+                          n_split_tests: int = 16) -> FlatBVH:
+    """Build from per-primitive bounds+centers — shared by triangles, point
+    disks (PointSet.cpp:34-121) and yarn cylinders (TriangleMesh.cpp:1550+)."""
+    t = lo_tri.shape[0]
+    assert t > 0
 
     order = np.arange(t, dtype=np.int32)
 

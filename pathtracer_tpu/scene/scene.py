@@ -41,6 +41,7 @@ from ..core import vec
 SPHERE = 0
 PLANE = 1
 MESH = 2       # row is transform/flags holder; geometry in SceneArrays.meshes
+POINTSET = 3   # row is transform/flags holder; geometry in .pointsets
 
 BIG_T = np.float32(1e30)   # numpy: no backend init at import
 
@@ -104,6 +105,10 @@ class SceneArrays:
     background: Optional[jnp.ndarray] = None   # (Hb,Wb,3)
     # triangle meshes, each bound to an object row (empty tuple if none)
     meshes: tuple = ()
+    # point sets (disk splats), each bound to an object row
+    pointsets: tuple = ()
+    # yarn cylinder sets, each bound to an object row
+    yarns: tuple = ()
 
     @property
     def num_objects(self):
@@ -317,7 +322,123 @@ def intersect(sc: SceneArrays, origins, dirs, avoid_ghosts=False) -> Hit:
     )
     for mesh in sc.meshes:
         out = _merge_mesh_hit(sc, mesh, origins, dirs, out, avoid_ghosts)
+    for ps in sc.pointsets:
+        out = _merge_pointset_hit(sc, ps, origins, dirs, out, avoid_ghosts)
+    for ya in sc.yarns:
+        out = _merge_yarn_hit(sc, ya, origins, dirs, out, avoid_ghosts)
     return out
+
+
+def _merge_yarn_hit(sc: SceneArrays, ya, origins, dirs, cur: Hit,
+                    avoid_ghosts: bool) -> Hit:
+    """Yarn cylinder closest hit (reference: Yarns::intersection via
+    Cylinder, TriangleMesh.h:292-299, Geometry.h:731-846)."""
+    from . import yarns as yarn_mod
+
+    row = ya.obj_row
+    org_l, dir_l = _local_ray_row(sc, row, origins, dirs)
+    t_y, idx, s_ax = yarn_mod.cylinder_sweep(ya, org_l, dir_l, cur.t)
+    win = t_y < cur.t
+    if avoid_ghosts:
+        win = win & ~sc.ghost[row]
+    i = jnp.maximum(idx, 0)
+    a = jnp.stack([ya.ax[i], ya.ay[i], ya.az[i]], axis=-1)
+    u = jnp.stack([ya.ux[i], ya.uy[i], ya.uz[i]], axis=-1)
+    p_l = org_l + t_y[:, None] * dir_l
+    n_l = vec.normalize(p_l - a - s_ax[:, None] * u)
+    n_l = jnp.where(sc.flip_normals[row], -n_l, n_l)
+
+    if sc.identity_transform:
+        tr3 = sc.trans[row]
+        p_w = p_l + jnp.stack([tr3[3], tr3[7], tr3[11]])
+        n_w = n_l
+    else:
+        tr = sc.trans[row].reshape(3, 4)
+        p_w = p_l @ tr[:, :3].T + tr[:, 3]
+        n_w = vec.normalize(n_l @ sc.rot[row].reshape(3, 3).T)
+
+    def sel(new, old):
+        m = win[..., None] if new.ndim > win.ndim else win
+        return jnp.where(m, new, old)
+
+    kd3 = jnp.broadcast_to(sc.kd[row], p_w.shape)
+    return cur._replace(
+        hit=cur.hit | win,
+        t=jnp.where(win, t_y, cur.t),
+        p=sel(p_w, cur.p),
+        n=sel(n_w, cur.n),
+        obj_id=jnp.where(win, jnp.int32(row), cur.obj_id),
+        kd=sel(kd3, cur.kd),
+        ks=sel(jnp.broadcast_to(sc.ks[row], p_w.shape), cur.ks),
+        ne=sel(jnp.broadcast_to(sc.ne[row], p_w.shape), cur.ne),
+        ksub=sel(jnp.broadcast_to(sc.ksub[row], p_w.shape), cur.ksub),
+        transp=jnp.where(win, sc.transp[row], cur.transp),
+        refr_index=jnp.where(win, sc.refr_index[row], cur.refr_index),
+        miroir=jnp.where(win, sc.miroir[row], cur.miroir),
+        ghost=jnp.where(win, sc.ghost[row], cur.ghost),
+        brdf_type=jnp.where(win, sc.brdf_type[row], cur.brdf_type),
+    )
+
+
+def _merge_pointset_hit(sc: SceneArrays, ps, origins, dirs, cur: Hit,
+                        avoid_ghosts: bool) -> Hit:
+    """Disk-splat closest hit folded into the running hit (reference:
+    PointSet::intersection, PointSet.cpp:124-244): two-sided disk normal
+    flipped toward the ray, per-point color as Kd, rim darkening when
+    display_edges."""
+    from . import pointset as ps_mod
+
+    row = ps.obj_row
+    org_l, dir_l = _local_ray_row(sc, row, origins, dirs)
+    t_ps, idx = ps_mod.disk_sweep(ps, org_l, dir_l, cur.t)
+    win = t_ps < cur.t
+    if avoid_ghosts:
+        win = win & ~sc.ghost[row]
+    i = jnp.maximum(idx, 0)
+
+    n_l = jnp.stack([ps.nx[i], ps.ny[i], ps.nz[i]], axis=-1)
+    # two-sided shading (PointSet.cpp:205) + flip_normals
+    facing = jnp.sum(n_l * dir_l, axis=-1) > 0.0
+    n_l = jnp.where(facing[:, None], -n_l, n_l)
+    n_l = jnp.where(sc.flip_normals[row], -n_l, n_l)
+
+    p_l = org_l + t_ps[:, None] * dir_l
+    kd = ps.colors[i]
+    if ps.display_edges:
+        cen = jnp.stack([ps.px[i], ps.py[i], ps.pz[i]], axis=-1)
+        r2 = jnp.sum((p_l - cen) ** 2, axis=-1)
+        rim = r2 > (ps.radius[i] * 0.95) ** 2
+        kd = jnp.where(rim[:, None], 0.0, kd)
+
+    if sc.identity_transform:
+        tr3 = sc.trans[row]
+        p_w = p_l + jnp.stack([tr3[3], tr3[7], tr3[11]])
+        n_w = n_l
+    else:
+        tr = sc.trans[row].reshape(3, 4)
+        p_w = p_l @ tr[:, :3].T + tr[:, 3]
+        n_w = vec.normalize(n_l @ sc.rot[row].reshape(3, 3).T)
+
+    def sel(new, old):
+        m = win[..., None] if new.ndim > win.ndim else win
+        return jnp.where(m, new, old)
+
+    return cur._replace(
+        hit=cur.hit | win,
+        t=jnp.where(win, t_ps, cur.t),
+        p=sel(p_w, cur.p),
+        n=sel(n_w, cur.n),
+        obj_id=jnp.where(win, jnp.int32(row), cur.obj_id),
+        kd=sel(kd, cur.kd),
+        ks=sel(jnp.broadcast_to(sc.ks[row], kd.shape), cur.ks),
+        ne=sel(jnp.broadcast_to(sc.ne[row], kd.shape), cur.ne),
+        ksub=sel(jnp.broadcast_to(sc.ksub[row], kd.shape), cur.ksub),
+        transp=jnp.where(win, sc.transp[row], cur.transp),
+        refr_index=jnp.where(win, sc.refr_index[row], cur.refr_index),
+        miroir=jnp.where(win, sc.miroir[row], cur.miroir),
+        ghost=jnp.where(win, sc.ghost[row], cur.ghost),
+        brdf_type=jnp.where(win, sc.brdf_type[row], cur.brdf_type),
+    )
 
 
 def _local_ray_row(sc: SceneArrays, row: int, origins, dirs):
@@ -681,6 +802,24 @@ def intersect_shadow(sc: SceneArrays, origins, dirs, dist_light,
         if avoid_ghosts:
             mb = mb & ~sc.ghost[mesh.obj_row]
         blocked = blocked | mb
+    for ps in sc.pointsets:
+        from . import pointset as ps_mod
+        org_l, dir_l = _local_ray_row(sc, ps.obj_row, origins, dirs)
+        t_ps, _ = ps_mod.disk_sweep(ps, org_l, dir_l,
+                                    jnp.broadcast_to(BIG_T, limit.shape))
+        pb = t_ps < limit
+        if avoid_ghosts:
+            pb = pb & ~sc.ghost[ps.obj_row]
+        blocked = blocked | pb
+    for ya in sc.yarns:
+        from . import yarns as yarn_mod
+        org_l, dir_l = _local_ray_row(sc, ya.obj_row, origins, dirs)
+        t_y, _, _ = yarn_mod.cylinder_sweep(
+            ya, org_l, dir_l, jnp.broadcast_to(BIG_T, limit.shape))
+        yb = t_y < limit
+        if avoid_ghosts:
+            yb = yb & ~sc.ghost[ya.obj_row]
+        blocked = blocked | yb
     return blocked
 
 
@@ -726,6 +865,28 @@ def sphere(center, radius, **kw) -> ObjectSpec:
 
 def plane(point, normal, **kw) -> ObjectSpec:
     spec = ObjectSpec(obj_type=PLANE, center=point, normal=normal, **kw)
+    if spec.rotation_center is None:
+        spec.rotation_center = (0.0, 0.0, 0.0)
+    return spec
+
+
+YARNS = 4      # object type tag for yarn rows
+
+
+def yarn_object(yarn_data, **kw) -> ObjectSpec:
+    """A yarn set (segments) occupying one object-table row.  `yarn_data`
+    is (seg_a (S,3), seg_b (S,3)) or a .yarn file path."""
+    spec = ObjectSpec(obj_type=YARNS, mesh_data=yarn_data, **kw)
+    if spec.rotation_center is None:
+        spec.rotation_center = (0.0, 0.0, 0.0)
+    return spec
+
+
+def pointset_object(point_data, **kw) -> ObjectSpec:
+    """A point set occupying one object-table row.  `point_data` is either
+    a host dict {'points','normals','colors','radii'} or the value returned
+    by pointset.make_pointset-compatible loaders."""
+    spec = ObjectSpec(obj_type=POINTSET, mesh_data=point_data, **kw)
     if spec.rotation_center is None:
         spec.rotation_center = (0.0, 0.0, 0.0)
     return spec
@@ -811,6 +972,41 @@ def build_scene(objects, light_intensity, envmap_intensity=1.0, envmap=None,
                                  np.asarray(o.ksub, np.float32), (3,)))
         for i, o in enumerate(objects) if o.obj_type == MESH)
 
+    from . import pointset as ps_mod
+    pointsets = []
+    for i, o in enumerate(objects):
+        if o.obj_type != POINTSET:
+            continue
+        pd = o.mesh_data
+        if isinstance(pd, ps_mod.PointSetArrays):
+            pointsets.append(pd.replace(obj_row=i))
+        else:
+            pts = np.asarray(pd['points'], np.float32)
+            nrm = pd.get('normals')
+            col = pd.get('colors')
+            radii = pd.get('radii')
+            if nrm is None or radii is None:
+                est_n, est_r = ps_mod.estimate_normals(pts)
+                nrm = est_n if nrm is None else np.asarray(nrm, np.float32)
+                radii = est_r if radii is None else np.asarray(radii,
+                                                               np.float32)
+            if col is None:
+                col = np.full((len(pts), 3), 1.0 / 255, np.float32)
+            pointsets.append(ps_mod.upload_pointset(pts, nrm, col, radii, i))
+
+    from . import yarns as yarn_mod
+    yarns_list = []
+    for i, o in enumerate(objects):
+        if o.obj_type != YARNS:
+            continue
+        yd = o.mesh_data
+        if isinstance(yd, str):
+            seg_a, seg_b = yarn_mod.load_yarn(yd)
+        else:
+            seg_a, seg_b = (np.asarray(yd[0], np.float32),
+                            np.asarray(yd[1], np.float32))
+        yarns_list.append(yarn_mod.upload_yarns(seg_a, seg_b, i))
+
     # measured-BRDF assignment: dedupe tables by identity
     measured_tables = []
     brdf_type_arr = []
@@ -835,6 +1031,8 @@ def build_scene(objects, light_intensity, envmap_intensity=1.0, envmap=None,
 
     return SceneArrays(
         meshes=meshes,
+        pointsets=tuple(pointsets),
+        yarns=tuple(yarns_list),
         fog_density=jnp.float32(fog_density),
         fog_absorption=jnp.float32(fog.get('absorption', 0.0)),
         fog_density_decay=jnp.float32(fog.get('density_decay', 0.0)),
