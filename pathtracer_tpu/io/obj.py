@@ -308,14 +308,145 @@ def setup_tangents(md: MeshData) -> MeshData:
     return md
 
 
+def read_off(path: str) -> MeshData:
+    """OFF reader (reference: TriMesh::readOFF, TriangleMesh.cpp:107-130):
+    header, counts, vertex lines, n-gon faces fan-triangulated."""
+    with open(path) as f:
+        tokens = f.read().split()
+    it = iter(tokens)
+    head = next(it)
+    assert head.upper().startswith('OFF'), 'not an OFF file'
+    nv, nf, _ne = int(next(it)), int(next(it)), int(next(it))
+    verts = np.array([[float(next(it)) for _ in range(3)] for _ in range(nv)],
+                     np.float32)
+    tris = []
+    for _ in range(nf):
+        k = int(next(it))
+        idx = [int(next(it)) for _ in range(k)]
+        for j in range(1, k - 1):
+            tris.append(((idx[0], idx[j], idx[j + 1]),
+                         (j == 1, True, j == k - 2)))
+    vtx = np.asarray([t[0] for t in tris], np.int32).reshape(-1, 3)
+    se = np.asarray([t[1] for t in tris], bool).reshape(-1, 3)
+    t = len(vtx)
+    return MeshData(
+        vertices=verts, normals=np.zeros((0, 3), np.float32),
+        uvs=np.zeros((0, 2), np.float32), vtx_idx=vtx,
+        uv_idx=np.full((t, 3), -1, np.int32),
+        n_idx=np.full((t, 3), -1, np.int32),
+        group=np.zeros(t, np.int32), show_edges=se, vertex_colors=None,
+        materials=[GroupMaterial()], group_names={'Default': 0},
+        obj_dir=os.path.dirname(os.path.abspath(path)))
+
+
+def read_vrml(path: str) -> MeshData:
+    """Minimal VRML reader (reference: TriMesh::readVRML,
+    TriangleMesh.cpp:10-104): Coordinate point blocks + coordIndex faces
+    with -1 separators, fan-triangulated."""
+    text = open(path, errors='replace').read()
+    verts = []
+    tris = []
+
+    def block_after(key, start):
+        k = text.find(key, start)
+        if k < 0:
+            return None, -1
+        a = text.find('[', k)
+        b = text.find(']', a)
+        return text[a + 1:b], b
+
+    pos = 0
+    while True:
+        blk, pos = block_after('point', pos)
+        if blk is None:
+            break
+        vals = [float(x) for x in blk.replace(',', ' ').split()]
+        verts.extend([vals[i:i + 3] for i in range(0, len(vals) - 2, 3)])
+    pos = 0
+    while True:
+        blk, pos = block_after('coordIndex', pos)
+        if blk is None:
+            break
+        idx = [int(x) for x in blk.replace(',', ' ').split()]
+        poly = []
+        for v in idx:
+            if v == -1:
+                for j in range(1, len(poly) - 1):
+                    tris.append(((poly[0], poly[j], poly[j + 1]),
+                                 (j == 1, True, j == len(poly) - 2)))
+                poly = []
+            else:
+                poly.append(v)
+        if len(poly) >= 3:
+            for j in range(1, len(poly) - 1):
+                tris.append(((poly[0], poly[j], poly[j + 1]),
+                             (j == 1, True, j == len(poly) - 2)))
+    vtx = np.asarray([t[0] for t in tris], np.int32).reshape(-1, 3)
+    se = np.asarray([t[1] for t in tris], bool).reshape(-1, 3)
+    t = len(vtx)
+    return MeshData(
+        vertices=np.asarray(verts, np.float32).reshape(-1, 3),
+        normals=np.zeros((0, 3), np.float32),
+        uvs=np.zeros((0, 2), np.float32), vtx_idx=vtx,
+        uv_idx=np.full((t, 3), -1, np.int32),
+        n_idx=np.full((t, 3), -1, np.int32),
+        group=np.zeros(t, np.int32), show_edges=se, vertex_colors=None,
+        materials=[GroupMaterial()], group_names={'Default': 0},
+        obj_dir=os.path.dirname(os.path.abspath(path)))
+
+
+def save_obj(md: MeshData, path: str, mtl_name: Optional[str] = None):
+    """OBJ writer (reference: TriMesh::saveOBJ, TriangleMesh.cpp:888-916)."""
+    with open(path, 'w') as f:
+        if mtl_name:
+            f.write(f'mtllib {mtl_name}\n')
+        for v in md.vertices:
+            f.write(f'v {v[0]} {v[1]} {v[2]}\n')
+        name_by_id = {v: k for k, v in md.group_names.items()}
+        cur = None
+        for i, tri in enumerate(md.vtx_idx):
+            g = int(md.group[i])
+            if g != cur:
+                f.write(f'usemtl {name_by_id.get(g, f"mat{g}")}\n')
+                cur = g
+            f.write(f'f {tri[0] + 1} {tri[1] + 1} {tri[2] + 1}\n')
+
+
+def export_mtl(md: MeshData, path: str):
+    """MTL writer (reference: TriMesh::exportMTL, TriangleMesh.cpp:571-598)."""
+    with open(path, 'w') as f:
+        for name, gid in md.group_names.items():
+            m = md.materials[gid]
+            f.write(f'newmtl {name}\n')
+            f.write(f'Kd {m.kd[0]} {m.kd[1]} {m.kd[2]}\n')
+            if m.map_kd:
+                f.write(f'map_Kd {m.map_kd}\n')
+            f.write(f'Ks {m.ks[0]} {m.ks[1]} {m.ks[2]}\n')
+            if m.map_ks:
+                f.write(f'map_Ks {m.map_ks}\n')
+            f.write(f'Ns {m.ns[0]}\n')
+            if m.map_d:
+                f.write(f'map_d {m.map_d}\n')
+            if m.map_bump:
+                f.write(f'map_bump {m.map_bump}\n')
+
+
 def load_mesh(path: str, scaling: float = 30.0, offset=(0.0, 0.0, 0.0),
               preserve_input: bool = False, center: bool = True,
               load_materials: bool = True) -> MeshData:
-    """Full load pipeline matching TriMesh::init (TriangleMesh.cpp:718-841).
+    """Full load pipeline matching TriMesh::init (TriangleMesh.cpp:718-841):
+    format dispatch by extension (.obj/.off/.wrl, :731-740), axis swap,
+    normalize, face normals, tangents.
 
     Default scaling 30 + drop-on-ground offset mirrors the GUI drag-drop
     behavior (mainApp.cpp:2402-2411)."""
-    md = read_obj(path, load_materials=load_materials)
+    low = path.lower()
+    if low.endswith('.off'):
+        md = read_off(path)
+    elif low.endswith('.wrl'):
+        md = read_vrml(path)
+    else:
+        md = read_obj(path, load_materials=load_materials)
     md = transform_mesh(md, scaling, offset, preserve_input, center)
     md = fill_face_normals(md)
     md = setup_tangents(md)

@@ -40,6 +40,7 @@ class RenderConfig(NamedTuple):
     seed: int = 0
     samples_per_wave: int = 4   # spp chunk traced per jit call
     double_frustum_start_t: float = 0.0
+    has_denoiser: bool = False  # accumulate unsplatted aux for denoising
 
 
 
@@ -56,8 +57,11 @@ def _background_pixels(sc, pix_i, pix_j, w, h):
 
 
 def _wave(sc: scn.SceneArrays, cam: cam_mod.Camera, cp_table, cfg: RenderConfig,
-          image, sample_count, film_spec_ratio, sample_ids):
-    """Render one wave: all pixels x len(sample_ids) samples. Jitted."""
+          image, sample_count, film_spec_ratio, sample_ids, aux=None):
+    """Render one wave: all pixels x len(sample_ids) samples. Jitted.
+
+    With cfg.has_denoiser, `aux` carries (color, albedo, normal) unsplatted
+    accumulators (the OIDN feed, Raytracer.cpp:1631-1645)."""
     w, h = cfg.width, cfg.height
     nspp = cfg.nrays
     film_spec = film_mod.FilmSpec(w, h, cfg.sigma_filter,
@@ -72,7 +76,7 @@ def _wave(sc: scn.SceneArrays, cam: cam_mod.Camera, cp_table, cfg: RenderConfig,
     bg_pixel = _background_pixels(sc, pix_i, pix_j, w, h)
 
     def per_sample(carry, k):
-        image, sample_count = carry
+        image, sample_count, aux = carry
         # --- per-path PCG streams ---
         key_lo = (pix_flat.astype(jnp.uint32) * jnp.uint32(nspp)
                   + k.astype(jnp.uint32))
@@ -97,17 +101,23 @@ def _wave(sc: scn.SceneArrays, cam: cam_mod.Camera, cp_table, cfg: RenderConfig,
         lattice = qmc.extensible_lattice_2d(k.astype(jnp.uint32))
         cp_r12 = qmc.cranley_patterson(lattice[None, :], cp_table)
 
-        color, _naux, _aaux = integrator.trace_paths(
+        color, naux, aaux = integrator.trace_paths(
             sc, org, dirn, rng_state, cp_r12, cfg.nb_bounces,
             bg_pixel=bg_pixel)
 
         image, sample_count = film_mod.splat(
             film_spec, image, sample_count, color, dx, dy)
-        return (image, sample_count), None
+        if cfg.has_denoiser:
+            aux = (aux[0] + color.reshape(h, w, 3),
+                   aux[1] + aaux.reshape(h, w, 3),
+                   aux[2] + naux.reshape(h, w, 3))
+        return (image, sample_count, aux), None
 
-    (image, sample_count), _ = jax.lax.scan(
-        per_sample, (image, sample_count), sample_ids)
-    return image, sample_count
+    if aux is None:
+        aux = (jnp.zeros((h, w, 3)),) * 3
+    (image, sample_count, aux), _ = jax.lax.scan(
+        per_sample, (image, sample_count, aux), sample_ids)
+    return image, sample_count, aux
 
 
 _wave_jit = jax.jit(_wave, static_argnames=('cfg',))
@@ -179,6 +189,8 @@ class Renderer:
 
     def reset(self):
         self.image, self.sample_count = film_mod.alloc(self.film)
+        h, w = self.cfg.height, self.cfg.width
+        self.aux = tuple(jnp.zeros((h, w, 3), jnp.float32) for _ in range(3))
         self.samples_done = 0
 
     def step(self, nsamples: Optional[int] = None):
@@ -186,9 +198,9 @@ class Renderer:
         nsamples = nsamples or self.cfg.samples_per_wave
         k0 = self.samples_done
         ks = jnp.arange(k0, k0 + nsamples, dtype=jnp.int32)
-        self.image, self.sample_count = _wave_jit(
+        self.image, self.sample_count, self.aux = _wave_jit(
             self.scene, self.cam, self.cp_table, self.cfg,
-            self.image, self.sample_count, self.film.ratio, ks)
+            self.image, self.sample_count, self.film.ratio, ks, self.aux)
         self.samples_done += nsamples
         return self
 
@@ -214,3 +226,21 @@ class Renderer:
 
     def u8(self):
         return film_mod.to_u8(self.display())
+
+    def denoised_display(self, iterations: int = 4):
+        """Denoised output from the aux buffers (the OIDN path,
+        Raytracer.cpp:1719-1756).  Requires cfg.has_denoiser."""
+        from . import denoise as dn
+        assert self.cfg.has_denoiser, 'render with has_denoiser=True'
+        n = max(self.samples_done, 1)
+        color = self.aux[0] / n
+        albedo = self.aux[1] / n
+        nrm = self.aux[2]
+        nrm = nrm / jnp.maximum(
+            jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-9)
+        out = dn.denoise(color, albedo, nrm, iterations=iterations)
+        # unsplatted buffers are already per-sample means; rows flip to
+        # image orientation like the splat path
+        out = out[::-1] / film_mod.RADIANCE_SCALE
+        return jnp.clip(jnp.power(jnp.maximum(out, 0.0),
+                                  1.0 / self.cfg.gamma), 0.0, 1.0)
