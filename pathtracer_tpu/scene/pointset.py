@@ -82,6 +82,9 @@ class PointSetArrays:
     colors: jnp.ndarray                                     # (P,3)
     obj_row: int = flax.struct.field(pytree_node=False)
     display_edges: bool = flax.struct.field(pytree_node=False, default=False)
+    # True: points are SPHERES (fluid particle rendering, fluid.cpp:175-262)
+    # False: normal-oriented disks (PointSet splats)
+    as_spheres: bool = flax.struct.field(pytree_node=False, default=False)
 
     @property
     def num_points(self):
@@ -118,6 +121,53 @@ def make_pointset(path_or_points, cols=None, obj_row=0, normals=None,
     else:
         _, radii = estimate_normals(pts)   # radii still from kNN spacing
     return upload_pointset(pts, nrm, col, radii, obj_row, display_edges)
+
+
+def sphere_sweep(ps: PointSetArrays, org, dirn, t_max, chunk: int = 4096):
+    """Closest sphere hit over all points (fluid opaque mode: nearest
+    particle sphere, reference fluid.cpp:175-262). Returns (t, index)."""
+    n = org.shape[0]
+    ox, oy, oz = org[:, 0:1], org[:, 1:2], org[:, 2:3]
+    dx, dy, dz = dirn[:, 0:1], dirn[:, 1:2], dirn[:, 2:3]
+    a = (dx * dx + dy * dy + dz * dz)
+    best_t = t_max
+    best_i = jnp.full((n,), -1, jnp.int32)
+    total = ps.num_points
+    for start in range(0, total, chunk):
+        sl = slice(start, min(start + chunk, total))
+        ocx = ox - ps.px[sl]
+        ocy = oy - ps.py[sl]
+        ocz = oz - ps.pz[sl]
+        b = dx * ocx + dy * ocy + dz * ocz
+        c = ocx * ocx + ocy * ocy + ocz * ocz - ps.radius[sl] ** 2
+        delta = b * b - a * c
+        sq = jnp.sqrt(jnp.maximum(delta, 0.0))
+        t1 = (-b - sq) / a
+        t2 = (-b + sq) / a
+        t = jnp.where(t1 > 0, t1, t2)
+        ok = (delta >= 0) & (t2 >= 0) & (t > 0)
+        t = jnp.where(ok, t, BIG_T)
+        j = jnp.argmin(t, axis=-1)
+        tj = jnp.take_along_axis(t, j[:, None], -1)[:, 0]
+        win = tj < best_t
+        best_i = jnp.where(win, j.astype(jnp.int32) + start, best_i)
+        best_t = jnp.where(win, tj, best_t)
+    return best_t, best_i
+
+
+def fluid_pointset(particles, obj_row=0, radius=0.5,
+                   color=(0.4, 0.6, 0.9)) -> PointSetArrays:
+    """Fluid-frame particles as a renderable sphere set (the reference
+    displays Fluid via its particle spheres, fluid.cpp:628-635)."""
+    p = np.asarray(particles, np.float32)
+    n = len(p)
+    col = np.broadcast_to(np.asarray(color, np.float32), (n, 3)).copy()
+    return PointSetArrays(
+        px=jnp.asarray(p[:, 0]), py=jnp.asarray(p[:, 1]),
+        pz=jnp.asarray(p[:, 2]),
+        nx=jnp.zeros(n), ny=jnp.ones(n), nz=jnp.zeros(n),
+        radius=jnp.full((n,), radius, jnp.float32),
+        colors=jnp.asarray(col), obj_row=int(obj_row), as_spheres=True)
 
 
 def disk_sweep(ps: PointSetArrays, org, dirn, t_max, chunk: int = 4096):

@@ -390,19 +390,25 @@ def _merge_pointset_hit(sc: SceneArrays, ps, origins, dirs, cur: Hit,
 
     row = ps.obj_row
     org_l, dir_l = _local_ray_row(sc, row, origins, dirs)
-    t_ps, idx = ps_mod.disk_sweep(ps, org_l, dir_l, cur.t)
+    if ps.as_spheres:
+        t_ps, idx = ps_mod.sphere_sweep(ps, org_l, dir_l, cur.t)
+    else:
+        t_ps, idx = ps_mod.disk_sweep(ps, org_l, dir_l, cur.t)
     win = t_ps < cur.t
     if avoid_ghosts:
         win = win & ~sc.ghost[row]
     i = jnp.maximum(idx, 0)
 
-    n_l = jnp.stack([ps.nx[i], ps.ny[i], ps.nz[i]], axis=-1)
-    # two-sided shading (PointSet.cpp:205) + flip_normals
-    facing = jnp.sum(n_l * dir_l, axis=-1) > 0.0
-    n_l = jnp.where(facing[:, None], -n_l, n_l)
-    n_l = jnp.where(sc.flip_normals[row], -n_l, n_l)
-
     p_l = org_l + t_ps[:, None] * dir_l
+    if ps.as_spheres:
+        cen = jnp.stack([ps.px[i], ps.py[i], ps.pz[i]], axis=-1)
+        n_l = vec.normalize(p_l - cen)
+    else:
+        n_l = jnp.stack([ps.nx[i], ps.ny[i], ps.nz[i]], axis=-1)
+        # two-sided shading (PointSet.cpp:205) + flip_normals
+        facing = jnp.sum(n_l * dir_l, axis=-1) > 0.0
+        n_l = jnp.where(facing[:, None], -n_l, n_l)
+    n_l = jnp.where(sc.flip_normals[row], -n_l, n_l)
     kd = ps.colors[i]
     if ps.display_edges:
         cen = jnp.stack([ps.px[i], ps.py[i], ps.pz[i]], axis=-1)
@@ -805,8 +811,9 @@ def intersect_shadow(sc: SceneArrays, origins, dirs, dist_light,
     for ps in sc.pointsets:
         from . import pointset as ps_mod
         org_l, dir_l = _local_ray_row(sc, ps.obj_row, origins, dirs)
-        t_ps, _ = ps_mod.disk_sweep(ps, org_l, dir_l,
-                                    jnp.broadcast_to(BIG_T, limit.shape))
+        sweep = ps_mod.sphere_sweep if ps.as_spheres else ps_mod.disk_sweep
+        t_ps, _ = sweep(ps, org_l, dir_l,
+                        jnp.broadcast_to(BIG_T, limit.shape))
         pb = t_ps < limit
         if avoid_ghosts:
             pb = pb & ~sc.ghost[ps.obj_row]

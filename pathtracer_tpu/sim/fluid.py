@@ -1,0 +1,365 @@
+"""MAC-grid fluid simulator — the embedded fluid subsystem, TPU-native.
+
+Counterpart of the reference Fluid (reference: fluid.h:91-997): staggered
+MAC velocities sized (N+1)*N*N, solid-cell rasterization from the scene,
+semi-Lagrangian advection, gravity, a matrix-free Jacobi-preconditioned CG
+pressure solve with solid/air boundary handling, velocity extrapolation,
+RK4 particle advection, and per-frame particle snapshots.
+
+The reference is OpenMP loops over cells (fluid.h:394-913); here every step
+is a fused vectorized grid operation under jit, and the CG loop is a
+lax.while_loop — the classic JAX/TPU formulation of this exact workload.
+Rendering: particles become a sphere set swept like the other primitive
+sets (the reference's uniform-grid DDA over sphere unions, fluid.cpp:36-262,
+arrives with the Pallas kernels).
+
+Cell types follow the reference: 0 = air, 1 = fluid, 2 = solid.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.struct
+
+AIR, FLUID, SOLID = 0, 1, 2
+GRAVITY = 9.81
+
+
+@flax.struct.dataclass
+class FluidConfig:
+    lo: tuple = flax.struct.field(pytree_node=False)       # extent min
+    hi: tuple = flax.struct.field(pytree_node=False)
+    nx: int = flax.struct.field(pytree_node=False, default=32)
+    ny: int = flax.struct.field(pytree_node=False, default=32)
+    nz: int = flax.struct.field(pytree_node=False, default=32)
+    dt: float = flax.struct.field(pytree_node=False, default=0.02)
+    nsubsteps: int = flax.struct.field(pytree_node=False, default=1)
+    rho: float = flax.struct.field(pytree_node=False, default=1.0)
+    cg_iters: int = flax.struct.field(pytree_node=False, default=400)
+    cg_tol: float = flax.struct.field(pytree_node=False, default=1e-5)
+
+    @property
+    def dx(self):
+        return tuple((h - l) / n for l, h, n in
+                     zip(self.lo, self.hi, (self.nx, self.ny, self.nz)))
+
+
+class FluidState(NamedTuple):
+    velx: jnp.ndarray       # (nz, ny, nx+1)
+    vely: jnp.ndarray       # (nz, ny+1, nx)
+    velz: jnp.ndarray       # (nz+1, ny, nx)
+    celltypes: jnp.ndarray  # (nz, ny, nx) int8
+    particles: jnp.ndarray  # (P, 3) world positions
+
+
+def init_state(cfg: FluidConfig, particles, solid_mask=None) -> FluidState:
+    """particles: (P,3); solid_mask: (nz,ny,nx) bool or None."""
+    ct = jnp.zeros((cfg.nz, cfg.ny, cfg.nx), jnp.int8)
+    if solid_mask is not None:
+        ct = jnp.where(jnp.asarray(solid_mask), jnp.int8(SOLID), ct)
+    return FluidState(
+        velx=jnp.zeros((cfg.nz, cfg.ny, cfg.nx + 1), jnp.float32),
+        vely=jnp.zeros((cfg.nz, cfg.ny + 1, cfg.nx), jnp.float32),
+        velz=jnp.zeros((cfg.nz + 1, cfg.ny, cfg.nx), jnp.float32),
+        celltypes=ct,
+        particles=jnp.asarray(particles, jnp.float32),
+    )
+
+
+def seed_box(cfg: FluidConfig, box_lo, box_hi, n_particles, seed=0):
+    """Particle seeding from a box (reference init_particles, fluid.h:247-364)."""
+    rng = np.random.default_rng(seed)
+    lo = np.asarray(box_lo)
+    hi = np.asarray(box_hi)
+    return (rng.uniform(0, 1, (n_particles, 3)) * (hi - lo) + lo
+            ).astype(np.float32)
+
+
+def rasterize_solids(cfg: FluidConfig, objects) -> np.ndarray:
+    """Solid-cell mask from analytic scene objects (the reference casts
+    double rays at every cell, fluid.h:120-139; analytic inside-tests are
+    exact and vectorize).  Spheres: |p-c| < r; planes: below the surface."""
+    from ..scene import scene as scn
+
+    xs = np.linspace(0, 1, cfg.nx, endpoint=False) + 0.5 / cfg.nx
+    ys = np.linspace(0, 1, cfg.ny, endpoint=False) + 0.5 / cfg.ny
+    zs = np.linspace(0, 1, cfg.nz, endpoint=False) + 0.5 / cfg.nz
+    lo = np.asarray(cfg.lo)
+    hi = np.asarray(cfg.hi)
+    zz, yy, xx = np.meshgrid(zs, ys, xs, indexing='ij')
+    p = np.stack([lo[0] + xx * (hi[0] - lo[0]),
+                  lo[1] + yy * (hi[1] - lo[1]),
+                  lo[2] + zz * (hi[2] - lo[2])], axis=-1)
+    solid = np.zeros(p.shape[:3], bool)
+    for o in objects[2:]:  # skip light + dome
+        tr = np.asarray(o.translation, np.float32)
+        if o.obj_type == scn.SPHERE and not o.flip_normals:
+            c = np.asarray(o.center) + tr
+            solid |= np.sum((p - c) ** 2, -1) < float(o.radius) ** 2
+        elif o.obj_type == scn.PLANE:
+            a = np.asarray(o.center) + tr
+            n = np.asarray(o.normal)
+            solid |= np.sum((p - a) * n, -1) < 0
+    return solid
+
+
+def _sample_face_vel(cfg, st, p):
+    """Trilinear staggered-grid velocity at world points p (N,3)."""
+    lo = jnp.asarray(cfg.lo)
+    dx = jnp.asarray(cfg.dx)
+    g = (p - lo) / dx                                 # grid coords
+
+    def tri(vol, gx, gy, gz):
+        nzv, nyv, nxv = vol.shape
+        x = jnp.clip(gx, 0.0, nxv - 1.001)
+        y = jnp.clip(gy, 0.0, nyv - 1.001)
+        z = jnp.clip(gz, 0.0, nzv - 1.001)
+        x0 = x.astype(jnp.int32)
+        y0 = y.astype(jnp.int32)
+        z0 = z.astype(jnp.int32)
+        fx, fy, fz = x - x0, y - y0, z - z0
+        def at(dzc, dyc, dxc):
+            return vol[z0 + dzc, y0 + dyc, x0 + dxc]
+        return ((at(0, 0, 0) * (1 - fx) + at(0, 0, 1) * fx) * (1 - fy)
+                + (at(0, 1, 0) * (1 - fx) + at(0, 1, 1) * fx) * fy) * (1 - fz) \
+            + ((at(1, 0, 0) * (1 - fx) + at(1, 0, 1) * fx) * (1 - fy)
+               + (at(1, 1, 0) * (1 - fx) + at(1, 1, 1) * fx) * fy) * fz
+
+    vx = tri(st.velx, g[:, 0], g[:, 1] - 0.5, g[:, 2] - 0.5)
+    vy = tri(st.vely, g[:, 0] - 0.5, g[:, 1], g[:, 2] - 0.5)
+    vz = tri(st.velz, g[:, 0] - 0.5, g[:, 1] - 0.5, g[:, 2])
+    return jnp.stack([vx, vy, vz], axis=-1)
+
+
+def _face_centers(cfg, axis):
+    lo = jnp.asarray(cfg.lo)
+    dx = jnp.asarray(cfg.dx)
+    shapes = {(0): (cfg.nz, cfg.ny, cfg.nx + 1),
+              (1): (cfg.nz, cfg.ny + 1, cfg.nx),
+              (2): (cfg.nz + 1, cfg.ny, cfg.nx)}[axis]
+    zz, yy, xx = jnp.meshgrid(jnp.arange(shapes[0], dtype=jnp.float32),
+                              jnp.arange(shapes[1], dtype=jnp.float32),
+                              jnp.arange(shapes[2], dtype=jnp.float32),
+                              indexing='ij')
+    off = [0.5, 0.5, 0.5]
+    off[{0: 0, 1: 1, 2: 2}[axis]] = 0.0
+    return jnp.stack([lo[0] + (xx + off[0]) * dx[0],
+                      lo[1] + (yy + off[1]) * dx[1],
+                      lo[2] + (zz + off[2]) * dx[2]], axis=-1)
+
+
+def advect(cfg: FluidConfig, st: FluidState) -> FluidState:
+    """Semi-Lagrangian face-velocity advection (reference: fluid.h:394-461)."""
+    def one(axis, vol):
+        fc = _face_centers(cfg, axis).reshape(-1, 3)
+        v = _sample_face_vel(cfg, st, fc)
+        back = fc - cfg.dt * v
+        return _sample_face_vel(cfg, st, back)[:, axis].reshape(vol.shape)
+
+    return st._replace(velx=one(0, st.velx), vely=one(1, st.vely),
+                       velz=one(2, st.velz))
+
+
+def add_forces(cfg: FluidConfig, st: FluidState) -> FluidState:
+    """Gravity on y faces (reference: fluid.h:763-772)."""
+    return st._replace(vely=st.vely - GRAVITY * cfg.dt)
+
+
+def _neighbor_counts(ct):
+    """Per-cell diagonal of the Poisson operator: non-solid neighbors
+    (domain boundary counts as solid)."""
+    p = jnp.pad(ct == SOLID, 1, constant_values=True)
+    return ((~p[:-2, 1:-1, 1:-1]).astype(jnp.float32)
+            + (~p[2:, 1:-1, 1:-1]).astype(jnp.float32)
+            + (~p[1:-1, :-2, 1:-1]).astype(jnp.float32)
+            + (~p[1:-1, 2:, 1:-1]).astype(jnp.float32)
+            + (~p[1:-1, 1:-1, :-2]).astype(jnp.float32)
+            + (~p[1:-1, 1:-1, 2:]).astype(jnp.float32))
+
+
+def _apply_A(ct, x):
+    """Matrix-free Poisson operator with solid/air BCs (reference: applyA,
+    fluid.h:510-597): Neumann at solids (dropped), Dirichlet 0 at air."""
+    fluid = (ct == FLUID)
+    diag = _neighbor_counts(ct)
+    xp = jnp.pad(jnp.where(fluid, x, 0.0), 1)
+    fp = jnp.pad(fluid, 1)
+    nb = (jnp.where(fp[:-2, 1:-1, 1:-1], xp[:-2, 1:-1, 1:-1], 0.0)
+          + jnp.where(fp[2:, 1:-1, 1:-1], xp[2:, 1:-1, 1:-1], 0.0)
+          + jnp.where(fp[1:-1, :-2, 1:-1], xp[1:-1, :-2, 1:-1], 0.0)
+          + jnp.where(fp[1:-1, 2:, 1:-1], xp[1:-1, 2:, 1:-1], 0.0)
+          + jnp.where(fp[1:-1, 1:-1, :-2], xp[1:-1, 1:-1, :-2], 0.0)
+          + jnp.where(fp[1:-1, 1:-1, 2:], xp[1:-1, 1:-1, 2:], 0.0))
+    out = diag * x - nb
+    return jnp.where(fluid, out, 0.0)
+
+
+def _divergence(cfg, st):
+    dx = cfg.dx
+    div = ((st.velx[:, :, 1:] - st.velx[:, :, :-1]) / dx[0]
+           + (st.vely[:, 1:, :] - st.vely[:, :-1, :]) / dx[1]
+           + (st.velz[1:, :, :] - st.velz[:-1, :, :]) / dx[2])
+    return div
+
+
+def pressure_solve(cfg: FluidConfig, st: FluidState):
+    """Jacobi-preconditioned CG (reference: conjGrad, fluid.h:693-761)."""
+    ct = st.celltypes
+    fluid = (ct == FLUID)
+    rhs = jnp.where(fluid, -_divergence(cfg, st)
+                    * (cfg.rho * cfg.dx[0] * cfg.dx[0] / cfg.dt), 0.0)
+    diag = jnp.maximum(_neighbor_counts(ct), 1.0)
+    minv = jnp.where(fluid, 1.0 / diag, 0.0)
+
+    x0 = jnp.zeros_like(rhs)
+    r0 = rhs
+    z0 = minv * r0
+    p0 = z0
+    rz0 = jnp.sum(r0 * z0)
+
+    def cond(carry):
+        i, _x, r, _z, _p, _rz = carry
+        return (i < cfg.cg_iters) & (jnp.sum(r * r) > cfg.cg_tol ** 2)
+
+    def body(carry):
+        i, x, r, z, p, rz = carry
+        ap = _apply_A(ct, p)
+        denom = jnp.sum(p * ap)
+        alpha = rz / jnp.where(jnp.abs(denom) > 1e-30, denom, 1.0)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = minv * r
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.where(jnp.abs(rz) > 1e-30, rz, 1.0)
+        p = z + beta * p
+        return (i + 1, x, r, z, p, rz_new)
+
+    _, x, _, _, _, _ = jax.lax.while_loop(cond, body,
+                                          (0, x0, r0, z0, p0, rz0))
+    return x
+
+
+def pressure_update(cfg: FluidConfig, st: FluidState, p) -> FluidState:
+    """Subtract the pressure gradient from faces (reference: fluid.h:463-508);
+    faces touching solids are zeroed (no-slip normal component)."""
+    ct = st.celltypes
+    scale = cfg.dt / (cfg.rho * cfg.dx[0])
+    pf = jnp.pad(jnp.where(ct == FLUID, p, 0.0), 1)
+    sp = jnp.pad(ct == SOLID, 1, constant_values=True)
+
+    gx = (pf[1:-1, 1:-1, 1:] - pf[1:-1, 1:-1, :-1]) * (1.0 / 1.0)
+    velx = st.velx - scale * gx
+    solid_face_x = sp[1:-1, 1:-1, 1:] | sp[1:-1, 1:-1, :-1]
+    velx = jnp.where(solid_face_x, 0.0, velx)
+
+    gy = (pf[1:-1, 1:, 1:-1] - pf[1:-1, :-1, 1:-1])
+    vely = st.vely - scale * gy
+    solid_face_y = sp[1:-1, 1:, 1:-1] | sp[1:-1, :-1, 1:-1]
+    vely = jnp.where(solid_face_y, 0.0, vely)
+
+    gz = (pf[1:, 1:-1, 1:-1] - pf[:-1, 1:-1, 1:-1])
+    velz = st.velz - scale * gz
+    solid_face_z = sp[1:, 1:-1, 1:-1] | sp[:-1, 1:-1, 1:-1]
+    velz = jnp.where(solid_face_z, 0.0, velz)
+
+    return st._replace(velx=velx, vely=vely, velz=velz)
+
+
+def extrapolate(cfg: FluidConfig, st: FluidState, sweeps: int = 8):
+    """Spread velocities from fluid-adjacent faces outward (the reference's
+    jump-flooding extrapolation, fluid.h:142-245, as averaging sweeps)."""
+    fluid = st.celltypes == FLUID
+    fp = jnp.pad(fluid, 1)
+
+    def face_valid(axis):
+        if axis == 0:
+            return fp[1:-1, 1:-1, :-1] | fp[1:-1, 1:-1, 1:]
+        if axis == 1:
+            return fp[1:-1, :-1, 1:-1] | fp[1:-1, 1:, 1:-1]
+        return fp[:-1, 1:-1, 1:-1] | fp[1:, 1:-1, 1:-1]
+
+    def run(vol, valid):
+        def sweep(_, carry):
+            v, val = carry
+            vp = jnp.pad(v, 1)
+            valp = jnp.pad(val, 1)
+            s = jnp.zeros_like(v)
+            c = jnp.zeros_like(v)
+            for dz, dy, dxx in ((1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0),
+                                (0, 0, 1), (0, 0, -1)):
+                sl = np.s_[1 + dz:vp.shape[0] - 1 + dz or None,
+                           1 + dy:vp.shape[1] - 1 + dy or None,
+                           1 + dxx:vp.shape[2] - 1 + dxx or None]
+                s = s + jnp.where(valp[sl], vp[sl], 0.0)
+                c = c + valp[sl].astype(jnp.float32)
+            newv = jnp.where(val, v, jnp.where(c > 0, s / jnp.maximum(c, 1),
+                                               v))
+            newval = val | (c > 0)
+            return (newv, newval)
+
+        v, _ = jax.lax.fori_loop(0, sweeps, sweep, (vol, valid))
+        return v
+
+    return st._replace(
+        velx=run(st.velx, face_valid(0)),
+        vely=run(st.vely, face_valid(1)),
+        velz=run(st.velz, face_valid(2)))
+
+
+def move_particles(cfg: FluidConfig, st: FluidState) -> jnp.ndarray:
+    """RK4 particle advection clamped to the extent (reference: fluid.h:846-872)."""
+    p = st.particles
+    k1 = _sample_face_vel(cfg, st, p)
+    k2 = _sample_face_vel(cfg, st, p + 0.5 * cfg.dt * k1)
+    k3 = _sample_face_vel(cfg, st, p + 0.5 * cfg.dt * k2)
+    k4 = _sample_face_vel(cfg, st, p + cfg.dt * k3)
+    newp = p + (cfg.dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+    lo = jnp.asarray(cfg.lo) + 1e-4
+    hi = jnp.asarray(cfg.hi) - 1e-4
+    return jnp.clip(newp, lo, hi)
+
+
+def reclassify(cfg: FluidConfig, st: FluidState) -> FluidState:
+    """Marker-cell update (reference: fluid.h:889-913): clear fluid cells,
+    re-mark cells holding particles."""
+    ct = jnp.where(st.celltypes == FLUID, jnp.int8(AIR), st.celltypes)
+    lo = jnp.asarray(cfg.lo)
+    dx = jnp.asarray(cfg.dx)
+    g = jnp.round((st.particles - lo) / dx - 0.5).astype(jnp.int32)
+    gx = jnp.clip(g[:, 0], 0, cfg.nx - 1)
+    gy = jnp.clip(g[:, 1], 0, cfg.ny - 1)
+    gz = jnp.clip(g[:, 2], 0, cfg.nz - 1)
+    mark = jnp.zeros(ct.shape, bool).at[gz, gy, gx].set(True)
+    ct = jnp.where(mark & (ct == AIR), jnp.int8(FLUID), ct)
+    return st._replace(celltypes=ct)
+
+
+def substep(cfg: FluidConfig, st: FluidState) -> FluidState:
+    """One timestep (reference: Fluid::timestep, fluid.h:874-938)."""
+    st = advect(cfg, st)
+    st = extrapolate(cfg, st)
+    st = add_forces(cfg, st)
+    p = pressure_solve(cfg, st)
+    st = pressure_update(cfg, st, p)
+    newp = move_particles(cfg, st)
+    st = st._replace(particles=newp)
+    st = reclassify(cfg, st)
+    return st
+
+
+substep_jit = jax.jit(substep)
+
+
+def run(cfg: FluidConfig, st: FluidState, nb_frames: int):
+    """Simulate nb_frames, returning per-frame particle snapshots
+    (the reference's particles[frame] store, fluid.h:940-957)."""
+    frames = [np.asarray(st.particles)]
+    for _ in range(nb_frames):
+        for _ in range(cfg.nsubsteps):
+            st = substep_jit(cfg, st)
+        frames.append(np.asarray(st.particles))
+    return st, frames

@@ -1,0 +1,84 @@
+"""MAC fluid simulator: conservation, incompressibility, settling, render."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import pathtracer_tpu as pt
+from pathtracer_tpu.core import rng_host
+from pathtracer_tpu.render import renderer as rnd
+from pathtracer_tpu.scene import pointset as ps_mod
+from pathtracer_tpu.scene import scene as scn
+from pathtracer_tpu.sim import fluid
+
+
+def _cfg(n=12):
+    return fluid.FluidConfig(lo=(0.0, 0.0, 0.0), hi=(1.0, 1.0, 1.0),
+                             nx=n, ny=n, nz=n, dt=0.01, cg_iters=200)
+
+
+def test_pressure_projection_kills_divergence():
+    cfg = _cfg()
+    pts = fluid.seed_box(cfg, (0.1, 0.1, 0.1), (0.9, 0.5, 0.9), 2000)
+    st = fluid.init_state(cfg, pts)
+    st = fluid.reclassify(cfg, st)
+    # inject a divergent velocity field
+    rng = np.random.default_rng(0)
+    st = st._replace(
+        velx=jnp.asarray(rng.normal(0, 1, st.velx.shape), jnp.float32),
+        vely=jnp.asarray(rng.normal(0, 1, st.vely.shape), jnp.float32),
+        velz=jnp.asarray(rng.normal(0, 1, st.velz.shape), jnp.float32))
+    div_before = np.asarray(fluid._divergence(cfg, st))
+    fluid_cells = np.asarray(st.celltypes) == fluid.FLUID
+    p = fluid.pressure_solve(cfg, st)
+    st2 = fluid.pressure_update(cfg, st, p)
+    div_after = np.asarray(fluid._divergence(cfg, st2))
+    # interior fluid cells (not touching air) should be near divergence-free
+    interior = fluid_cells.copy()
+    interior[:1] = interior[-1:] = False
+    b = np.abs(div_before[fluid_cells]).mean()
+    a = np.abs(div_after[fluid_cells]).mean()
+    assert a < b * 0.2, (b, a)
+
+
+def test_particles_fall_under_gravity_and_stay_in_bounds():
+    cfg = _cfg()
+    pts = fluid.seed_box(cfg, (0.2, 0.5, 0.2), (0.8, 0.9, 0.8), 1500)
+    st = fluid.init_state(cfg, pts)
+    st = fluid.reclassify(cfg, st)
+    y0 = float(np.asarray(st.particles)[:, 1].mean())
+    st, frames = fluid.run(cfg, st, nb_frames=6)
+    y1 = float(np.asarray(st.particles)[:, 1].mean())
+    assert y1 < y0 - 0.02, f"particles did not fall: {y0} -> {y1}"
+    p = np.asarray(st.particles)
+    assert p.min() >= -1e-5 and p.max() <= 1.0 + 1e-5
+    assert np.all(np.isfinite(p))
+    assert len(frames) == 7
+
+
+def test_solid_mask_blocks_cells():
+    cfg = _cfg(8)
+    objs = scn.default_objects()
+    objs.append(scn.sphere((0.5, 0.5, 0.5), 0.2))
+    mask = fluid.rasterize_solids(cfg, objs)
+    assert mask[4, 4, 4]          # center inside the sphere
+    assert not mask[0, 0, 0]
+    # note: default ground plane at y=-27.3 is below this extent
+
+
+def test_fluid_frame_renders_as_spheres():
+    cfg = _cfg(8)
+    pts = fluid.seed_box(cfg, (0.2, 0.2, 0.2), (0.8, 0.6, 0.8), 200)
+    # place the fluid box into the visible scene area
+    world = pts * 20.0 + np.array([-10.0, -25.0, -10.0], np.float32)
+    objs = scn.default_objects()
+    objs.append(scn.pointset_object(
+        ps_mod.fluid_pointset(world, radius=1.0, color=(0.3, 0.5, 0.9))))
+    sc = scn.build_scene(objs, scn.default_light_intensity())
+    assert sc.pointsets[0].as_spheres
+    cam = pt.make_camera((0, 0, 50), (0, 0, -1), (0, 1, 0))
+    cp = jnp.asarray(rng_host.random_per_pixel_fast(16, 12))
+    img, _ = rnd.render_unsplatted(sc, cam, cp,
+                                   rnd.RenderConfig(width=16, height=12,
+                                                    nrays=2))
+    img = np.asarray(img)
+    assert np.all(np.isfinite(img)) and img.max() > 0
