@@ -21,9 +21,47 @@ multi-million-triangle configs without changing the array contract.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+import ctypes
+import os
+import subprocess
+from typing import NamedTuple, Optional
 
 import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), 'native')
+_native_lib = None
+_native_tried = False
+
+
+def _load_native() -> Optional[ctypes.CDLL]:
+    """Compile (once) and load the C++ builder via ctypes; None on failure.
+
+    The native builder replaces this module's numpy build for large meshes —
+    same algorithm, C++ speed (the reference's builder is C++ too,
+    TriangleMesh.cpp:1029-1130).
+    """
+    global _native_lib, _native_tried
+    if _native_tried:
+        return _native_lib
+    _native_tried = True
+    src = os.path.join(_NATIVE_DIR, 'bvh_builder.cpp')
+    lib = os.path.join(_NATIVE_DIR, 'libptbvh.so')
+    try:
+        if (not os.path.exists(lib)
+                or os.path.getmtime(lib) < os.path.getmtime(src)):
+            subprocess.run(
+                ['g++', '-O3', '-shared', '-fPIC', src, '-o', lib],
+                check=True, capture_output=True, timeout=120)
+        dll = ctypes.CDLL(lib)
+        dll.pt_build_bvh.restype = ctypes.c_int
+        _native_lib = dll
+    except Exception:
+        _native_lib = None
+    return _native_lib
+
+
+NATIVE_BUILD_MIN_TRIS = 20000   # below this numpy is fast enough
 
 
 class FlatBVH(NamedTuple):
@@ -47,13 +85,57 @@ def build_bvh(tri_verts: np.ndarray, max_leaf_size: int = 4,
                                  max_leaf_size, n_split_tests)
 
 
+def build_bvh_native(lo_tri, hi_tri, centers, max_leaf_size=4,
+                     n_split_tests=16) -> Optional[FlatBVH]:
+    """C++ builder path (native/bvh_builder.cpp); None if unavailable."""
+    dll = _load_native()
+    if dll is None:
+        return None
+    n = lo_tri.shape[0]
+    lo = np.ascontiguousarray(lo_tri, np.float32)
+    hi = np.ascontiguousarray(hi_tri, np.float32)
+    cen = np.ascontiguousarray(centers, np.float32)
+    cap = 2 * n
+    node_lo = np.empty((cap, 3), np.float32)
+    node_hi = np.empty((cap, 3), np.float32)
+    node_a = np.empty(cap, np.int32)
+    node_b = np.empty(cap, np.int32)
+    node_leaf = np.empty(cap, np.uint8)
+    order = np.empty(n, np.int32)
+    stats = np.zeros(3, np.int32)
+
+    def p(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    rc = dll.pt_build_bvh(p(lo), p(hi), p(cen), n, max_leaf_size,
+                          n_split_tests, p(node_lo), p(node_hi), p(node_a),
+                          p(node_b), p(node_leaf), p(order), p(stats))
+    if rc != 0:
+        return None
+    m = int(stats[0])
+    return FlatBVH(node_lo=node_lo[:m], node_hi=node_hi[:m],
+                   node_a=node_a[:m], node_b=node_b[:m],
+                   node_leaf=node_leaf[:m].astype(bool), order=order,
+                   max_leaf=int(stats[2]), depth=int(stats[1]), n_nodes=m)
+
+
 def build_bvh_from_bounds(lo_tri: np.ndarray, hi_tri: np.ndarray,
                           centers: np.ndarray, max_leaf_size: int = 4,
-                          n_split_tests: int = 16) -> FlatBVH:
+                          n_split_tests: int = 16,
+                          prefer_native: Optional[bool] = None) -> FlatBVH:
     """Build from per-primitive bounds+centers — shared by triangles, point
-    disks (PointSet.cpp:34-121) and yarn cylinders (TriangleMesh.cpp:1550+)."""
+    disks (PointSet.cpp:34-121) and yarn cylinders (TriangleMesh.cpp:1550+).
+
+    Large inputs route to the C++ builder automatically."""
     t = lo_tri.shape[0]
     assert t > 0
+    if prefer_native is None:
+        prefer_native = t >= NATIVE_BUILD_MIN_TRIS
+    if prefer_native:
+        fb = build_bvh_native(lo_tri, hi_tri, centers, max_leaf_size,
+                              n_split_tests)
+        if fb is not None:
+            return fb
 
     order = np.arange(t, dtype=np.int32)
 
