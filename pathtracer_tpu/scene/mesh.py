@@ -51,10 +51,13 @@ class MeshArrays:
     g_refr: jnp.ndarray      # (G,)
     # per-group texture images (static structure; None entries = constant)
     textures: tuple          # tuple of models.texture.GroupTextures, len G
+    # packet-kernel node arrays (ops/pallas_bvh.PackedBVH tuple) or None
+    packed: tuple
     # statics
     obj_row: int = flax.struct.field(pytree_node=False)
     max_leaf: int = flax.struct.field(pytree_node=False)
     use_brute: bool = flax.struct.field(pytree_node=False)
+    use_packet: bool = flax.struct.field(pytree_node=False)
     interp_normals: bool = flax.struct.field(pytree_node=False)
 
     @property
@@ -63,6 +66,7 @@ class MeshArrays:
 
 
 BRUTE_FORCE_MAX_TRIS = 8192   # below this, dense sweep beats traversal on TPU
+PACKET_MAX_TRIS = 4096        # SMEM-resident tier of the Pallas packet kernel
 
 
 def upload_mesh(md: obj_io.MeshData, obj_row: int,
@@ -146,8 +150,21 @@ def upload_mesh(md: obj_io.MeshData, obj_row: int,
     if use_brute is None:
         use_brute = len(order) <= BRUTE_FORCE_MAX_TRIS
 
+    # the Pallas packet kernel replaces the brute sweep on TPU for the
+    # SMEM-resident tier (see ops/pallas_bvh.py); CPU keeps the dense path
+    import jax
+    use_packet = (len(order) <= PACKET_MAX_TRIS
+                  and jax.default_backend() == 'tpu')
+    if use_packet:
+        from ..ops import pallas_bvh
+        pk = pallas_bvh.pack_bvh(fb)
+        packed = (pk.lox, pk.loy, pk.loz, pk.hix, pk.hiy, pk.hiz,
+                  pk.na, pk.nb, pk.nleaf)
+    else:
+        packed = ()
+
     return MeshArrays(
-        soup=soup, bvh=bvh,
+        soup=soup, bvh=bvh, packed=packed, use_packet=use_packet,
         n0=jnp.asarray(n0), n1=jnp.asarray(n1), n2=jnp.asarray(n2),
         uv0=jnp.asarray(uv0), uv1=jnp.asarray(uv1), uv2=jnp.asarray(uv2),
         t0=jnp.asarray(t0), t1=jnp.asarray(t1), t2=jnp.asarray(t2),

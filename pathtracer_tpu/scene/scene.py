@@ -492,6 +492,13 @@ def _mesh_closest_hit(mesh, org_l, dir_l, t_max, cutout_rounds=4):
     has_alpha = any(gt.alpha is not None for gt in mesh.textures)
 
     def one_hit(t_min):
+        if mesh.use_packet:
+            from ..ops import pallas_bvh
+            t, tri, al, be = pallas_bvh.packet_hit(
+                mesh.packed, mesh.soup, org_l, dir_l, t_max,
+                max_leaf=mesh.max_leaf, tmin=t_min)
+            return traverse.MeshHit(t=t, tri=tri, alpha=al, beta=be,
+                                    gamma=1.0 - al - be)
         if mesh.use_brute:
             return traverse.brute_force_hit(mesh.soup, org_l, dir_l,
                                             t_max=t_max, t_min=t_min)
@@ -793,8 +800,9 @@ def intersect_shadow(sc: SceneArrays, origins, dirs, dist_light,
     for mesh in sc.meshes:
         org_l, dir_l = _local_ray_row(sc, mesh.obj_row, origins, dirs)
         has_alpha = any(gt.alpha is not None for gt in mesh.textures)
-        if has_alpha:
-            # alpha-cutout texels must not occlude (TriangleMesh.cpp:1299-1305)
+        if has_alpha or mesh.use_packet:
+            # alpha-cutout texels must not occlude (TriangleMesh.cpp:1299-1305);
+            # the packet kernel also routes through the closest-hit path
             mh = _mesh_closest_hit(mesh, org_l, dir_l,
                                    jnp.broadcast_to(BIG_T, limit.shape))
             mb = mh.t < limit
