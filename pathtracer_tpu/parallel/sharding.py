@@ -27,7 +27,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..core import camera as cam_mod
 from ..core import qmc
@@ -127,7 +127,7 @@ def make_sharded_render(mesh: Mesh, cfg, film_ratio):
             body, mesh=mesh,
             in_specs=(P(), P(), P('dp'), P('sp'), P('dp'), P('dp')),
             out_specs=(P(), P()),
-            check_rep=False,
+            check_vma=False,
         )(sc, cam, cp_table, sample_ids, pix_i_all, pix_j_all)
 
     return jax.jit(sharded)
