@@ -25,7 +25,7 @@ def main():
     from pathtracer_tpu.scene import scene as scn
 
     W, H, BOUNCES = 1920, 1080, 3
-    WARMUP_SPP, BENCH_SPP = 2, 8
+    WARMUP_SPP, BENCH_SPP = 16, 32
 
     objs = scn.default_objects()
     objs.append(pt.sphere((0.0, -17.0, 0.0), 10.0, kd=(0.7, 0.3, 0.2),

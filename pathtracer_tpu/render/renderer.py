@@ -41,7 +41,36 @@ class RenderConfig(NamedTuple):
     samples_per_wave: int = 4   # spp chunk traced per jit call
     double_frustum_start_t: float = 0.0
     has_denoiser: bool = False  # accumulate unsplatted aux for denoising
+    tile_size: int = 0          # >0: trace rays in tile-major order (packet
+                                # coherence for the Pallas mesh kernel)
 
+
+
+def _pixel_order(w, h, tile_size):
+    """Pixel index arrays + an untile fn mapping lane order -> row-major.
+
+    tile_size=0: row-major (identity).  Otherwise tile-major: lanes walk
+    32x32 (say) pixel tiles — tight packet frustums for the Pallas BVH
+    kernel (ops/pallas_bvh.py) and better locality generally.
+    """
+    ii, jj = jnp.meshgrid(jnp.arange(h, dtype=jnp.int32),
+                          jnp.arange(w, dtype=jnp.int32), indexing='ij')
+    if tile_size and w % tile_size == 0 and h % tile_size == 0:
+        ts = tile_size
+        ht, wt = h // ts, w // ts
+
+        def tile(a):
+            return (a.reshape(ht, ts, wt, ts)
+                    .transpose(0, 2, 1, 3).reshape(-1))
+
+        def untile(x):
+            lead = x.shape[1:]
+            return (x.reshape(ht, wt, ts, ts, *lead)
+                    .transpose(0, 2, 1, 3, *(4 + i for i in range(len(lead))))
+                    .reshape(h * w, *lead))
+
+        return tile(ii), tile(jj), untile
+    return ii.reshape(-1), jj.reshape(-1), (lambda x: x)
 
 
 def _background_pixels(sc, pix_i, pix_j, w, h):
@@ -68,10 +97,7 @@ def _wave(sc: scn.SceneArrays, cam: cam_mod.Camera, cp_table, cfg: RenderConfig,
                                   int(np.ceil(cfg.sigma_filter * 2)),
                                   film_spec_ratio)
 
-    ii, jj = jnp.meshgrid(jnp.arange(h, dtype=jnp.int32),
-                          jnp.arange(w, dtype=jnp.int32), indexing='ij')
-    pix_i = ii.reshape(-1)
-    pix_j = jj.reshape(-1)
+    pix_i, pix_j, untile = _pixel_order(w, h, cfg.tile_size)
     pix_flat = pix_i * w + pix_j
     bg_pixel = _background_pixels(sc, pix_i, pix_j, w, h)
 
@@ -105,12 +131,13 @@ def _wave(sc: scn.SceneArrays, cam: cam_mod.Camera, cp_table, cfg: RenderConfig,
             sc, org, dirn, rng_state, cp_r12, cfg.nb_bounces,
             bg_pixel=bg_pixel)
 
+        color_rm = untile(color)
         image, sample_count = film_mod.splat(
-            film_spec, image, sample_count, color, dx, dy)
+            film_spec, image, sample_count, color_rm, untile(dx), untile(dy))
         if cfg.has_denoiser:
-            aux = (aux[0] + color.reshape(h, w, 3),
-                   aux[1] + aaux.reshape(h, w, 3),
-                   aux[2] + naux.reshape(h, w, 3))
+            aux = (aux[0] + color_rm.reshape(h, w, 3),
+                   aux[1] + untile(aaux).reshape(h, w, 3),
+                   aux[2] + untile(naux).reshape(h, w, 3))
         return (image, sample_count, aux), None
 
     if aux is None:
