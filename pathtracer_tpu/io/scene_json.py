@@ -138,6 +138,13 @@ def load_scene(path: str, name_subst: Optional[str] = None):
                       else np.asarray(od['rotation']).reshape(3, 3)),
             rotation_center=od.get('rotation_center'),
         )
+        if od.get('merl_path'):
+            from ..models import merl as merl_mod
+            mp = od['merl_path']
+            if not os.path.isabs(mp):
+                mp = os.path.join(base_dir, mp)
+            if os.path.exists(mp):
+                kw['measured_brdf'] = merl_mod.load_merl(mp)
         if od['type'] == 'sphere':
             objects.append(scn.sphere(od['center'], od['radius'], **kw))
         elif od['type'] == 'plane':

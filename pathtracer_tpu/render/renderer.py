@@ -254,6 +254,29 @@ class Renderer:
     def u8(self):
         return film_mod.to_u8(self.display())
 
+    def save_checkpoint(self, path: str):
+        """Mid-render checkpoint: framebuffer + splat weights + progress
+        (SURVEY §5 — the reference has no mid-render resume; a preempted
+        pod slice resumes from here)."""
+        np.savez(path, image=np.asarray(self.image),
+                 sample_count=np.asarray(self.sample_count),
+                 aux0=np.asarray(self.aux[0]), aux1=np.asarray(self.aux[1]),
+                 aux2=np.asarray(self.aux[2]),
+                 samples_done=self.samples_done,
+                 cfg=repr(self.cfg))
+
+    def load_checkpoint(self, path: str):
+        """Resume a checkpoint written by save_checkpoint (same config)."""
+        d = np.load(path, allow_pickle=False)
+        assert str(d['cfg']) == repr(self.cfg), (
+            'checkpoint was written with a different RenderConfig')
+        self.image = jnp.asarray(d['image'])
+        self.sample_count = jnp.asarray(d['sample_count'])
+        self.aux = (jnp.asarray(d['aux0']), jnp.asarray(d['aux1']),
+                    jnp.asarray(d['aux2']))
+        self.samples_done = int(d['samples_done'])
+        return self
+
     def denoised_display(self, iterations: int = 4):
         """Denoised output from the aux buffers (the OIDN path,
         Raytracer.cpp:1719-1756).  Requires cfg.has_denoiser."""

@@ -66,7 +66,7 @@ class MeshArrays:
 
 
 BRUTE_FORCE_MAX_TRIS = 8192   # below this, dense sweep beats traversal on TPU
-PACKET_MAX_TRIS = 4096        # SMEM-resident tier of the Pallas packet kernel
+PACKET_MAX_TRIS = 8000        # SMEM-resident tier (~1MB scalar memory)
 
 
 def upload_mesh(md: obj_io.MeshData, obj_row: int,
