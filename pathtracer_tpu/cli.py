@@ -36,8 +36,14 @@ def main(argv=None):
     from .render.renderer import Renderer
     from .scene import scene as scn
 
-    objects, light_intensity, cam, cfg, extras = scene_json.load_scene(
-        args.scene, args.name_subst)
+    if args.scene.lower().endswith('.scn'):
+        # the reference's text format (Raytracer.cpp:1096-1236)
+        from .io import scn_import
+        objects, light_intensity, cam, cfg, extras = scn_import.load_scn(
+            args.scene, args.name_subst)
+    else:
+        objects, light_intensity, cam, cfg, extras = scene_json.load_scene(
+            args.scene, args.name_subst)
     if args.spp:
         cfg = cfg._replace(nrays=args.spp)
     if args.size:
