@@ -85,6 +85,8 @@ class PointSetArrays:
     # True: points are SPHERES (fluid particle rendering, fluid.cpp:175-262)
     # False: normal-oriented disks (PointSet splats)
     as_spheres: bool = flax.struct.field(pytree_node=False, default=False)
+    # transparent fluid: union-exit semantics for interior rays
+    transparent: bool = flax.struct.field(pytree_node=False, default=False)
 
     @property
     def num_points(self):
@@ -153,6 +155,61 @@ def sphere_sweep(ps: PointSetArrays, org, dirn, t_max, chunk: int = 4096):
         best_i = jnp.where(win, j.astype(jnp.int32) + start, best_i)
         best_t = jnp.where(win, tj, best_t)
     return best_t, best_i
+
+
+def sphere_union_exit(ps: PointSetArrays, org, dirn, chunk: int = 4096,
+                      iters: int = 6):
+    """Exit point of the union of spheres containing the ray origin.
+
+    TPU-native form of the reference's transparent-fluid interval walk
+    (fluid.cpp:65-171: collect per-sphere (t1,t2), sort, walk merged
+    intervals): instead of a per-lane sort, iterate a monotone fixed point —
+    extend the current exit t by any sphere whose interval straddles it.
+    Converges to the union-component exit in a few sweeps.
+
+    Returns (t_exit (N,), idx (N,) of the sphere providing the exit,
+    inside (N,) bool).
+    """
+    n = org.shape[0]
+    ox, oy, oz = org[:, 0:1], org[:, 1:2], org[:, 2:3]
+    dx, dy, dz = dirn[:, 0:1], dirn[:, 1:2], dirn[:, 2:3]
+    a = dx * dx + dy * dy + dz * dz
+    total = ps.num_points
+
+    t_exit = jnp.zeros((n,))
+    idx = jnp.full((n,), -1, jnp.int32)
+    inside = jnp.zeros((n,), bool)
+    eps = 1e-4
+    for it in range(iters):
+        changed_exit = t_exit
+        changed_idx = idx
+        for start in range(0, total, chunk):
+            sl = slice(start, min(start + chunk, total))
+            ocx = ox - ps.px[sl]
+            ocy = oy - ps.py[sl]
+            ocz = oz - ps.pz[sl]
+            b = dx * ocx + dy * ocy + dz * ocz
+            c = ocx * ocx + ocy * ocy + ocz * ocz - ps.radius[sl] ** 2
+            delta = b * b - a * c
+            sq = jnp.sqrt(jnp.maximum(delta, 0.0))
+            t1 = (-b - sq) / a
+            t2 = (-b + sq) / a
+            ok = (delta >= 0) & (t2 > 0)
+            if it == 0:
+                inside = inside | jnp.any(ok & (t1 < 0), axis=-1)
+            # spheres whose interval straddles the current exit extend it
+            straddle = ok & (t1 <= (changed_exit[:, None] + eps)) \
+                & (t2 > changed_exit[:, None])
+            t2m = jnp.where(straddle, t2, -1.0)
+            j = jnp.argmax(t2m, axis=-1)
+            tj = jnp.take_along_axis(t2m, j[:, None], -1)[:, 0]
+            win = tj > changed_exit
+            changed_idx = jnp.where(win, j.astype(jnp.int32) + start,
+                                    changed_idx)
+            changed_exit = jnp.where(win, tj, changed_exit)
+        t_exit = changed_exit
+        idx = changed_idx
+    return t_exit, idx, inside
 
 
 def fluid_pointset(particles, obj_row=0, radius=0.5,

@@ -392,6 +392,14 @@ def _merge_pointset_hit(sc: SceneArrays, ps, origins, dirs, cur: Hit,
     org_l, dir_l = _local_ray_row(sc, row, origins, dirs)
     if ps.as_spheres:
         t_ps, idx = ps_mod.sphere_sweep(ps, org_l, dir_l, cur.t)
+        # transparent fluid: rays starting inside the particle union exit
+        # at the union boundary (the reference's interval-union walk,
+        # fluid.cpp:65-171) so refraction happens at entry and exit only
+        if ps.transparent:
+            t_u, idx_u, inside = ps_mod.sphere_union_exit(ps, org_l, dir_l)
+            use_u = inside & (t_u < cur.t) & (t_u > 0)
+            t_ps = jnp.where(use_u, t_u, t_ps)
+            idx = jnp.where(use_u, idx_u, idx)
     else:
         t_ps, idx = ps_mod.disk_sweep(ps, org_l, dir_l, cur.t)
     win = t_ps < cur.t
@@ -994,7 +1002,8 @@ def build_scene(objects, light_intensity, envmap_intensity=1.0, envmap=None,
             continue
         pd = o.mesh_data
         if isinstance(pd, ps_mod.PointSetArrays):
-            pointsets.append(pd.replace(obj_row=i))
+            pointsets.append(pd.replace(obj_row=i,
+                                        transparent=bool(o.transp)))
         else:
             pts = np.asarray(pd['points'], np.float32)
             nrm = pd.get('normals')
