@@ -150,12 +150,18 @@ def _fog_event(sc, org, dirn, seg_t, sample_light_pos, rng_st):
     vis_block = hit.hit & (hit.t * hit.t < d_light2 * 0.99)
     visible = is_uniform | ~vis_block
 
+    # area->solid-angle Jacobian of the light-cone sample; at grazing light
+    # hits jac -> 0 (or slightly negative in f32), which must push pdf_light
+    # -> +inf, NOT flip it negative: a negative mixture pdf under the
+    # max(denominator, eps) clamp exploded into 1e26-weight fireflies (the
+    # reference has the same latent defect, Raytracer.cpp:170-172)
     jac = vec.dot(hit.n, -random_dir) / jnp.maximum(vec.norm2(hit.p - random_p),
                                                    1e-12)
+    jac = jnp.maximum(jac, 1e-9)
     pdf_light_sa = (vec.dot(vec.normalize(hit.p - sc.center_light), axe_op)
-                    / (np.pi * sc.radius_light ** 2)
-                    / jnp.where(jnp.abs(jac) > 1e-20, jac, 1.0))
-    pdf_light = jnp.where(hit.hit & (hit.obj_id == 0), pdf_light_sa, 0.0)
+                    / (np.pi * sc.radius_light ** 2) / jac)
+    pdf_light = jnp.where(hit.hit & (hit.obj_id == 0),
+                          jnp.maximum(pdf_light_sa, 0.0), 0.0)
     proba_dir = 0.5 * (1.0 / (4.0 * np.pi)) + 0.5 * pdf_light
 
     if sc.fog_type == 0:
@@ -522,17 +528,25 @@ def trace_paths(sc: scn.SceneArrays, origins, dirs, rng_state, cp_r12,
         if sc.fog_enabled:
             # Wavefront fog branching: the reference pushes BOTH the surface
             # continuation and the in-scatter Contrib (:279-283 etc.); one
-            # lane carries one ray, so russian-roulette between them —
-            # 50/50 with 2x weight when both exist, the survivor otherwise.
-            # Unbiased; the CPU harness mirrors the same estimator.
+            # lane carries one ray, so russian-roulette between them.
+            # Branch probability proportional to throughput magnitude
+            # (importance-weighted RR — unbiased for any p in (0,1), far
+            # lower variance than 50/50 when fog weights spike near the
+            # light).  The CPU harness mirrors the same estimator.
             both = surf_alive & fog_valid
-            u_rr, rng_st = prng.next_uniform(rng_st, gate=both)
-            take_fog = fog_valid & (~surf_alive | (both & (u_rr < 0.5)))
-            rr_mult = jnp.where(both, 2.0, 1.0)
             w_surface = new_weight * trans_T[:, None]
             w_fog = state.weight * fog_w[:, None]
+            lum_f = jnp.sum(jnp.abs(w_fog), axis=-1)
+            lum_s = jnp.sum(jnp.abs(w_surface), axis=-1)
+            p_fog = jnp.clip(lum_f / jnp.maximum(lum_f + lum_s, 1e-30),
+                             0.05, 0.95)
+            u_rr, rng_st = prng.next_uniform(rng_st, gate=both)
+            take_fog = fog_valid & (~surf_alive | (both & (u_rr < p_fog)))
+            mult = jnp.where(
+                both, jnp.where(take_fog, 1.0 / p_fog, 1.0 / (1.0 - p_fog)),
+                1.0)
             new_weight = jnp.where(take_fog[:, None], w_fog,
-                                   w_surface) * rr_mult[:, None]
+                                   w_surface) * mult[:, None]
             new_org = jnp.where(take_fog[:, None], fog_org, new_org)
             new_dir = jnp.where(take_fog[:, None], fog_dir, new_dir)
             # fog branch keeps show_lights/show_env/had_ss of the parent (:188)

@@ -254,6 +254,19 @@ class Renderer:
     def u8(self):
         return film_mod.to_u8(self.display())
 
+    def stats(self, seconds: float):
+        """Observability record: rays/s + time-per-sample (the reference's
+        status-bar metrics, mainApp.cpp:1168-1170)."""
+        from ..utils.profiling import rays_per_second
+        spp = max(self.samples_done, 1)
+        return {
+            'samples_done': self.samples_done,
+            'time_per_sample_s': seconds / spp,
+            'rays_per_second': rays_per_second(
+                self.cfg.width, self.cfg.height, spp, self.cfg.nb_bounces,
+                seconds),
+        }
+
     def save_checkpoint(self, path: str):
         """Mid-render checkpoint: framebuffer + splat weights + progress
         (SURVEY §5 — the reference has no mid-render resume; a preempted

@@ -341,9 +341,10 @@ def fog_event(scene, org, dirn, seg_t, sample_lp, eng):
         p_hit = random_p + t_hit * random_dir
         jac = np.dot(n_hit, -random_dir) / max(
             np.dot(p_hit - random_p, p_hit - random_p), 1e-12)
-        if abs(jac) > 1e-20:
-            pdf_light = (np.dot(normalize(p_hit - scene.center_light), axe_op)
-                         / (math.pi * scene.radius_light ** 2) / jac)
+        jac = max(jac, 1e-9)   # grazing guard, mirrors the integrator
+        pdf_light = max(0.0, np.dot(normalize(p_hit - scene.center_light),
+                                    axe_op)
+                        / (math.pi * scene.radius_light ** 2) / jac)
     proba_dir = 0.5 / (4 * math.pi) + 0.5 * pdf_light
     if scene.fog_type == 0:
         ext = scene.fog_density * 0.05
@@ -575,20 +576,28 @@ def trace_path(scene: CPUScene, cam, i, j, key, cp_shift, lattice_pt,
                 w_ind = weight * subs_w * f_ind * (np.dot(n, d_ind) / pdf)
                 surf = (p + 0.01 * d_ind, d_ind, w_ind, False, had_ss or ss_now)
 
-        # --- RR-merge surface vs fog branches (canonical order #5) ---
+        # --- RR-merge surface vs fog branches (canonical order #5):
+        # importance-weighted branch probability, mirroring the integrator ---
         if scene.fog_enabled:
             both = surf is not None and fog_branch is not None
             if both:
+                fp, fd, fw = fog_branch
+                w_fog = weight * fw
+                w_surf = surf[2] * T
+                lum_f = float(np.abs(w_fog).sum())
+                lum_s = float(np.abs(w_surf).sum())
+                p_fog = min(0.95, max(0.05,
+                                      lum_f / max(lum_f + lum_s, 1e-30)))
                 u_rr = eng.next_float()
             if fog_branch is not None and (surf is None
-                                           or (both and u_rr < 0.5)):
+                                           or (both and u_rr < p_fog)):
                 fp, fd, fw = fog_branch
-                mult = 2.0 if both else 1.0
+                mult = (1.0 / p_fog) if both else 1.0
                 org, dirn = fp, fd
                 weight = weight * fw * mult
                 # show_lights/show_env preserved on the fog branch
             elif surf is not None:
-                mult = 2.0 if both else 1.0
+                mult = (1.0 / (1.0 - p_fog)) if both else 1.0
                 org, dirn, w_new, show_lights, had_ss = surf
                 weight = w_new * T * mult
             else:
