@@ -53,7 +53,6 @@ def main(argv=None):
     envmap = None
     if extras.get('envmap'):
         from .io.image import load_hdr, load_image
-        import numpy as np
         ep = extras['envmap']
         envmap = (load_hdr(ep) if ep.lower().endswith('.hdr')
                   else load_image(ep))

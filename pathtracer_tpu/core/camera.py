@@ -10,8 +10,6 @@ Vector.h:792-825).
 from __future__ import annotations
 
 import math
-from typing import NamedTuple
-
 import numpy as np
 import jax.numpy as jnp
 

@@ -7,7 +7,6 @@ arithmetic into the surrounding kernels.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

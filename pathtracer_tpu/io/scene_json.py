@@ -15,9 +15,7 @@ is kept: mesh paths containing '#' substitute the `name_subst` argument.
 
 from __future__ import annotations
 
-import dataclasses
 import json
-import math
 import os
 from typing import Optional
 

@@ -11,8 +11,6 @@ Sampling for both is cosine-hemisphere with pdf = cos/pi
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 import jax.numpy as jnp
 import flax.struct

@@ -20,7 +20,6 @@ mesh via a 'scene' axis with ray all-to-all — later milestone (ops/bvh).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import numpy as np
@@ -34,7 +33,6 @@ from ..core import qmc
 from ..core import rng as prng
 from ..render import film as film_mod
 from ..render import integrator
-from ..scene import scene as scn
 
 
 def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,

@@ -12,8 +12,6 @@ P-point blocks) — the disk test is 10 flops, pure VPU work.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 import jax.numpy as jnp
 import flax.struct

@@ -18,7 +18,7 @@ Cell types follow the reference: 0 = air, 1 = fluid, 2 = solid.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import numpy as np
 import jax
