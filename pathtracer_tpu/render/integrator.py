@@ -264,8 +264,39 @@ def _masked_update(mask, new, old):
     return jnp.where(mask, new, old)
 
 
+def _sort_wavefront(state: PathState, cp_r12, bg_pixel, lane_id):
+    """Reorder lanes: alive first, grouped by direction octant.
+
+    The secondary-ray re-sorting of SURVEY §2.7 (the Embree coherent/
+    incoherent hint become explicit): packets of similar directions keep
+    the Pallas BVH traversal coherent after the first bounce, and dead
+    lanes cluster at the tail.  A stable argsort keeps determinism; the
+    original order is restored through lane_id at the end of the trace.
+    """
+    d = state.dirn
+    octant = ((d[:, 0] > 0).astype(jnp.int32) * 4
+              + (d[:, 1] > 0).astype(jnp.int32) * 2
+              + (d[:, 2] > 0).astype(jnp.int32))
+    key = jnp.where(state.alive, octant, 8)
+    perm = jnp.argsort(key, stable=True)
+
+    def p(x):
+        return x[perm]
+
+    state = PathState(
+        org=p(state.org), dirn=p(state.dirn), weight=p(state.weight),
+        color=p(state.color), alive=p(state.alive),
+        show_lights=p(state.show_lights), show_env=p(state.show_env),
+        had_ss=p(state.had_ss), rng=tuple(p(x) for x in state.rng),
+        normal_aux=p(state.normal_aux), albedo_aux=p(state.albedo_aux))
+    cp_r12 = p(cp_r12)
+    if bg_pixel is not None:
+        bg_pixel = p(bg_pixel)
+    return state, cp_r12, bg_pixel, p(lane_id)
+
+
 def trace_paths(sc: scn.SceneArrays, origins, dirs, rng_state, cp_r12,
-                nb_bounces: int, bg_pixel=None):
+                nb_bounces: int, bg_pixel=None, sort_rays: bool = False):
     """Trace a wavefront of paths to completion.
 
     Args:
@@ -572,7 +603,15 @@ def trace_paths(sc: scn.SceneArrays, origins, dirs, rng_state, cp_r12,
 
     # bounce-major loop, unrolled (nb_bounces is small and static); the last
     # iteration's continuation is dead by construction (depth 0 cull, :240)
+    lane_id = jnp.arange(n, dtype=jnp.int32)
     for depth in range(nb_bounces):
         state = bounce(depth, state)
+        if sort_rays and depth + 1 < nb_bounces:
+            state, cp_r12, bg_pixel, lane_id = _sort_wavefront(
+                state, cp_r12, bg_pixel, lane_id)
 
+    if sort_rays:
+        inv = jnp.argsort(lane_id)
+        return (state.color[inv], state.normal_aux[inv],
+                state.albedo_aux[inv])
     return state.color, state.normal_aux, state.albedo_aux

@@ -43,6 +43,8 @@ class RenderConfig(NamedTuple):
     has_denoiser: bool = False  # accumulate unsplatted aux for denoising
     tile_size: int = 0          # >0: trace rays in tile-major order (packet
                                 # coherence for the Pallas mesh kernel)
+    sort_rays: bool = False     # re-sort the wavefront by direction octant
+                                # between bounces (secondary-ray coherence)
 
 
 
@@ -129,7 +131,7 @@ def _wave(sc: scn.SceneArrays, cam: cam_mod.Camera, cp_table, cfg: RenderConfig,
 
         color, naux, aaux = integrator.trace_paths(
             sc, org, dirn, rng_state, cp_r12, cfg.nb_bounces,
-            bg_pixel=bg_pixel)
+            bg_pixel=bg_pixel, sort_rays=cfg.sort_rays)
 
         color_rm = untile(color)
         image, sample_count = film_mod.splat(
@@ -184,7 +186,8 @@ def render_unsplatted(sc: scn.SceneArrays, cam: cam_mod.Camera, cp_table,
         cp_r12 = qmc.cranley_patterson(lattice[None, :], cp_table)
         color, _, _ = integrator.trace_paths(sc, org, dirn, rng_state, cp_r12,
                                              cfg.nb_bounces,
-                                             bg_pixel=bg_pixel)
+                                             bg_pixel=bg_pixel,
+                                             sort_rays=cfg.sort_rays)
         return acc + color, color
 
     acc, samples = jax.lax.scan(per_sample, jnp.zeros((h * w, 3), jnp.float32),
