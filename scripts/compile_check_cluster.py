@@ -28,8 +28,11 @@ def cull(org, dirn, tmax):
     return pc.cluster_cull(cm, org, dirn, tmax)
 
 
+cbounds = (cm.cb_lox, cm.cb_loy, cm.cb_loz, cm.cb_hix, cm.cb_hiy, cm.cb_hiz)
+
+
 def sweep(ids, org, dirn, tmax, tmin):
-    return pc.cluster_sweep(ids, cm.soup, cm.valid, org, dirn, tmax, tmin)
+    return pc.cluster_sweep(ids, cbounds, cm.packed, org, dirn, tmax, tmin)
 
 
 c1 = jax.jit(cull).lower(org_s, org_s, tm_s).compile()

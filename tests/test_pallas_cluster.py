@@ -11,7 +11,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from pathtracer_tpu.ops import pallas_cluster as pc
-from pathtracer_tpu.ops.traverse import TriSoup, brute_force_hit, make_soup
+from pathtracer_tpu.ops.traverse import brute_force_hit
 
 BIG_T = np.float32(1e30)
 
@@ -44,9 +44,7 @@ def test_two_level_matches_brute_force():
 
     # ground truth over the SAME padded BVH-ordered soup (tri ids line up:
     # clusters are contiguous TRIS_C chunks of the global order)
-    flat = TriSoup(*[jnp.asarray(np.asarray(x).reshape(-1))
-                     for x in cm.soup])
-    ref = brute_force_hit(flat, org, dirn)
+    ref = brute_force_hit(pc.flat_soup(cm), org, dirn)
     # mask out hits on the zero-padding tris (rejected by NaN in both, but
     # be explicit)
     t_ref = np.asarray(ref.t)
