@@ -117,6 +117,18 @@ def build_clustered(tri_verts: np.ndarray) -> ClusteredMesh:
     for i, comp in enumerate(soup_flat):
         packed[:, i, :] = np.asarray(comp).reshape(c, TRIS_C)
     packed[:, 16, :] = valid.astype(np.float32)
+    # rows 17-22: per-SUBT-subtile AABBs, each value replicated across its
+    # subtile's lanes — the sweep reduces a lane slice to recover the
+    # scalar (vector-reduce beats scalar VMEM loads on TPU)
+    n_sub = TRIS_C // SUBT
+    sub_pts = grouped.reshape(c, n_sub, SUBT * 3, 3)
+    sub_valid = np.repeat(valid.reshape(c, n_sub, SUBT), 3,
+                          axis=2)[:, :, :, None]
+    sub_lo = np.where(sub_valid, sub_pts, BIG_T).min(axis=2)    # (c,ns,3)
+    sub_hi = np.where(sub_valid, sub_pts, -BIG_T).max(axis=2)
+    for ax3 in range(3):
+        packed[:, 17 + ax3, :] = np.repeat(sub_lo[:, :, ax3], SUBT, axis=1)
+        packed[:, 20 + ax3, :] = np.repeat(sub_hi[:, :, ax3], SUBT, axis=1)
     return ClusteredMesh(
         top_lox=jnp.asarray(top.node_lo[:, 0]),
         top_loy=jnp.asarray(top.node_lo[:, 1]),
@@ -146,7 +158,7 @@ def flat_soup(cm: ClusteredMesh) -> TriSoup:
 def _cull_kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
                  a_ref, b_ref, leaf_ref, order_ref,
                  org_ref, dir_ref, tmax_ref,
-                 ids_ref, count_ref, stack_ref, keys_ref, *,
+                 ids_ref, count_ref, keys_ref, stack_ref, *,
                  max_leaf: int):
     """Phase 1: emit the clusters this ray packet enters, near-first."""
     ox = org_ref[:, 0]
@@ -164,7 +176,7 @@ def _cull_kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
 
     for k in range(MAXC):
         ids_ref[row, k] = jnp.int32(-1)
-        keys_ref[k] = BIG_T
+        keys_ref[row, k] = BIG_T
     count_ref[row, 0] = jnp.int32(0)
     stack_ref[0] = jnp.int32(0)      # root
 
@@ -200,20 +212,20 @@ def _cull_kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
         @pl.when(cnt < MAXC)
         def _():
             ids_ref[row, cnt] = cid
-            keys_ref[cnt] = key
+            keys_ref[row, cnt] = key
 
         @pl.when(cnt >= MAXC)
         def _():
             # keep the MAXC nearest-entry clusters: replace current worst
             worst = jax.lax.fori_loop(
                 1, MAXC,
-                lambda j, w: jnp.where(keys_ref[j] > keys_ref[w], j, w),
+                lambda j, w: jnp.where(keys_ref[row, j] > keys_ref[row, w], j, w),
                 jnp.int32(0))
 
-            @pl.when(key < keys_ref[worst])
+            @pl.when(key < keys_ref[row, worst])
             def _():
                 ids_ref[row, worst] = cid
-                keys_ref[worst] = key
+                keys_ref[row, worst] = key
 
         count_ref[row, 0] = cnt + 1   # past MAXC == overflow flag
 
@@ -257,11 +269,11 @@ def _cull_kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
     def sort_step(i, _):
         best = jax.lax.fori_loop(
             i + 1, m,
-            lambda j, w: jnp.where(keys_ref[j] < keys_ref[w], j, w), i)
-        ki = keys_ref[i]
-        kb = keys_ref[best]
-        keys_ref[i] = kb
-        keys_ref[best] = ki
+            lambda j, w: jnp.where(keys_ref[row, j] < keys_ref[row, w], j, w), i)
+        ki = keys_ref[row, i]
+        kb = keys_ref[row, best]
+        keys_ref[row, i] = kb
+        keys_ref[row, best] = ki
         ia = ids_ref[row, i]
         ib = ids_ref[row, best]
         ids_ref[row, i] = ib
@@ -271,113 +283,158 @@ def _cull_kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
     jax.lax.fori_loop(0, jnp.maximum(m - 1, 0), sort_step, jnp.int32(0))
 
 
-def _sweep_kernel(ids_ref,
+def _sweep_kernel(ids_ref, cnt_ref, keys_ref,
                   cb_lox, cb_loy, cb_loz, cb_hix, cb_hiy, cb_hiz,
-                  soup_ref,
+                  packed_hbm,
                   ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                   tx_ref, tn_ref,
-                  tout_ref, triout_ref, alout_ref, beout_ref):
-    """Phase 2: dense subtile sweep of one selected cluster vs one packet.
+                  tout_ref, triout_ref, alout_ref, beout_ref,
+                  buf0, sem):
+    """Phase 2: one grid step per PACKET; in-kernel loop over only the
+    clusters phase 1 emitted, with manual HBM->VMEM DMA per slot.
 
-    The cluster's soup subtile arrives in VMEM via the scalar-prefetch
-    index_map — the sweep is pure vector arithmetic.  Slots are
-    near-first, so the per-slot AABB-vs-best-t check ends most packets
-    after a few slots.  The subtile dim stays in the GRID (not an
-    in-kernel loop): an unrolled loop keeps every subtile's temporaries
-    live at once and blows the 16MB scoped-VMEM stack.
+    The DMA is serial (start->wait->process): one 196KB copy is ~0.5us
+    against ~50us of sweep compute, and the cond-switched double-buffer
+    variant hung the device — keep the control flow simple.
+
+    Three levels of culling end most packets after a handful of slots:
+      * sound early BREAK once the next (sorted) slot's entry key is
+        beyond every lane's current best t;
+      * whole-cluster skip when no lane's AABB entry beats its best t;
+      * per-SUBT-subtile skip via the sub-AABBs in packed rows 17-22.
     """
     b = pl.program_id(0)
-    k = pl.program_id(1)
-    s = pl.program_id(2)
+    cnt = jnp.minimum(cnt_ref[b, 0], MAXC)
 
-    @pl.when((k == 0) & (s == 0))
-    def _():
-        tout_ref[0, 0, :] = tx_ref[0, 0, :]
-        triout_ref[0, 0, :] = jnp.full((BLOCK,), -1, jnp.int32)
-        alout_ref[0, 0, :] = jnp.ones((BLOCK,), jnp.float32)
-        beout_ref[0, 0, :] = jnp.zeros((BLOCK,), jnp.float32)
+    tout_ref[0, 0, :] = tx_ref[0, 0, :]
+    triout_ref[0, 0, :] = jnp.full((BLOCK,), -1, jnp.int32)
+    alout_ref[0, 0, :] = jnp.ones((BLOCK,), jnp.float32)
+    beout_ref[0, 0, :] = jnp.zeros((BLOCK,), jnp.float32)
 
-    cid = ids_ref[b, k]
+    ox = ox_ref[0, 0, :]
+    oy = oy_ref[0, 0, :]
+    oz = oz_ref[0, 0, :]
+    dx = dx_ref[0, 0, :]
+    dy = dy_ref[0, 0, :]
+    dz = dz_ref[0, 0, :]
+    ix = 1.0 / dx
+    iy = 1.0 / dy
+    iz = 1.0 / dz
+    tn = tn_ref[0, 0, :]
 
-    @pl.when(cid >= 0)
-    def _():
-        ox = ox_ref[0, 0, :]
-        oy = oy_ref[0, 0, :]
-        oz = oz_ref[0, 0, :]
-        dx = dx_ref[0, 0, :]
-        dy = dy_ref[0, 0, :]
-        dz = dz_ref[0, 0, :]
-        # cluster AABB vs every lane's current best t (prune behind-hits)
-        ix = 1.0 / dx
-        iy = 1.0 / dy
-        iz = 1.0 / dz
-        t1 = (cb_lox[cid] - ox) * ix
-        t2 = (cb_hix[cid] - ox) * ix
+    def dma(k):
+        cid = jnp.maximum(ids_ref[b, k], 0)
+        return pltpu.make_async_copy(packed_hbm.at[cid], buf0, sem)
+
+    def slab6(lox, loy, loz, hix, hiy, hiz):
+        t1 = (lox - ox) * ix
+        t2 = (hix - ox) * ix
         tmin = jnp.minimum(t1, t2)
         tmax = jnp.maximum(t1, t2)
-        t1 = (cb_loy[cid] - oy) * iy
-        t2 = (cb_hiy[cid] - oy) * iy
+        t1 = (loy - oy) * iy
+        t2 = (hiy - oy) * iy
         tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
         tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
-        t1 = (cb_loz[cid] - oz) * iz
-        t2 = (cb_hiz[cid] - oz) * iz
+        t1 = (loz - oz) * iz
+        t2 = (hiz - oz) * iz
         tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
         tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
         entry = jnp.maximum(tmin, 0.0)
-        live = (tmax >= entry) & (entry < tout_ref[0, 0, :])
+        return (tmax >= entry) & (entry < tout_ref[0, 0, :])
+
+    def process(cid, soup_ref):
+        live = slab6(cb_lox[cid], cb_loy[cid], cb_loz[cid],
+                     cb_hix[cid], cb_hiy[cid], cb_hiz[cid])
 
         @pl.when(jnp.any(live))
         def _():
-            oxc = ox[:, None]
-            oyc = oy[:, None]
-            ozc = oz[:, None]
-            dxc = dx[:, None]
-            dyc = dy[:, None]
-            dzc = dz[:, None]
-            rnx = soup_ref[0, 9, :][None, :]
-            rny = soup_ref[0, 10, :][None, :]
-            rnz = soup_ref[0, 11, :][None, :]
-            rax = soup_ref[0, 0, :][None, :]
-            ray_ = soup_ref[0, 1, :][None, :]
-            raz = soup_ref[0, 2, :][None, :]
-            dn = dxc * rnx + dyc * rny + dzc * rnz
-            t = ((rax - oxc) * rnx + (ray_ - oyc) * rny
-                 + (raz - ozc) * rnz) / dn
-            px = oxc + t * dxc - rax
-            py = oyc + t * dyc - ray_
-            pz = ozc + t * dzc - raz
-            b11 = (px * soup_ref[0, 3, :][None, :]
-                   + py * soup_ref[0, 4, :][None, :]
-                   + pz * soup_ref[0, 5, :][None, :])
-            b21 = (px * soup_ref[0, 6, :][None, :]
-                   + py * soup_ref[0, 7, :][None, :]
-                   + pz * soup_ref[0, 8, :][None, :])
-            beta = (b11 * soup_ref[0, 14, :][None, :]
-                    - b21 * soup_ref[0, 13, :][None, :]) \
-                * soup_ref[0, 15, :][None, :]
-            gamma = (b21 * soup_ref[0, 12, :][None, :]
-                     - b11 * soup_ref[0, 13, :][None, :]) \
-                * soup_ref[0, 15, :][None, :]
-            alpha = 1.0 - beta - gamma
-            ok = ((t >= 0.0) & (beta >= 0.0) & (gamma >= 0.0)
-                  & (alpha >= 0.0) & (soup_ref[0, 16, :][None, :] > 0.5)
-                  & (t > tn_ref[0, 0, :][:, None]) & ~jnp.isnan(t))
-            t = jnp.where(ok, t, BIG_T)
-            # winner extraction by min-reductions (no gathers/argmin)
-            tj = jnp.min(t, axis=-1)                          # (BLOCK,)
-            lane_iota = jax.lax.broadcasted_iota(
-                jnp.int32, (BLOCK, SUBT), 1)
-            is_win = t <= tj[:, None]
-            j = jnp.min(jnp.where(is_win, lane_iota, SUBT), axis=-1)
-            onehot = lane_iota == j[:, None]
-            al_j = jnp.sum(jnp.where(onehot, alpha, 0.0), axis=-1)
-            be_j = jnp.sum(jnp.where(onehot, beta, 0.0), axis=-1)
-            win = tj < tout_ref[0, 0, :]
-            tout_ref[0, 0, :] = jnp.where(win, tj, tout_ref[0, 0, :])
-            triout_ref[0, 0, :] = jnp.where(
-                win, cid * TRIS_C + s * SUBT + j, triout_ref[0, 0, :])
-            alout_ref[0, 0, :] = jnp.where(win, al_j, alout_ref[0, 0, :])
-            beout_ref[0, 0, :] = jnp.where(win, be_j, beout_ref[0, 0, :])
+            def sub_body(s, _):
+                off = pl.multiple_of(s * SUBT, SUBT)
+                sl = pl.ds(off, SUBT)
+                # sub-AABB scalars via all-equal lane reduction
+                live_s = slab6(jnp.min(soup_ref[17, sl]),
+                               jnp.min(soup_ref[18, sl]),
+                               jnp.min(soup_ref[19, sl]),
+                               jnp.max(soup_ref[20, sl]),
+                               jnp.max(soup_ref[21, sl]),
+                               jnp.max(soup_ref[22, sl]))
+
+                @pl.when(jnp.any(live_s))
+                def _():
+                    oxc = ox[:, None]
+                    oyc = oy[:, None]
+                    ozc = oz[:, None]
+                    dxc = dx[:, None]
+                    dyc = dy[:, None]
+                    dzc = dz[:, None]
+                    rnx = soup_ref[9, sl][None, :]
+                    rny = soup_ref[10, sl][None, :]
+                    rnz = soup_ref[11, sl][None, :]
+                    rax = soup_ref[0, sl][None, :]
+                    ray_ = soup_ref[1, sl][None, :]
+                    raz = soup_ref[2, sl][None, :]
+                    dn = dxc * rnx + dyc * rny + dzc * rnz
+                    t = ((rax - oxc) * rnx + (ray_ - oyc) * rny
+                         + (raz - ozc) * rnz) / dn
+                    px = oxc + t * dxc - rax
+                    py = oyc + t * dyc - ray_
+                    pz = ozc + t * dzc - raz
+                    b11 = (px * soup_ref[3, sl][None, :]
+                           + py * soup_ref[4, sl][None, :]
+                           + pz * soup_ref[5, sl][None, :])
+                    b21 = (px * soup_ref[6, sl][None, :]
+                           + py * soup_ref[7, sl][None, :]
+                           + pz * soup_ref[8, sl][None, :])
+                    beta = (b11 * soup_ref[14, sl][None, :]
+                            - b21 * soup_ref[13, sl][None, :]) \
+                        * soup_ref[15, sl][None, :]
+                    gamma = (b21 * soup_ref[12, sl][None, :]
+                             - b11 * soup_ref[13, sl][None, :]) \
+                        * soup_ref[15, sl][None, :]
+                    alpha = 1.0 - beta - gamma
+                    ok = ((t >= 0.0) & (beta >= 0.0) & (gamma >= 0.0)
+                          & (alpha >= 0.0)
+                          & (soup_ref[16, sl][None, :] > 0.5)
+                          & (t > tn[:, None]) & ~jnp.isnan(t))
+                    t = jnp.where(ok, t, BIG_T)
+                    # winner by min-reductions (no gathers / argmin)
+                    tj = jnp.min(t, axis=-1)                  # (BLOCK,)
+                    lane_iota = jax.lax.broadcasted_iota(
+                        jnp.int32, (BLOCK, SUBT), 1)
+                    is_win = t <= tj[:, None]
+                    j = jnp.min(jnp.where(is_win, lane_iota, SUBT),
+                                axis=-1)
+                    onehot = lane_iota == j[:, None]
+                    al_j = jnp.sum(jnp.where(onehot, alpha, 0.0), axis=-1)
+                    be_j = jnp.sum(jnp.where(onehot, beta, 0.0), axis=-1)
+                    win = tj < tout_ref[0, 0, :]
+                    tout_ref[0, 0, :] = jnp.where(win, tj,
+                                                  tout_ref[0, 0, :])
+                    triout_ref[0, 0, :] = jnp.where(
+                        win, cid * TRIS_C + off + j, triout_ref[0, 0, :])
+                    alout_ref[0, 0, :] = jnp.where(win, al_j,
+                                                   alout_ref[0, 0, :])
+                    beout_ref[0, 0, :] = jnp.where(win, be_j,
+                                                   beout_ref[0, 0, :])
+                return 0
+
+            jax.lax.fori_loop(0, TRIS_C // SUBT, sub_body, jnp.int32(0))
+
+    def loop(k):
+        copy = dma(k)
+        copy.start()
+        copy.wait()
+        process(ids_ref[b, k], buf0)
+
+        # sound early break: slots are sorted by packet-min entry key and
+        # every lane's own entry >= that key, so once the NEXT key is
+        # beyond every lane's best t no later slot can win
+        max_tout = jnp.max(tout_ref[0, 0, :])
+        kn = jnp.minimum(k + 1, MAXC - 1)
+        cont = (k + 1 < cnt) & (keys_ref[b, kn] < max_tout)
+        return jnp.where(cont, k + 1, cnt)
+
+    jax.lax.while_loop(lambda k: k < cnt, loop, jnp.int32(0))
 
 
 @functools.partial(jax.jit, static_argnames=('max_leaf', 'interpret'))
@@ -396,13 +453,14 @@ def _cull_call(top_arrays, org, dirn, tmax, max_leaf: int,
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # whole (nb, MAXC)
             pl.BlockSpec(memory_space=pltpu.SMEM),   # whole (nb, 1)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # keys (nb, MAXC)
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n // BLOCK, MAXC), jnp.int32),
             jax.ShapeDtypeStruct((n // BLOCK, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n // BLOCK, MAXC), jnp.float32),
         ],
-        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32),
-                        pltpu.SMEM((MAXC,), jnp.float32)],
+        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
         interpret=interpret,
     )(*top_arrays, org, dirn, tmax.reshape(n, 1))
 
@@ -436,7 +494,8 @@ def _top_arrays(cm: ClusteredMesh):
 def cluster_cull(cm: ClusteredMesh, org, dirn, tmax, interpret=False):
     """Phase 1.  Returns (ids (nb, MAXC) int32, -1-padded, near-first;
     count (nb, 1) int32; count > MAXC means the packet overflowed and
-    only the MAXC nearest-entry clusters were kept).
+    only the MAXC nearest-entry clusters were kept;
+    keys (nb, MAXC) f32: the sorted packet-min slab entry t per slot).
 
     Large ray sets run as a lax.map over CHUNK_PACKETS-packet chunks (one
     compile, one dispatch) to bound the kernel's SMEM output footprint."""
@@ -453,37 +512,39 @@ def cluster_cull(cm: ClusteredMesh, org, dirn, tmax, interpret=False):
         return _cull_call(_top_arrays(cm), o, d, tm,
                           max_leaf=cm.top_max_leaf, interpret=interpret)
 
-    ids, count = jax.lax.map(one, (org.reshape(k, -1, 3),
-                                   dirn.reshape(k, -1, 3),
-                                   tmax.reshape(k, -1)))
-    return (ids.reshape(-1, MAXC)[:nb], count.reshape(-1, 1)[:nb])
+    ids, count, keys = jax.lax.map(one, (org.reshape(k, -1, 3),
+                                         dirn.reshape(k, -1, 3),
+                                         tmax.reshape(k, -1)))
+    return (ids.reshape(-1, MAXC)[:nb], count.reshape(-1, 1)[:nb],
+            keys.reshape(-1, MAXC)[:nb])
 
 
 @functools.partial(jax.jit, static_argnames=('interpret',))
-def cluster_sweep(ids, cbounds, packed, org, dirn, tmax, tmin,
-                  interpret: bool = False):
-    """Phase 2: dense per-cluster sweeps driven by the phase-1 id lists.
+def cluster_sweep(ids, counts, keys, cbounds, packed, org, dirn, tmax,
+                  tmin, interpret: bool = False):
+    """Phase 2: per-packet grid; the kernel loops over only the emitted
+    slots with manual double-buffered HBM->VMEM DMA of packed clusters.
 
     cbounds: the 6 (C,) cluster AABB arrays; packed: (C, 24, TRIS_C)."""
     n = org.shape[0]
     nb = n // BLOCK
 
-    def csel(b, k, s, ids):
-        # clamp -1 slots (skipped in-kernel; pipeline dedups the refetch)
-        return (jnp.maximum(ids[b, k], 0), 0, s)
-
-    cluster = pl.BlockSpec((1, 24, SUBT), csel, memory_space=pltpu.VMEM)
     smem = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 6
-    # rays and outputs travel as (nb, BLOCK) row planes: a (BLOCK, 1)
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)      # DMA'd manually
+    # rays and outputs travel as (nb, 1, BLOCK) row planes: a (BLOCK, 1)
     # block would be lane-padded to (BLOCK, 128) — 512KB per buffer —
-    # and blow the scoped-VMEM stack; a (1, BLOCK) row is 32KB.
-    row = pl.BlockSpec((1, 1, BLOCK), lambda b, k, s, ids: (b, 0, 0),
+    # and blow the scoped-VMEM stack; a (1, 1, BLOCK) row is 32KB.
+    row = pl.BlockSpec((1, 1, BLOCK), lambda b, ids, cnt, key: (b, 0, 0),
                        memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nb, MAXC, TRIS_C // SUBT),
-        in_specs=smem + [cluster] + [row] * 8,
+        num_scalar_prefetch=3,
+        grid=(nb,),
+        in_specs=smem + [hbm] + [row] * 8,
         out_specs=[row] * 4,
+        scratch_shapes=[
+            pltpu.VMEM((24, TRIS_C), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
     )
     plane = lambda x: x.reshape(nb, 1, BLOCK)
     t, tri, al, be = pl.pallas_call(
@@ -496,7 +557,7 @@ def cluster_sweep(ids, cbounds, packed, org, dirn, tmax, tmin,
             jax.ShapeDtypeStruct((nb, 1, BLOCK), jnp.float32),
         ],
         interpret=interpret,
-    )(ids, *cbounds, packed,
+    )(ids, counts, keys, *cbounds, packed,
       plane(org[:, 0]), plane(org[:, 1]), plane(org[:, 2]),
       plane(dirn[:, 0]), plane(dirn[:, 1]), plane(dirn[:, 2]),
       plane(tmax), plane(tmin))
@@ -524,10 +585,11 @@ def two_level_hit(cm: ClusteredMesh, org, dirn, tmax, tmin=None,
                cm.cb_hix, cm.cb_hiy, cm.cb_hiz)
 
     def chunk(o, d, tx, tn):
-        ids, _ = _cull_call(_top_arrays(cm), o, d, tx,
-                            max_leaf=cm.top_max_leaf, interpret=interpret)
-        return cluster_sweep(ids, cbounds, cm.packed, o, d, tx, tn,
-                             interpret=interpret)
+        ids, counts, keys = _cull_call(
+            _top_arrays(cm), o, d, tx, max_leaf=cm.top_max_leaf,
+            interpret=interpret)
+        return cluster_sweep(ids, counts, keys, cbounds, cm.packed,
+                             o, d, tx, tn, interpret=interpret)
 
     if n // BLOCK <= CHUNK_PACKETS:
         t, tri, al, be = chunk(org, dirn, tmax, tmin)

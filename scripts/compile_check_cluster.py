@@ -31,14 +31,18 @@ def cull(org, dirn, tmax):
 cbounds = (cm.cb_lox, cm.cb_loy, cm.cb_loz, cm.cb_hix, cm.cb_hiy, cm.cb_hiz)
 
 
-def sweep(ids, org, dirn, tmax, tmin):
-    return pc.cluster_sweep(ids, cbounds, cm.packed, org, dirn, tmax, tmin)
+def sweep(ids, counts, keys, org, dirn, tmax, tmin):
+    return pc.cluster_sweep(ids, counts, keys, cbounds, cm.packed,
+                            org, dirn, tmax, tmin)
 
 
 c1 = jax.jit(cull).lower(org_s, org_s, tm_s).compile()
 print('cull compiled OK')
 ids_s = jax.ShapeDtypeStruct((n // pc.BLOCK, pc.MAXC), jnp.int32)
-c2 = jax.jit(sweep).lower(ids_s, org_s, org_s, tm_s, tm_s).compile()
+cnt_s = jax.ShapeDtypeStruct((n // pc.BLOCK, 1), jnp.int32)
+key_s = jax.ShapeDtypeStruct((n // pc.BLOCK, pc.MAXC), jnp.float32)
+c2 = jax.jit(sweep).lower(ids_s, cnt_s, key_s, org_s, org_s,
+                          tm_s, tm_s).compile()
 print('sweep compiled OK')
 print('cull flops:', c1.cost_analysis().get('flops', '?'))
 print('sweep flops:', c2.cost_analysis().get('flops', '?'))

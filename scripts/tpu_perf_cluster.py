@@ -50,7 +50,7 @@ t.block_until_ready()
 print(f'  first: {time.perf_counter() - t0:.1f}s', flush=True)
 hitfrac = float((np.asarray(t) < 1e29).mean())
 
-ids, count = cluster_cull(cm, org, dirn, tmax)
+ids, count, keys = cluster_cull(cm, org, dirn, tmax)
 c = np.asarray(count)[:, 0]
 print(f'clusters/packet: min {c.min()} med {int(np.median(c))} '
       f'max {c.max()} overflow {(c > MAXC).sum()}/{len(c)}', flush=True)
@@ -65,6 +65,6 @@ for rep in range(3):
 
 # phase split
 t0 = time.perf_counter()
-ids, count = cluster_cull(cm, org, dirn, tmax)
+ids, count, keys = cluster_cull(cm, org, dirn, tmax)
 ids.block_until_ready()
 print(f'  cull alone: {(time.perf_counter() - t0) * 1e3:.0f}ms', flush=True)

@@ -46,7 +46,7 @@ tmax = jnp.full((n,), 1e30, jnp.float32)
 
 print('phase 1 (cull)...', flush=True)
 t0 = time.perf_counter()
-ids, count = cluster_cull(cm, org, dirn, tmax)
+ids, count, keys = cluster_cull(cm, org, dirn, tmax)
 ids.block_until_ready()
 print(f'  cull OK in {time.perf_counter() - t0:.1f}s '
       f'(counts {np.asarray(count)[:, 0].tolist()})', flush=True)

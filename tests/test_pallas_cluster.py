@@ -79,7 +79,8 @@ def test_cull_counts_and_padding():
     dir_p = jnp.concatenate(
         [dirn, jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), (pad, 3))])
     tmax_p = jnp.concatenate([tmax, jnp.full((pad,), -1.0)])
-    ids, count = pc.cluster_cull(cm, org_p, dir_p, tmax_p, interpret=True)
+    ids, count, keys = pc.cluster_cull(cm, org_p, dir_p, tmax_p,
+                                       interpret=True)
     count = np.asarray(count)[:, 0]
     ids = np.asarray(ids)
     assert (count <= cm.n_clusters).all()      # no duplicates possible
