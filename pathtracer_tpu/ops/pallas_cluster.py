@@ -17,19 +17,21 @@ design that avoids every dynamic-indexing restriction:
   clusters, the farthest recorded one is replaced (the kept set is the
   MAXC nearest-entry clusters; the true count is still reported).
 
-  Phase 2 — dense sweeps via scalar-prefetch block selection
-  (`cluster_sweep`).  A second kernel runs a (ray_block, slot) grid whose
-  input BlockSpec *index_map reads the phase-1 cluster ids*
-  (PrefetchScalarGridSpec): Pallas's pipeline DMAs exactly the selected
-  cluster's triangle soup from HBM into VMEM, and the kernel runs a fully
-  dense VPU sweep — no gathers, no dynamic indices, no SMEM DMA.  This is
-  the block-sparse-matmul pattern applied to ray tracing.  Because slots
-  arrive near-first, a per-slot test of the cluster's AABB against every
-  lane's current best t skips clusters that can no longer win.
+  Phase 2 — per-packet dense sweeps (`cluster_sweep`).  One grid step
+  per packet; the kernel loops over ONLY the emitted slots, copying each
+  packed (24, TRIS_C) cluster record HBM->VMEM with a serial
+  start->wait DMA (~1% of slot cost; a cond-switched double-buffer
+  variant hung the device — keep the control flow simple), then runs a
+  fully dense VPU sweep — no gathers, no dynamic tri indices, no SMEM
+  DMA.  Three culls bound the work: a sound early BREAK once the next
+  sorted slot's entry key exceeds every lane's best t; a whole-cluster
+  skip when no lane's AABB entry beats its best t; and per-SUBT-subtile
+  skips via the sub-AABBs stored in packed rows 17-22.
 
 Per-packet work scales with the clusters a coherent packet actually
 enters (the wavefront's octant ray sorting feeds coherence); empty space
-costs one SMEM traversal.
+costs one SMEM traversal.  scene/mesh.py activates this tier on TPU for
+meshes beyond PACKET_MAX_TRIS (scene.py:_mesh_closest_hit dispatch).
 
 Counterpart of the reference's BVH traversal for its biggest scenes
 (TriangleMesh.cpp:1133-1235); the cluster decomposition replaces the
@@ -88,10 +90,14 @@ class ClusteredMesh(NamedTuple):
                                      # sweep tri index -> original tri
 
 
-def build_clustered(tri_verts: np.ndarray) -> ClusteredMesh:
-    """Partition by global BVH order; top BVH over cluster bounds."""
+def build_clustered(tri_verts: np.ndarray, fb=None) -> ClusteredMesh:
+    """Partition by global BVH order; top BVH over cluster bounds.
+
+    fb: optional precomputed FlatBVH over tri_verts (scene/mesh.py passes
+    its own so the tree is built once)."""
     t = tri_verts.shape[0]
-    fb = bvh_mod.build_bvh(tri_verts)
+    if fb is None:
+        fb = bvh_mod.build_bvh(tri_verts)
     ordered = tri_verts[fb.order]
     c = -(-t // TRIS_C)
     pad = c * TRIS_C - t
@@ -153,6 +159,28 @@ def flat_soup(cm: ClusteredMesh) -> TriSoup:
     """The packed triangle data as a flat (C*TRIS_C,) TriSoup (tests /
     brute-force oracles)."""
     return TriSoup(*[cm.packed[:, i, :].reshape(-1) for i in range(16)])
+
+
+def cluster_arrays(cm: ClusteredMesh) -> tuple:
+    """The 17 device arrays of a ClusteredMesh as a flat tuple — the form
+    scene/mesh.py stores inside its pytree (statics travel separately)."""
+    return (cm.top_lox, cm.top_loy, cm.top_loz, cm.top_hix, cm.top_hiy,
+            cm.top_hiz, cm.top_a, cm.top_b, cm.top_leaf, cm.top_order,
+            cm.cb_lox, cm.cb_loy, cm.cb_loz, cm.cb_hix, cm.cb_hiy,
+            cm.cb_hiz, cm.packed)
+
+
+def cluster_from_arrays(arrays: tuple, n_clusters: int,
+                        top_max_leaf: int) -> ClusteredMesh:
+    """Inverse of cluster_arrays (order field is host-only -> None)."""
+    a = arrays
+    return ClusteredMesh(
+        top_lox=a[0], top_loy=a[1], top_loz=a[2], top_hix=a[3],
+        top_hiy=a[4], top_hiz=a[5], top_a=a[6], top_b=a[7], top_leaf=a[8],
+        top_order=a[9], top_max_leaf=top_max_leaf,
+        cb_lox=a[10], cb_loy=a[11], cb_loz=a[12], cb_hix=a[13],
+        cb_hiy=a[14], cb_hiz=a[15], packed=a[16],
+        n_clusters=n_clusters, order=None)
 
 
 def _cull_kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
@@ -530,7 +558,7 @@ def cluster_sweep(ids, counts, keys, cbounds, packed, org, dirn, tmax,
     nb = n // BLOCK
 
     smem = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 6
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)      # DMA'd manually
+    hbm = pl.BlockSpec(memory_space=pl.ANY)         # DMA'd manually
     # rays and outputs travel as (nb, 1, BLOCK) row planes: a (BLOCK, 1)
     # block would be lane-padded to (BLOCK, 128) — 512KB per buffer —
     # and blow the scoped-VMEM stack; a (1, 1, BLOCK) row is 32KB.

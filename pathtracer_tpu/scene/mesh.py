@@ -53,11 +53,17 @@ class MeshArrays:
     textures: tuple          # tuple of models.texture.GroupTextures, len G
     # packet-kernel node arrays (ops/pallas_bvh.PackedBVH tuple) or None
     packed: tuple
+    # two-level cluster-kernel arrays (ops/pallas_cluster.cluster_arrays)
+    # for the big-mesh tier, or ()
+    clustered: tuple
     # statics
     obj_row: int = flax.struct.field(pytree_node=False)
     max_leaf: int = flax.struct.field(pytree_node=False)
     use_brute: bool = flax.struct.field(pytree_node=False)
     use_packet: bool = flax.struct.field(pytree_node=False)
+    use_cluster: bool = flax.struct.field(pytree_node=False)
+    n_clusters: int = flax.struct.field(pytree_node=False)
+    cluster_top_max_leaf: int = flax.struct.field(pytree_node=False)
     interp_normals: bool = flax.struct.field(pytree_node=False)
 
     @property
@@ -72,6 +78,7 @@ PACKET_MAX_TRIS = 8000        # SMEM-resident tier (~1MB scalar memory)
 def upload_mesh(md: obj_io.MeshData, obj_row: int,
                 interp_normals: bool = True,
                 use_brute: Optional[bool] = None,
+                use_cluster: Optional[bool] = None,
                 load_textures: bool = True,
                 default_ksub=(0.0, 0.0, 0.0)) -> MeshArrays:
     """Build BVH + device arrays from host MeshData (TriMesh::init tail,
@@ -163,8 +170,27 @@ def upload_mesh(md: obj_io.MeshData, obj_row: int,
     else:
         packed = ()
 
+    # beyond the SMEM tier, the two-level cluster kernel takes over on
+    # TPU (ops/pallas_cluster.py); CPU keeps the XLA lockstep bvh_hit
+    if use_cluster is None:
+        use_cluster = (len(order) > PACKET_MAX_TRIS
+                       and jax.default_backend() == 'tpu')
+    if use_cluster:
+        from ..ops import pallas_cluster
+        cmesh = pallas_cluster.build_clustered(tri_verts, fb=fb)
+        clustered = pallas_cluster.cluster_arrays(cmesh)
+        n_clusters = cmesh.n_clusters
+        cluster_top_max_leaf = cmesh.top_max_leaf
+    else:
+        clustered = ()
+        n_clusters = 0
+        cluster_top_max_leaf = 0
+
     return MeshArrays(
         soup=soup, bvh=bvh, packed=packed, use_packet=use_packet,
+        clustered=clustered, use_cluster=bool(use_cluster),
+        n_clusters=int(n_clusters),
+        cluster_top_max_leaf=int(cluster_top_max_leaf),
         n0=jnp.asarray(n0), n1=jnp.asarray(n1), n2=jnp.asarray(n2),
         uv0=jnp.asarray(uv0), uv1=jnp.asarray(uv1), uv2=jnp.asarray(uv2),
         t0=jnp.asarray(t0), t1=jnp.asarray(t1), t2=jnp.asarray(t2),

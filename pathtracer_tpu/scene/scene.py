@@ -500,6 +500,18 @@ def _mesh_closest_hit(mesh, org_l, dir_l, t_max, cutout_rounds=4):
     has_alpha = any(gt.alpha is not None for gt in mesh.textures)
 
     def one_hit(t_min):
+        if mesh.use_cluster:
+            # big-mesh tier: two-level cluster traversal (interpret mode
+            # keeps the path testable off-TPU)
+            import jax
+            from ..ops import pallas_cluster
+            cmesh = pallas_cluster.cluster_from_arrays(
+                mesh.clustered, mesh.n_clusters, mesh.cluster_top_max_leaf)
+            t, tri, al, be = pallas_cluster.two_level_hit(
+                cmesh, org_l, dir_l, t_max, tmin=t_min,
+                interpret=jax.default_backend() != 'tpu')
+            return traverse.MeshHit(t=t, tri=tri, alpha=al, beta=be,
+                                    gamma=1.0 - al - be)
         if mesh.use_packet:
             from ..ops import pallas_bvh
             t, tri, al, be = pallas_bvh.packet_hit(
@@ -808,9 +820,9 @@ def intersect_shadow(sc: SceneArrays, origins, dirs, dist_light,
     for mesh in sc.meshes:
         org_l, dir_l = _local_ray_row(sc, mesh.obj_row, origins, dirs)
         has_alpha = any(gt.alpha is not None for gt in mesh.textures)
-        if has_alpha or mesh.use_packet:
+        if has_alpha or mesh.use_packet or mesh.use_cluster:
             # alpha-cutout texels must not occlude (TriangleMesh.cpp:1299-1305);
-            # the packet kernel also routes through the closest-hit path
+            # the packet/cluster kernels also route through the closest-hit path
             mh = _mesh_closest_hit(mesh, org_l, dir_l,
                                    jnp.broadcast_to(BIG_T, limit.shape))
             mb = mh.t < limit
