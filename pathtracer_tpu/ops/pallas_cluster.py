@@ -135,21 +135,35 @@ def build_clustered(tri_verts: np.ndarray, fb=None) -> ClusteredMesh:
     for ax3 in range(3):
         packed[:, 17 + ax3, :] = np.repeat(sub_lo[:, :, ax3], SUBT, axis=1)
         packed[:, 20 + ax3, :] = np.repeat(sub_hi[:, :, ax3], SUBT, axis=1)
+    # batch the small arrays into TWO uploads (plus packed): per-array
+    # device_put through the axon tunnel has wildly variable latency
+    # (observed 7s-673s for the same mesh when done as 17 transfers)
+    f32_parts = [top.node_lo[:, 0], top.node_lo[:, 1], top.node_lo[:, 2],
+                 top.node_hi[:, 0], top.node_hi[:, 1], top.node_hi[:, 2],
+                 clo[:, 0], clo[:, 1], clo[:, 2],
+                 chi[:, 0], chi[:, 1], chi[:, 2]]
+    f32_dev = jnp.asarray(np.concatenate(
+        [np.ascontiguousarray(x, np.float32) for x in f32_parts]))
+    fo = np.cumsum([0] + [len(x) for x in f32_parts])
+    i32_parts = [a, b, top.node_leaf.astype(np.int32),
+                 top.order.astype(np.int32)]
+    i32_dev = jnp.asarray(np.concatenate(i32_parts))
+    io_ = np.cumsum([0] + [len(x) for x in i32_parts])
+
+    def f32s(i):
+        return f32_dev[int(fo[i]):int(fo[i + 1])]
+
+    def i32s(i):
+        return i32_dev[int(io_[i]):int(io_[i + 1])]
+
     return ClusteredMesh(
-        top_lox=jnp.asarray(top.node_lo[:, 0]),
-        top_loy=jnp.asarray(top.node_lo[:, 1]),
-        top_loz=jnp.asarray(top.node_lo[:, 2]),
-        top_hix=jnp.asarray(top.node_hi[:, 0]),
-        top_hiy=jnp.asarray(top.node_hi[:, 1]),
-        top_hiz=jnp.asarray(top.node_hi[:, 2]),
-        top_a=jnp.asarray(a), top_b=jnp.asarray(b),
-        top_leaf=jnp.asarray(top.node_leaf.astype(np.int32)),
-        top_order=jnp.asarray(top.order.astype(np.int32)),
+        top_lox=f32s(0), top_loy=f32s(1), top_loz=f32s(2),
+        top_hix=f32s(3), top_hiy=f32s(4), top_hiz=f32s(5),
+        top_a=i32s(0), top_b=i32s(1), top_leaf=i32s(2),
+        top_order=i32s(3),
         top_max_leaf=int(top.max_leaf),
-        cb_lox=jnp.asarray(clo[:, 0]), cb_loy=jnp.asarray(clo[:, 1]),
-        cb_loz=jnp.asarray(clo[:, 2]),
-        cb_hix=jnp.asarray(chi[:, 0]), cb_hiy=jnp.asarray(chi[:, 1]),
-        cb_hiz=jnp.asarray(chi[:, 2]),
+        cb_lox=f32s(6), cb_loy=f32s(7), cb_loz=f32s(8),
+        cb_hix=f32s(9), cb_hiy=f32s(10), cb_hiz=f32s(11),
         packed=jnp.asarray(packed),
         n_clusters=c, order=fb.order,
     )
