@@ -124,10 +124,13 @@ def _traverse_kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
         sp, a, b = args
         any_l = node_live(a)
         any_r = node_live(b)
-        # push right first so left pops first (near-by-layout heuristic)
+        # push right first so left pops first (near-by-layout heuristic);
+        # both pushes clamp to the top slot — pack_bvh rejects trees deeper
+        # than STACK_DEPTH so the clamp can never fire in practice, it only
+        # guards the SMEM bounds
         @pl.when(any_r)
         def _():
-            stack_ref[sp] = b
+            stack_ref[jnp.minimum(sp, STACK_DEPTH - 1)] = b
         sp1 = jnp.where(any_r, sp + 1, sp)
         @pl.when(any_l)
         def _():
@@ -158,6 +161,11 @@ class PackedBVH(NamedTuple):
 
 def pack_bvh(fb) -> PackedBVH:
     """Pack a FlatBVH for the packet kernel (leaf a=start, b=count)."""
+    if fb.depth >= STACK_DEPTH:
+        raise ValueError(
+            f'BVH depth {fb.depth} >= kernel stack depth {STACK_DEPTH}; '
+            f'the SMEM traversal stack would overflow (silent subtree '
+            f'drops) — rebuild with a larger leaf size or raise STACK_DEPTH')
     a = np.where(fb.node_leaf, fb.node_a, fb.node_a).astype(np.int32)
     b = np.where(fb.node_leaf, fb.node_b - fb.node_a,
                  fb.node_b).astype(np.int32)

@@ -114,6 +114,10 @@ def build_clustered(tri_verts: np.ndarray, fb=None) -> ClusteredMesh:
     centers = ((clo + chi) * 0.5).astype(np.float32)
 
     top = bvh_mod.build_bvh_from_bounds(clo, chi, centers, max_leaf_size=1)
+    if top.depth >= STACK_DEPTH:
+        raise ValueError(
+            f'cluster top-BVH depth {top.depth} >= kernel stack depth '
+            f'{STACK_DEPTH}; the SMEM traversal stack would overflow')
     a = top.node_a.astype(np.int32)
     b = np.where(top.node_leaf, top.node_b - top.node_a,
                  top.node_b).astype(np.int32)
@@ -285,9 +289,11 @@ def _cull_kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
         sp, a, b, _node = args
         any_l = jnp.any(slab(a)[0])
         any_r = jnp.any(slab(b)[0])
+        # both pushes clamp to the top slot — build_clustered rejects top
+        # trees deeper than STACK_DEPTH, so this only guards SMEM bounds
         @pl.when(any_r)
         def _():
-            stack_ref[sp] = b
+            stack_ref[jnp.minimum(sp, STACK_DEPTH - 1)] = b
         sp1 = jnp.where(any_r, sp + 1, sp)
         @pl.when(any_l)
         def _():
@@ -607,15 +613,37 @@ def cluster_sweep(ids, counts, keys, cbounds, packed, org, dirn, tmax,
             be.reshape(-1))
 
 
+def _residual_lanes(counts, keys, t):
+    """Lanes whose result could still be wrong after a cull+sweep round.
+
+    A packet that overflowed (count > MAXC) kept only the MAXC smallest
+    entry keys; every dropped cluster's key >= keys[MAXC-1], and any hit a
+    lane could find in a dropped cluster has t >= its own slab entry >=
+    that cluster's packet-min key.  So a lane is EXACT iff its best t <=
+    keys[MAXC-1] (a dropped hit could never win the strict t < best test);
+    otherwise it is residual and must be refined or rerouted."""
+    nb = t.shape[0] // BLOCK
+    tp = t.reshape(nb, BLOCK)
+    over = counts[:, 0] > MAXC
+    return (over[:, None] & (tp > keys[:, MAXC - 1][:, None])).reshape(-1)
+
+
 def two_level_hit(cm: ClusteredMesh, org, dirn, tmax, tmin=None,
-                  interpret=False):
+                  interpret=False, refine_rounds: int = 1,
+                  return_residual: bool = False):
     """Full two-level closest hit: (t, tri, alpha, beta) like packet_hit.
 
     tri indexes the BVH-ordered soup (map through cm.order for original
     ids).  Packets visiting > MAXC clusters keep only the MAXC
-    nearest-entry ones — check `cluster_cull` counts and reroute such
-    packets to a fallback if the scene demands it (coherent packets stay
-    well under).
+    nearest-entry ones; lanes whose result could be affected (see
+    `_residual_lanes`) are re-culled with their tightened per-lane best t
+    for `refine_rounds` rounds (the cull honors per-lane tmax, so the
+    second pass emits only clusters still able to win — overflow collapses
+    in closed scenes).  With return_residual=True a fifth (N,) bool output
+    marks lanes STILL unresolved after refinement; callers must reroute
+    them to an exact fallback (scene/mesh.py uses the lockstep BVH) so no
+    hit is ever silently dropped (the reference never drops hits,
+    TriangleMesh.cpp:1133-1235).
     """
     n_orig = org.shape[0]
     pad = (-n_orig) % BLOCK
@@ -626,21 +654,47 @@ def two_level_hit(cm: ClusteredMesh, org, dirn, tmax, tmin=None,
     cbounds = (cm.cb_lox, cm.cb_loy, cm.cb_loz,
                cm.cb_hix, cm.cb_hiy, cm.cb_hiz)
 
-    def chunk(o, d, tx, tn):
+    def round_(o, d, tx, tn):
         ids, counts, keys = _cull_call(
             _top_arrays(cm), o, d, tx, max_leaf=cm.top_max_leaf,
             interpret=interpret)
-        return cluster_sweep(ids, counts, keys, cbounds, cm.packed,
-                             o, d, tx, tn, interpret=interpret)
+        t, tri, al, be = cluster_sweep(ids, counts, keys, cbounds,
+                                       cm.packed, o, d, tx, tn,
+                                       interpret=interpret)
+        return t, tri, al, be, _residual_lanes(counts, keys, t)
+
+    def chunk(o, d, tx, tn):
+        t, tri, al, be, res = round_(o, d, tx, tn)
+
+        def refine(args):
+            t, tri, al, be, _res = args
+            # re-cull with the tightened per-lane best t: only clusters
+            # still able to beat it are emitted, so overflowed packets
+            # collapse to a handful of slots
+            t2, tri2, al2, be2, res2 = round_(o, d, t, tn)
+            win = t2 < t
+            return (jnp.where(win, t2, t),
+                    jnp.where(win, tri2, tri),
+                    jnp.where(win, al2, al),
+                    jnp.where(win, be2, be),
+                    res2)
+
+        for _ in range(refine_rounds):
+            t, tri, al, be, res = jax.lax.cond(
+                jnp.any(res), refine, lambda a: a, (t, tri, al, be, res))
+        return t, tri, al, be, res
 
     if n // BLOCK <= CHUNK_PACKETS:
-        t, tri, al, be = chunk(org, dirn, tmax, tmin)
+        t, tri, al, be, res = chunk(org, dirn, tmax, tmin)
     else:
         k, n_pad = _chunk_packets(n)
         org, dirn, tmax, tmin = _pad_rays(org, dirn, tmax, tmin, n_pad)
-        t, tri, al, be = jax.lax.map(
+        t, tri, al, be, res = jax.lax.map(
             lambda xs: chunk(*xs),
             (org.reshape(k, -1, 3), dirn.reshape(k, -1, 3),
              tmax.reshape(k, -1), tmin.reshape(k, -1)))
-        t, tri, al, be = (x.reshape(-1) for x in (t, tri, al, be))
-    return t[:n_orig], tri[:n_orig], al[:n_orig], be[:n_orig]
+        t, tri, al, be, res = (x.reshape(-1) for x in (t, tri, al, be, res))
+    out = (t[:n_orig], tri[:n_orig], al[:n_orig], be[:n_orig])
+    if return_residual:
+        return out + (res[:n_orig],)
+    return out

@@ -295,8 +295,12 @@ def _sort_wavefront(state: PathState, cp_r12, bg_pixel, lane_id):
     return state, cp_r12, bg_pixel, p(lane_id)
 
 
+COMPACT_SEGMENTS = 16   # dead-tail segment granularity (see _segmented)
+
+
 def trace_paths(sc: scn.SceneArrays, origins, dirs, rng_state, cp_r12,
-                nb_bounces: int, bg_pixel=None, sort_rays: bool = False):
+                nb_bounces: int, bg_pixel=None, sort_rays: bool = False,
+                compact_rays: bool = False, return_stats: bool = False):
     """Trace a wavefront of paths to completion.
 
     Args:
@@ -306,11 +310,23 @@ def trace_paths(sc: scn.SceneArrays, origins, dirs, rng_state, cp_r12,
       cp_r12: (N,2) Cranley–Patterson-rotated lattice sample for the indirect
         bounce direction (same value at every depth, Raytracer.cpp:580-589).
       nb_bounces: static bounce budget (reference default 3).
+      compact_rays: stream compaction (SURVEY §2.7 / the reference's bounded
+        Contrib queue, Raytracer.h:114-115): with sort_rays the alive lanes
+        are contiguous at the front after every bounce, so later bounces run
+        only ceil(live/SEG) fixed-size segments instead of all N lanes —
+        dead lanes cost nothing.  Requires sort_rays (it IS the compaction
+        permutation); lanes are independent, so skipping dead segments is
+        exact, not an approximation.
+      return_stats: also return the (nb_bounces,) int32 live-lane count per
+        bounce (honest rays/s accounting).
 
     Returns:
-      (color (N,3), normal_aux (N,3), albedo_aux (N,3))
+      (color (N,3), normal_aux (N,3), albedo_aux (N,3)[, live_counts])
     """
     n = origins.shape[0]
+    if compact_rays and not sort_rays:
+        raise ValueError('compact_rays requires sort_rays (the octant sort '
+                         'is the compaction permutation)')
     zeros3 = jnp.zeros((n, 3), jnp.float32)
     state = PathState(
         org=origins, dirn=dirs,
@@ -329,7 +345,7 @@ def trace_paths(sc: scn.SceneArrays, origins, dirs, rng_state, cp_r12,
     center_light = sc.center_light
     radius_light = sc.radius_light
 
-    def bounce(depth, state: PathState):
+    def bounce(depth, state: PathState, cp_r12, bg_pixel):
         is_primary = depth == 0
 
         # ---- weight cull (Raytracer.cpp:241) ----
@@ -365,6 +381,11 @@ def trace_paths(sc: scn.SceneArrays, origins, dirs, rng_state, cp_r12,
         # === subsurface entry RR (Raytracer.cpp:318-327; draws first) ===
         is_sub_mat = vec.norm2(hit.ksub) > 1e-8
         can_ss = is_diffuse & is_sub_mat & ~state.had_ss
+        if sc.ss_obj_ok is not None:
+            # rows without a reservoir path opt out of the SS RR entirely
+            # (subsProba = 0) so the estimator stays unbiased
+            can_ss = can_ss & scn._sel_table(sc.ss_obj_ok, hit.obj_id,
+                                             sc.num_objects)
         u_ss, rng_st = prng.next_uniform(state.rng, gate=can_ss)
         take_ss = can_ss & (u_ss < SS_PROBA)
         # subsW: 1/p on the SS branch, 1/(1-p) on the surviving surface
@@ -507,7 +528,11 @@ def trace_paths(sc: scn.SceneArrays, origins, dirs, rng_state, cp_r12,
         ind_org = p + 0.01 * ind_dir
 
         # ---- ghost objects: compositing catchers (:522-537, :614-631) ----
-        new_show_env = state.show_env
+        # every continuation resets showenvmap to true (the Contrib default,
+        # Raytracer.h:18, used by the mirror/transparent/fog pushes, and the
+        # `|| !ghost` term of the indirect push :626-629); only the two
+        # ghost cases below carry anything else
+        new_show_env = jnp.ones_like(state.show_env)
         if sc.ghost_enabled:
             is_ghost_surf = is_diffuse & hit.ghost
             if bg_pixel is not None:
@@ -535,10 +560,12 @@ def trace_paths(sc: scn.SceneArrays, origins, dirs, rng_state, cp_r12,
                                        is_ghost_surf, g_mult, 1.0)[:, None])
             reject = reject & ~take_pass
             # ghost indirect sees the envmap only via shadowed diffuse
-            # samples (:626-631)
+            # samples (:626-631); ghost pass-through carries the parent's
+            # show_envmap (:533)
             new_show_env = jnp.where(
                 is_ghost_surf & ~take_pass,
                 state.show_env & shadowed & _sampled_diff, new_show_env)
+            new_show_env = jnp.where(take_pass, state.show_env, new_show_env)
 
         # ---- merge continuations into next state ----
         cont_diffuse = is_diffuse & ~reject
@@ -580,10 +607,11 @@ def trace_paths(sc: scn.SceneArrays, origins, dirs, rng_state, cp_r12,
                                    w_surface) * mult[:, None]
             new_org = jnp.where(take_fog[:, None], fog_org, new_org)
             new_dir = jnp.where(take_fog[:, None], fog_dir, new_dir)
-            # fog branch keeps show_lights/show_env/had_ss of the parent (:188)
+            # fog branch keeps show_lights/had_ss of the parent (:188) but
+            # resets show_envmap to the Contrib default true (Raytracer.h:18)
             new_show_lights = jnp.where(take_fog, state.show_lights,
                                         new_show_lights)
-            new_show_env = jnp.where(take_fog, state.show_env, new_show_env)
+            new_show_env = jnp.where(take_fog, True, new_show_env)
             new_had_ss = jnp.where(take_fog, state.had_ss, new_had_ss)
             next_alive = surf_alive | fog_valid
         else:
@@ -601,17 +629,53 @@ def trace_paths(sc: scn.SceneArrays, origins, dirs, rng_state, cp_r12,
             rng=rng_st,
         )
 
+    def segmented(depth, state, cp_r12, bg_pixel):
+        """Run bounce() only over the leading segments that contain live
+        lanes.  After the dead-last octant sort, alive lanes occupy a
+        contiguous prefix; lanes are independent, so skipping all-dead
+        segments changes nothing but the work done."""
+        seg = n // COMPACT_SEGMENTS
+        nseg = (jnp.sum(state.alive.astype(jnp.int32)) + seg - 1) // seg
+
+        def body(carry):
+            i, st = carry
+            off = i * seg
+
+            def sl(x):
+                return jax.lax.dynamic_slice_in_dim(x, off, seg, 0)
+
+            st_new = bounce(depth, jax.tree.map(sl, st), sl(cp_r12),
+                            None if bg_pixel is None else sl(bg_pixel))
+
+            def ups(full, s):
+                return jax.lax.dynamic_update_slice_in_dim(full, s, off, 0)
+
+            return i + 1, jax.tree.map(ups, st, st_new)
+
+        _, state = jax.lax.while_loop(lambda c: c[0] < nseg, body,
+                                      (jnp.int32(0), state))
+        return state
+
     # bounce-major loop, unrolled (nb_bounces is small and static); the last
     # iteration's continuation is dead by construction (depth 0 cull, :240)
     lane_id = jnp.arange(n, dtype=jnp.int32)
+    live_counts = []
     for depth in range(nb_bounces):
-        state = bounce(depth, state)
+        live_counts.append(jnp.sum(state.alive.astype(jnp.int32)))
+        if compact_rays and depth > 0 and n % COMPACT_SEGMENTS == 0:
+            state = segmented(depth, state, cp_r12, bg_pixel)
+        else:
+            state = bounce(depth, state, cp_r12, bg_pixel)
         if sort_rays and depth + 1 < nb_bounces:
             state, cp_r12, bg_pixel, lane_id = _sort_wavefront(
                 state, cp_r12, bg_pixel, lane_id)
 
     if sort_rays:
         inv = jnp.argsort(lane_id)
-        return (state.color[inv], state.normal_aux[inv],
-                state.albedo_aux[inv])
-    return state.color, state.normal_aux, state.albedo_aux
+        out = (state.color[inv], state.normal_aux[inv],
+               state.albedo_aux[inv])
+    else:
+        out = (state.color, state.normal_aux, state.albedo_aux)
+    if return_stats:
+        return out + (jnp.stack(live_counts),)
+    return out

@@ -45,6 +45,9 @@ class RenderConfig(NamedTuple):
                                 # coherence for the Pallas mesh kernel)
     sort_rays: bool = False     # re-sort the wavefront by direction octant
                                 # between bounces (secondary-ray coherence)
+    compact_rays: bool = False  # stream compaction: skip all-dead lane
+                                # segments after each bounce (implies the
+                                # octant sort; SURVEY §2.7 wavefront queue)
 
 
 
@@ -104,7 +107,7 @@ def _wave(sc: scn.SceneArrays, cam: cam_mod.Camera, cp_table, cfg: RenderConfig,
     bg_pixel = _background_pixels(sc, pix_i, pix_j, w, h)
 
     def per_sample(carry, k):
-        image, sample_count, aux = carry
+        image, sample_count, aux, rays = carry
         # --- per-path PCG streams ---
         key_lo = (pix_flat.astype(jnp.uint32) * jnp.uint32(nspp)
                   + k.astype(jnp.uint32))
@@ -129,9 +132,10 @@ def _wave(sc: scn.SceneArrays, cam: cam_mod.Camera, cp_table, cfg: RenderConfig,
         lattice = qmc.extensible_lattice_2d(k.astype(jnp.uint32))
         cp_r12 = qmc.cranley_patterson(lattice[None, :], cp_table)
 
-        color, naux, aaux = integrator.trace_paths(
+        color, naux, aaux, live = integrator.trace_paths(
             sc, org, dirn, rng_state, cp_r12, cfg.nb_bounces,
-            bg_pixel=bg_pixel, sort_rays=cfg.sort_rays)
+            bg_pixel=bg_pixel, sort_rays=cfg.sort_rays or cfg.compact_rays,
+            compact_rays=cfg.compact_rays, return_stats=True)
 
         color_rm = untile(color)
         image, sample_count = film_mod.splat(
@@ -140,13 +144,17 @@ def _wave(sc: scn.SceneArrays, cam: cam_mod.Camera, cp_table, cfg: RenderConfig,
             aux = (aux[0] + color_rm.reshape(h, w, 3),
                    aux[1] + untile(aaux).reshape(h, w, 3),
                    aux[2] + untile(naux).reshape(h, w, 3))
-        return (image, sample_count, aux), None
+        # honest ray accounting: one closest-hit + one NEE shadow sweep per
+        # LIVE lane per bounce (dead lanes cost ~nothing under compaction);
+        # int32 is safe per wave (host accumulates across waves in Python)
+        rays = rays + 2 * jnp.sum(live)
+        return (image, sample_count, aux, rays), None
 
     if aux is None:
         aux = (jnp.zeros((h, w, 3)),) * 3
-    (image, sample_count, aux), _ = jax.lax.scan(
-        per_sample, (image, sample_count, aux), sample_ids)
-    return image, sample_count, aux
+    (image, sample_count, aux, rays), _ = jax.lax.scan(
+        per_sample, (image, sample_count, aux, jnp.int32(0)), sample_ids)
+    return image, sample_count, aux, rays
 
 
 _wave_jit = jax.jit(_wave, static_argnames=('cfg',))
@@ -184,10 +192,10 @@ def render_unsplatted(sc: scn.SceneArrays, cam: cam_mod.Camera, cp_table,
             w, h, init_t=cfg.double_frustum_start_t)
         lattice = qmc.extensible_lattice_2d(k.astype(jnp.uint32))
         cp_r12 = qmc.cranley_patterson(lattice[None, :], cp_table)
-        color, _, _ = integrator.trace_paths(sc, org, dirn, rng_state, cp_r12,
-                                             cfg.nb_bounces,
-                                             bg_pixel=bg_pixel,
-                                             sort_rays=cfg.sort_rays)
+        color, _, _ = integrator.trace_paths(
+            sc, org, dirn, rng_state, cp_r12, cfg.nb_bounces,
+            bg_pixel=bg_pixel, sort_rays=cfg.sort_rays or cfg.compact_rays,
+            compact_rays=cfg.compact_rays)
         return acc + color, color
 
     acc, samples = jax.lax.scan(per_sample, jnp.zeros((h * w, 3), jnp.float32),
@@ -222,16 +230,19 @@ class Renderer:
         h, w = self.cfg.height, self.cfg.width
         self.aux = tuple(jnp.zeros((h, w, 3), jnp.float32) for _ in range(3))
         self.samples_done = 0
+        self.rays_traced = 0    # live-lane ray ops (hit + shadow sweeps)
 
     def step(self, nsamples: Optional[int] = None):
         """Trace the next `nsamples` samples per pixel (default: one wave)."""
         nsamples = nsamples or self.cfg.samples_per_wave
         k0 = self.samples_done
         ks = jnp.arange(k0, k0 + nsamples, dtype=jnp.int32)
-        self.image, self.sample_count, self.aux = _wave_jit(
+        self.image, self.sample_count, self.aux, rays = _wave_jit(
             self.scene, self.cam, self.cp_table, self.cfg,
             self.image, self.sample_count, self.film.ratio, ks, self.aux)
         self.samples_done += nsamples
+        # device-scalar accumulate: no host sync until stats()/checkpoint
+        self.rays_traced = self.rays_traced + rays
         return self
 
     def render(self):
@@ -259,15 +270,15 @@ class Renderer:
 
     def stats(self, seconds: float):
         """Observability record: rays/s + time-per-sample (the reference's
-        status-bar metrics, mainApp.cpp:1168-1170)."""
-        from ..utils.profiling import rays_per_second
+        status-bar metrics, mainApp.cpp:1168-1170).  rays_per_second uses
+        the MEASURED live-lane count (dead lanes don't inflate it)."""
         spp = max(self.samples_done, 1)
+        rays = int(self.rays_traced)
         return {
             'samples_done': self.samples_done,
             'time_per_sample_s': seconds / spp,
-            'rays_per_second': rays_per_second(
-                self.cfg.width, self.cfg.height, spp, self.cfg.nb_bounces,
-                seconds),
+            'rays_traced': rays,
+            'rays_per_second': rays / max(seconds, 1e-12),
         }
 
     def save_checkpoint(self, path: str):
@@ -279,6 +290,7 @@ class Renderer:
                  aux0=np.asarray(self.aux[0]), aux1=np.asarray(self.aux[1]),
                  aux2=np.asarray(self.aux[2]),
                  samples_done=self.samples_done,
+                 rays_traced=int(self.rays_traced),
                  cfg=repr(self.cfg))
 
     def load_checkpoint(self, path: str):
@@ -291,6 +303,7 @@ class Renderer:
         self.aux = (jnp.asarray(d['aux0']), jnp.asarray(d['aux1']),
                     jnp.asarray(d['aux2']))
         self.samples_done = int(d['samples_done'])
+        self.rays_traced = int(d['rays_traced']) if 'rays_traced' in d else 0
         return self
 
     def denoised_display(self, iterations: int = 4):

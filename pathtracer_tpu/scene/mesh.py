@@ -80,7 +80,9 @@ def upload_mesh(md: obj_io.MeshData, obj_row: int,
                 use_brute: Optional[bool] = None,
                 use_cluster: Optional[bool] = None,
                 load_textures: bool = True,
-                default_ksub=(0.0, 0.0, 0.0)) -> MeshArrays:
+                default_ksub=(0.0, 0.0, 0.0),
+                default_transp: bool = False,
+                default_refr: float = 1.3) -> MeshArrays:
     """Build BVH + device arrays from host MeshData (TriMesh::init tail,
     TriangleMesh.cpp:784-841)."""
     from ..models import texture as tex_mod
@@ -201,8 +203,11 @@ def upload_mesh(md: obj_io.MeshData, obj_row: int,
         g_ne=jnp.asarray(g_ne),
         g_ksub=jnp.broadcast_to(
             jnp.asarray(default_ksub, jnp.float32), (g, 3)),
-        g_transp=jnp.zeros((g,), bool),   # transp-mask default 1 -> opaque
-        g_refr=jnp.full((g,), 1.3, jnp.float32),
+        # object-level transp/refr seed every group (the reference's
+        # per-Object fields, Geometry.h:418-433 defaults; MTL/texture
+        # channels can override per group later)
+        g_transp=jnp.full((g,), bool(default_transp)),
+        g_refr=jnp.full((g,), float(default_refr), jnp.float32),
         obj_row=int(obj_row), max_leaf=int(fb.max_leaf),
         use_brute=bool(use_brute), interp_normals=bool(interp_normals),
     )

@@ -95,6 +95,11 @@ class SceneArrays:
     fog_phase_type: int = flax.struct.field(pytree_node=False, default=0)
     # subsurface scattering compiled in? (any object with Ksub > 0)
     ss_enabled: bool = flax.struct.field(pytree_node=False, default=False)
+    # per-object: is the subsurface reservoir probe supported on this row?
+    # False only for mesh/pointset/yarn rows without a reservoir path —
+    # the integrator masks the SS entry RR there so the estimator stays
+    # unbiased (None = all rows supported)
+    ss_obj_ok: jnp.ndarray = None          # (O,) bool
     # ghost compositing objects present?
     ghost_enabled: bool = flax.struct.field(pytree_node=False, default=False)
     # measured BRDFs: per-object selector (0 = Phong, k+1 = table k) + tables
@@ -507,9 +512,31 @@ def _mesh_closest_hit(mesh, org_l, dir_l, t_max, cutout_rounds=4):
             from ..ops import pallas_cluster
             cmesh = pallas_cluster.cluster_from_arrays(
                 mesh.clustered, mesh.n_clusters, mesh.cluster_top_max_leaf)
-            t, tri, al, be = pallas_cluster.two_level_hit(
+            t, tri, al, be, res = pallas_cluster.two_level_hit(
                 cmesh, org_l, dir_l, t_max, tmin=t_min,
-                interpret=jax.default_backend() != 'tpu')
+                interpret=jax.default_backend() != 'tpu',
+                return_residual=True)
+
+            # overflow soundness net: lanes the refinement could not prove
+            # exact re-traverse the lockstep BVH with their current best t
+            # (non-residual lanes carry t_init that prunes them at the
+            # root, so the while_loop runs only as deep as the few real
+            # residual lanes need)
+            def _fallback(args):
+                t, tri, al, be = args
+                fh = traverse.bvh_hit(
+                    mesh.bvh, mesh.soup, org_l, dir_l,
+                    max_leaf=mesh.max_leaf,
+                    t_init=jnp.where(res, t, 0.0), t_min=t_min)
+                win = res & (fh.t < t)
+                return (jnp.where(win, fh.t, t),
+                        jnp.where(win, fh.tri, tri),
+                        jnp.where(win, fh.alpha, al),
+                        jnp.where(win, fh.beta, be))
+
+            import jax.lax
+            t, tri, al, be = jax.lax.cond(
+                jnp.any(res), _fallback, lambda a: a, (t, tri, al, be))
             return traverse.MeshHit(t=t, tri=tri, alpha=al, beta=be,
                                     gamma=1.0 - al - be)
         if mesh.use_packet:
@@ -669,6 +696,20 @@ class ProbeHit(NamedTuple):
     ksub: jnp.ndarray     # (N,3) material at the exit point
 
 
+MESH_RESERVOIR_MAX_TRIS = 65536   # dense two-pass reservoir cost cap
+
+
+def _mesh_reservoir_supported(mesh) -> bool:
+    """Can the subsurface disk probe pick a uniform random intersection on
+    this mesh?  The dense count-then-pick sweep covers meshes up to
+    MESH_RESERVOIR_MAX_TRIS; larger (cluster-tier) meshes are excluded and
+    their object rows are masked off in build_scene's ss_obj_ok so the
+    integrator never takes the SS branch there (an unsupported probe would
+    otherwise silently duplicate the surface estimator — reference
+    counterpart: TriangleMesh.cpp:1321-1428)."""
+    return mesh.num_triangles <= MESH_RESERVOIR_MAX_TRIS
+
+
 def reservoir_same_object(sc: SceneArrays, origins, dirs, tmax, obj_id, u):
     """Uniformly-random intersection with the SAME object along [0, tmax].
 
@@ -744,10 +785,12 @@ def reservoir_same_object(sc: SceneArrays, origins, dirs, tmax, obj_id, u):
                     sc.normal[obj_id])
     n_l = jnp.where(sc.flip_normals[obj_id, None], -n_l, n_l)
 
-    # meshes: uniform pick among triangle hits in range (brute meshes only)
+    # meshes: uniform pick among triangle hits in range.  The dense
+    # two-pass sweep covers every mesh small enough for it (brute AND
+    # packet tiers); cluster-tier meshes use the chunked variant below.
     for mesh in sc.meshes:
-        if not mesh.use_brute:
-            continue  # BVH-mesh subsurface lands with the Pallas kernel
+        if not _mesh_reservoir_supported(mesh):
+            continue
         row = mesh.obj_row
         org_m, dir_m = _local_ray_row(sc, row, origins, dirs)
         mcount = jnp.zeros((n,), jnp.int32)
@@ -952,6 +995,24 @@ def _build_matrices(spec: ObjectSpec):
     return trans.astype(np.float32), inv.astype(np.float32), m.astype(np.float32)
 
 
+def _ss_obj_ok(objects, meshes) -> np.ndarray:
+    """Per-row subsurface-probe support (see SceneArrays.ss_obj_ok).
+
+    A ksub material whose probe categorically cannot find an exit point
+    would double-count the surface estimator (~2x brightening) because the
+    failed-probe branch continues as a surface path with weight 1/p — so
+    those rows opt out of the SS entry RR entirely (subsProba = 0, the
+    reference's !is_subsurface case, Raytracer.cpp:318)."""
+    ok = np.ones(len(objects), bool)
+    mesh_by_row = {m.obj_row: m for m in meshes}
+    for i, o in enumerate(objects):
+        if o.obj_type == MESH:
+            ok[i] = _mesh_reservoir_supported(mesh_by_row[i])
+        elif o.obj_type in (POINTSET, YARNS):
+            ok[i] = False   # no reservoir path for splats/cylinders yet
+    return ok
+
+
 def load_background(path: str, gamma: float = 2.2) -> np.ndarray:
     """(u8/255)^gamma * 196964.699 (reference: Scene::load_background,
     Geometry.h:1355-1362)."""
@@ -1004,7 +1065,9 @@ def build_scene(objects, light_intensity, envmap_intensity=1.0, envmap=None,
         mesh_mod.upload_mesh(o.mesh_data, obj_row=i,
                              interp_normals=o.interp_normals,
                              default_ksub=np.broadcast_to(
-                                 np.asarray(o.ksub, np.float32), (3,)))
+                                 np.asarray(o.ksub, np.float32), (3,)),
+                             default_transp=bool(o.transp),
+                             default_refr=float(o.refr_index))
         for i, o in enumerate(objects) if o.obj_type == MESH)
 
     from . import pointset as ps_mod
@@ -1082,6 +1145,7 @@ def build_scene(objects, light_intensity, envmap_intensity=1.0, envmap=None,
             float(np.sum(np.square(np.broadcast_to(
                 np.asarray(o.ksub, np.float32), (3,))))) > 1e-8
             for o in objects),
+        ss_obj_ok=jnp.asarray(_ss_obj_ok(objects, meshes), bool),
         ghost_enabled=any(o.ghost for o in objects),
         brdf_type=jnp.asarray(brdf_type_arr, jnp.int32),
         measured_brdfs=tuple(measured_tables),

@@ -1,0 +1,158 @@
+"""On-device mesh-scene benchmarks (VERDICT #1: measure configs 2/3-class).
+
+Stages (pass as argv, default 'packet'):
+  packet   — config-2 class: ~2k-tri mesh (lion-scale), full renderer at
+             1080p, measured rays/s with live-lane accounting.
+  cluster  — raw two_level_hit on a CLOSED ~2.4M-tri displaced sphere
+             (bot-scale) at 1080p primary rays + cull statistics, plus the
+             open-terrain worst case for contrast.
+  render   — full renderer on the 2.4M-tri scene (hit + shadow per bounce).
+
+Run under `timeout`; kill the exact PID if it hangs (CLAUDE.md wedge
+recovery).  Every stage asserts real hits (non-vacuous, see memory note).
+"""
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, '/root/repo')
+
+import pathtracer_tpu as pt
+from pathtracer_tpu.core import rng_host
+from pathtracer_tpu.render import renderer as rnd
+from pathtracer_tpu.scene import scene as scn
+from pathtracer_tpu.utils import procgen
+
+W, H = 1920, 1080
+
+
+def log(*a):
+    print(*a, flush=True)
+
+
+def build_mesh_scene(md, translation=(0.0, -15.0, 0.0)):
+    objs = scn.default_objects()
+    objs.append(scn.mesh_object(md, translation=translation))
+    return scn.build_scene(objs, scn.default_light_intensity())
+
+
+def bench_render(sc, label, spp_warm=2, spp_bench=4, bounces=3,
+                 compact=True):
+    cam = pt.make_camera((0, 0, 50), (0, 0, -1), (0, 1, 0))
+    cfg = rnd.RenderConfig(width=W, height=H, nrays=64, nb_bounces=bounces,
+                           samples_per_wave=spp_warm, tile_size=0,
+                           compact_rays=compact)
+    r = rnd.Renderer(sc, cam, cfg)
+    log(f'[{label}] compile + warmup ({spp_warm} spp)...')
+    t0 = time.perf_counter()
+    r.step(spp_warm)
+    jax.block_until_ready(r.image)
+    log(f'[{label}] warmup {time.perf_counter() - t0:.1f}s')
+
+    t0 = time.perf_counter()
+    done = 0
+    while done < spp_bench:
+        r.step(spp_warm)
+        done += spp_warm
+    jax.block_until_ready(r.image)
+    dt = time.perf_counter() - t0
+    st = r.stats(dt)
+    # rays from the bench waves only (subtract warmup share)
+    total = st['rays_traced']
+    bench_rays = total * done / (done + spp_warm)
+    rps = bench_rays / dt
+    log(f'[{label}] {done} spp in {dt:.2f}s -> {rps / 1e6:.1f}M live '
+        f'rays/s (total ray ops {total / 1e6:.0f}M)')
+    img = np.asarray(r.display())
+    assert np.isfinite(img).all()
+    mid = img[H // 3:2 * H // 3, W // 3:2 * W // 3]
+    log(f'[{label}] center mean {mid.mean():.4f} (nonzero sanity '
+        f'{(mid.sum(-1) > 0).mean():.3f})')
+    return rps
+
+
+def primary_rays():
+    cam = pt.make_camera((0, 0, 50), (0, 0, -1), (0, 1, 0))
+    from pathtracer_tpu.core import camera as cam_mod
+    ii, jj = jnp.meshgrid(jnp.arange(H, dtype=jnp.int32),
+                          jnp.arange(W, dtype=jnp.int32), indexing='ij')
+    org, dirn = cam_mod.generate_rays(
+        cam, ii.reshape(-1), jj.reshape(-1),
+        jnp.zeros(()), jnp.zeros(()), jnp.zeros(()), jnp.zeros(()), W, H)
+    return org, dirn
+
+
+def stage_packet():
+    md = procgen.sphere_mesh(32, 32, radius=12.0, displace_amp=0.25)
+    log('packet-tier mesh tris:', md.num_triangles)
+    t0 = time.perf_counter()
+    sc = build_mesh_scene(md)
+    m = sc.meshes[0]
+    log(f'upload {time.perf_counter() - t0:.1f}s  use_packet={m.use_packet} '
+        f'use_cluster={m.use_cluster} use_brute={m.use_brute}')
+    bench_render(sc, 'packet-2k')
+
+
+def stage_cluster():
+    from pathtracer_tpu.ops import pallas_cluster as pc
+    for name, md in [
+        ('closed-sphere-2.4M',
+         procgen.sphere_mesh(1100, 1100, radius=14.0, displace_amp=0.25)),
+        ('terrain-1M', procgen.terrain_mesh(708, extent=20.0)),
+    ]:
+        tri = md.vertices[md.vtx_idx]
+        log(f'[{name}] tris {tri.shape[0]}')
+        t0 = time.perf_counter()
+        cm = pc.build_clustered(tri)
+        jax.block_until_ready(cm.packed)
+        log(f'[{name}] build+upload {time.perf_counter() - t0:.1f}s, '
+            f'{cm.n_clusters} clusters')
+
+        org, dirn = primary_rays()
+        off = jnp.asarray([0.0, -15.0 if name.startswith('closed') else 20.0,
+                           0.0])
+        org = org - off              # mesh-local frame
+        tmax = jnp.full((org.shape[0],), 1e30, jnp.float32)
+
+        ids, count, keys = pc.cluster_cull(cm, org, dirn, tmax)
+        c = np.asarray(count)[:, 0]
+        log(f'[{name}] clusters/packet min {c.min()} med '
+            f'{int(np.median(c))} max {c.max()} '
+            f'overflow {(c > pc.MAXC).sum()}/{len(c)}')
+
+        t0 = time.perf_counter()
+        t, tid, al, be = pc.two_level_hit(cm, org, dirn, tmax)
+        t.block_until_ready()
+        log(f'[{name}] first hit call {time.perf_counter() - t0:.1f}s')
+        hit = float((np.asarray(t) < 1e29).mean())
+        log(f'[{name}] hit fraction {hit:.3f}')
+        assert hit > 0.1, 'vacuous bench: mesh not in frame'
+        for rep in range(3):
+            t0 = time.perf_counter()
+            t, tid, al, be = pc.two_level_hit(cm, org, dirn, tmax)
+            t.block_until_ready()
+            dt = time.perf_counter() - t0
+            log(f'[{name}] rep{rep}: {dt:.3f}s -> '
+                f'{org.shape[0] / dt / 1e6:.2f}M rays/s')
+
+
+def stage_render():
+    md = procgen.sphere_mesh(1100, 1100, radius=14.0, displace_amp=0.25)
+    log('cluster-tier mesh tris:', md.num_triangles)
+    t0 = time.perf_counter()
+    sc = build_mesh_scene(md)
+    m = sc.meshes[0]
+    log(f'upload {time.perf_counter() - t0:.1f}s use_cluster={m.use_cluster} '
+        f'n_clusters={m.n_clusters}')
+    bench_render(sc, 'cluster-2.4M', spp_warm=1, spp_bench=2)
+
+
+if __name__ == '__main__':
+    stage = sys.argv[1] if len(sys.argv) > 1 else 'packet'
+    log('devices:', jax.devices())
+    {'packet': stage_packet, 'cluster': stage_cluster,
+     'render': stage_render}[stage]()

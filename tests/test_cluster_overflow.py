@@ -1,0 +1,144 @@
+"""Cluster-tier overflow (> MAXC clusters per packet) must not drop hits.
+
+Round-1 defect (VERDICT #2 / ADVICE medium): packets entering more than
+MAXC=64 clusters silently kept only the 64 nearest-entry ones, so a hit in
+a dropped (far) cluster was lost.  The fix is layered:
+
+  * `_residual_lanes` — sound per-lane detection: a lane is exact iff its
+    best t <= the worst kept key (every dropped cluster's packet-min entry
+    key is >= that, and any hit there has t >= the lane's own entry);
+  * a refinement round re-culls residual lanes with their tightened best
+    t, collapsing the overflow;
+  * scene/mesh.py reroutes lanes still residual after refinement to the
+    lockstep BVH (exactness net).
+
+Geometry: 66 parallel 2048-triangle grid slabs along z (one cluster each —
+slab centroids share a z plane, so BVH splits never cut inside a slab).
+Slabs 0..64 span x in [0,32]; slab 65 (the farthest) spans x in [0,64].
+Packet = 1000 rays at x=5.5 (enter all 66 cluster AABBs -> overflow, keep
+the 64 nearest) + 24 rays at x=40.5 whose only hit is in the DROPPED far
+slab.  Reference behavior to match: TriangleMesh.cpp:1133-1235 (no silent
+hit loss).
+"""
+
+import functools
+
+import numpy as np
+import jax.numpy as jnp
+
+from pathtracer_tpu.ops import pallas_cluster as pc
+from pathtracer_tpu.ops.traverse import brute_force_hit
+
+BIG_T = np.float32(1e30)
+N_SLABS = 66
+
+
+def _grid_slab(z, nx, ny, cell=1.0):
+    """(2*nx*ny, 3, 3) triangles tiling [0, nx] x [0, ny] at height z."""
+    tris = np.empty((2 * nx * ny, 3, 3), np.float32)
+    k = 0
+    for i in range(nx):
+        for j in range(ny):
+            x0, y0 = i * cell, j * cell
+            x1, y1 = x0 + cell, y0 + cell
+            a = (x0, y0, z)
+            b = (x1, y0, z)
+            c = (x1, y1, z)
+            d = (x0, y1, z)
+            tris[k] = [a, b, c]
+            tris[k + 1] = [a, c, d]
+            k += 2
+    return tris
+
+
+def _slab_stack():
+    assert pc.TRIS_C == 2048, 'test geometry sized for TRIS_C=2048'
+    slabs = [_grid_slab(100.0 * k, 32, 32) for k in range(N_SLABS - 1)]
+    slabs.append(_grid_slab(100.0 * (N_SLABS - 1), 64, 16))  # wide far slab
+    return np.concatenate(slabs, axis=0)
+
+
+def _rays():
+    n = 1024
+    org = np.tile(np.array([5.5 + 1 / 3, 5.5 + 1 / 3, -50.0], np.float32),
+                  (n, 1))
+    org[1000:, 0] = 40.5 + 1 / 3       # only the wide far slab covers x>32
+    dirn = np.tile(np.array([0.0, 0.0, 1.0], np.float32), (n, 1))
+    return jnp.asarray(org), jnp.asarray(dirn)
+
+
+def test_overflow_residual_detection_and_refinement():
+    tri = _slab_stack()
+    cm = pc.build_clustered(tri)
+    assert cm.n_clusters == N_SLABS
+
+    org, dirn = _rays()
+    tmax = jnp.full((1024,), BIG_T)
+
+    # without refinement: the far-slab lanes are wrong AND flagged residual
+    t0, _, _, _, res0 = pc.two_level_hit(cm, org, dirn, tmax, interpret=True,
+                                         refine_rounds=0,
+                                         return_residual=True)
+    res0 = np.asarray(res0)
+    assert res0[1000:].all(), 'overflowed far-slab lanes must be residual'
+    assert (np.asarray(t0)[1000:] >= BIG_T).all(), (
+        'precondition: without refinement the dropped-cluster hits are '
+        'lost (otherwise this test no longer forces overflow)')
+    assert not res0[:1000].any(), 'near-slab lanes are provably exact'
+
+    # one refinement round resolves everything (tightened per-lane tmax
+    # collapses the cull to the 2 clusters that can still win)
+    t, tid, al, be, res = pc.two_level_hit(cm, org, dirn, tmax,
+                                           interpret=True, refine_rounds=1,
+                                           return_residual=True)
+    assert not np.asarray(res).any()
+
+    ref = brute_force_hit(pc.flat_soup(cm), org, dirn)
+    np.testing.assert_allclose(np.asarray(t), np.asarray(ref.t),
+                               rtol=1e-6, atol=1e-6)
+    match = np.asarray(tid) == np.asarray(ref.tri)
+    assert match.mean() > 0.999
+
+
+def test_overflow_mesh_fallback(monkeypatch, tmp_path):
+    """With refinement disabled, the scene-level lockstep fallback must
+    still produce the exact hit (the soundness net of _mesh_closest_hit)."""
+    from pathtracer_tpu.io.obj import MeshData
+    from pathtracer_tpu.scene import mesh as mesh_mod
+    from pathtracer_tpu.scene import scene as scn
+
+    tri = _slab_stack()
+    t_count = tri.shape[0]
+    md = MeshData(
+        vertices=tri.reshape(-1, 3),
+        vtx_idx=np.arange(3 * t_count, dtype=np.int32).reshape(-1, 3),
+        normals=np.zeros((1, 3), np.float32),
+        n_idx=np.zeros((t_count, 3), np.int32),
+        uvs=np.zeros((0, 2), np.float32),
+        uv_idx=np.full((t_count, 3), -1, np.int32),
+        group=np.zeros(t_count, np.int32),
+        materials=[mesh_mod.obj_io.GroupMaterial()],
+        group_names={'default': 0},
+        show_edges=np.ones((t_count, 3), bool),
+        vertex_colors=None,
+        tangents=None,
+        obj_dir=str(tmp_path),
+    )
+    mesh = mesh_mod.upload_mesh(md, obj_row=3, use_cluster=True,
+                                use_brute=False)
+    assert mesh.use_cluster and mesh.n_clusters == N_SLABS
+
+    # force refine_rounds=0 so the residual reaches the fallback path
+    # (the partial binds the original function before setattr replaces it)
+    monkeypatch.setattr(pc, 'two_level_hit',
+                        functools.partial(pc.two_level_hit, refine_rounds=0))
+
+    org, dirn = _rays()
+    mh = scn._mesh_closest_hit(mesh, org, dirn,
+                               jnp.full((1024,), BIG_T))
+
+    ref = brute_force_hit(mesh.soup, org, dirn)
+    np.testing.assert_allclose(np.asarray(mh.t), np.asarray(ref.t),
+                               rtol=1e-6, atol=1e-6)
+    # far-slab lanes specifically must now hit
+    assert (np.asarray(mh.t)[1000:] < BIG_T).all()

@@ -1,0 +1,107 @@
+"""Subsurface on BVH-tier meshes (VERDICT #4) + the unbiasedness gate.
+
+The disk-probe BSSRDF needs a uniformly-random same-object intersection
+(reference: TriangleMesh.cpp:1321-1428 reservoir traversal).  The dense
+count-then-pick sweep now covers every mesh up to MESH_RESERVOIR_MAX_TRIS
+(brute, packet and mid-size BVH tiers); bigger meshes opt out of the SS
+entry RR entirely via SceneArrays.ss_obj_ok so the estimator stays
+unbiased (ADVICE medium: a probe that categorically fails would duplicate
+the surface estimator ~2x).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+import pathtracer_tpu as pt
+from pathtracer_tpu.core import rng_host
+from pathtracer_tpu.render import renderer as rnd
+from pathtracer_tpu.scene import scene as scn
+from pathtracer_tpu.utils import procgen
+
+W, H, SPP, BOUNCES = 16, 12, 4, 3
+
+
+def _mesh_scene(ksub=(0.6, 0.4, 0.3), n=80):
+    md = procgen.sphere_mesh(n, n, radius=10.0)
+    objs = scn.default_objects()
+    objs.append(scn.mesh_object(md, translation=(0.0, -17.0, 0.0),
+                                ksub=ksub))
+    return scn.build_scene(objs, scn.default_light_intensity())
+
+
+def test_reservoir_on_bvh_mesh_matches_oracle():
+    """count-then-pick on a 12.6k-tri mesh (above the brute/packet tiers)
+    must equal the brute-forced 'floor(u*count)-th hit along the ray'."""
+    sc = _mesh_scene()
+    mesh = sc.meshes[0]
+    assert mesh.num_triangles > 8192 and not mesh.use_brute
+    assert scn._mesh_reservoir_supported(mesh)
+    assert bool(sc.ss_obj_ok[3])
+
+    n = 64
+    rng = np.random.default_rng(0)
+    org = np.array([0.0, -17.0, 30.0], np.float32) + \
+        rng.normal(0, 2.0, (n, 3)).astype(np.float32)
+    d = np.array([0.0, 0.0, -1.0], np.float32) + \
+        rng.normal(0, 0.05, (n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    tmax = np.full(n, 60.0, np.float32)
+    u = rng.uniform(0.05, 0.95, n).astype(np.float32)
+
+    probe = scn.reservoir_same_object(
+        sc, jnp.asarray(org), jnp.asarray(d), jnp.asarray(tmax),
+        jnp.full((n,), 3, jnp.int32), jnp.asarray(u))
+    found = np.asarray(probe.found)
+    assert found.mean() > 0.9, 'rays through the sphere must find exits'
+
+    # brute oracle over the same soup order (mesh-local = world frame after
+    # subtracting the row translation)
+    from pathtracer_tpu.ops import traverse
+    org_l = org - np.array([0.0, -17.0, 0.0], np.float32)
+    soup = mesh.soup
+    ts = []
+    for start in range(0, mesh.num_triangles, 4096):
+        sl = slice(start, min(start + 4096, mesh.num_triangles))
+        tt, _, _, _ = traverse._tri_test_block(soup, sl, jnp.asarray(org_l),
+                                               jnp.asarray(d))
+        ts.append(np.asarray(tt))
+    t_all = np.concatenate(ts, axis=1)
+    valid = (t_all >= 0.0) & (t_all < tmax[:, None])
+    t_probe = np.asarray(probe.t)
+    for i in range(n):
+        cnt = int(valid[i].sum())
+        assert found[i] == (cnt > 0)
+        if cnt:
+            pick = min(int(u[i] * cnt), cnt - 1)
+            t_ord = t_all[i][valid[i]]           # candidates in soup order
+            np.testing.assert_allclose(t_probe[i], t_ord[pick], rtol=1e-5)
+
+
+def test_ss_mesh_render_contributes():
+    sc_ss = _mesh_scene()
+    sc_no = _mesh_scene(ksub=(0.0, 0.0, 0.0))
+    cam = pt.make_camera((0, 0, 50), (0, 0, -1), (0, 1, 0))
+    cfg = rnd.RenderConfig(width=W, height=H, nrays=SPP, nb_bounces=BOUNCES)
+    cp = jnp.asarray(rng_host.random_per_pixel_fast(W, H))
+    img_ss, _ = rnd.render_unsplatted(sc_ss, cam, cp, cfg)
+    img_no, _ = rnd.render_unsplatted(sc_no, cam, cp, cfg)
+    img_ss, img_no = np.asarray(img_ss), np.asarray(img_no)
+    assert np.isfinite(img_ss).all()
+    assert np.abs(img_ss - img_no).max() > 1e-3, 'SS must change the render'
+
+
+def test_ss_gate_unbiased(monkeypatch):
+    """A ksub mesh whose reservoir is unsupported must render EXACTLY like
+    the ksub=0 mesh (SS RR disabled, gated draws leave streams untouched)."""
+    monkeypatch.setattr(scn, 'MESH_RESERVOIR_MAX_TRIS', 16)
+    sc_gated = _mesh_scene(n=24)          # 1.1k tris > 16 -> unsupported
+    assert not bool(sc_gated.ss_obj_ok[3])
+    monkeypatch.undo()
+    sc_no = _mesh_scene(ksub=(0.0, 0.0, 0.0), n=24)
+
+    cam = pt.make_camera((0, 0, 50), (0, 0, -1), (0, 1, 0))
+    cfg = rnd.RenderConfig(width=W, height=H, nrays=SPP, nb_bounces=BOUNCES)
+    cp = jnp.asarray(rng_host.random_per_pixel_fast(W, H))
+    img_g, _ = rnd.render_unsplatted(sc_gated, cam, cp, cfg)
+    img_n, _ = rnd.render_unsplatted(sc_no, cam, cp, cfg)
+    np.testing.assert_array_equal(np.asarray(img_g), np.asarray(img_n))
