@@ -25,6 +25,18 @@ def main(argv=None):
     p.add_argument('--cpu', action='store_true', help='force CPU backend')
     p.add_argument('--progressive', action='store_true',
                    help='save preview after every wave')
+    p.add_argument('--frame', type=int, default=0,
+                   help='animation frame to evaluate keyframes at (also '
+                        'the autosave index)')
+    p.add_argument('--autosave', action='store_true',
+                   help="per-frame autosaves next to the output: "
+                        "exportD<frame>.jpg each progressive wave, "
+                        "exportE<frame>.jpg after the offline render "
+                        "(reference naming, Raytracer.cpp:1549-1558, "
+                        ":1711-1756)")
+    p.add_argument('--denoise', action='store_true',
+                   help='also save exportEFiltered<frame>.jpg (a-trous '
+                        'denoise of the aux buffers)')
     args = p.parse_args(argv)
 
     if args.cpu:
@@ -50,34 +62,73 @@ def main(argv=None):
         w, h = (int(x) for x in args.size.split('x'))
         cfg = cfg._replace(width=w, height=h)
 
+    import os
+
     envmap = None
     if extras.get('envmap'):
         from .io.image import load_hdr, load_image
         ep = extras['envmap']
+        if not os.path.isabs(ep):
+            ep = os.path.join(os.path.dirname(os.path.abspath(args.scene)),
+                              ep)
         envmap = (load_hdr(ep) if ep.lower().endswith('.hdr')
                   else load_image(ep))
 
+    background = None
+    if extras.get('background'):
+        bp = extras['background']
+        if not os.path.isabs(bp):
+            bp = os.path.join(os.path.dirname(os.path.abspath(args.scene)),
+                              bp)
+        background = scn.load_background(bp)
+
+    if args.denoise:
+        cfg = cfg._replace(has_denoiser=True)
     sc = scn.build_scene(objects, light_intensity,
                          envmap_intensity=extras.get('envmap_intensity', 1.0),
-                         envmap=envmap)
+                         envmap=envmap, background=background,
+                         fog=extras.get('fog'),
+                         frame=args.frame if args.frame else None)
+
+    out_dir = os.path.dirname(os.path.abspath(args.output))
+
+    def save(path, img_u8):
+        image_io.save_image(path, img_u8)
+        print(f'saved {path}', flush=True)
 
     r = Renderer(sc, cam, cfg)
     t0 = time.perf_counter()
     if args.progressive:
         while r.samples_done < cfg.nrays:
             r.step(min(cfg.samples_per_wave, cfg.nrays - r.samples_done))
-            image_io.save_image(args.output, r.u8())
+            u8 = r.u8()
+            image_io.save_image(args.output, u8)
+            if args.autosave:
+                # progressive autosave slot (Raytracer.cpp:1549-1558)
+                save(os.path.join(out_dir, f'exportD{args.frame}.jpg'), u8)
             dt = time.perf_counter() - t0
             print(f'{r.samples_done}/{cfg.nrays} spp  '
                   f'{dt / max(r.samples_done, 1):.2f} s/spp', flush=True)
     else:
         r.render()
     dt = time.perf_counter() - t0
-    rays = cfg.width * cfg.height * cfg.nrays * cfg.nb_bounces * 2
+    st = r.stats(dt)
     print(f'rendered {cfg.width}x{cfg.height} @{cfg.nrays}spp in {dt:.1f}s '
-          f'({rays / dt / 1e6:.1f}M rays/s)')
-    image_io.save_image(args.output, r.u8())
-    print(f'saved {args.output}')
+          f'({st["rays_per_second"] / 1e6:.1f}M live rays/s)')
+    if args.output.lower().endswith('.hdr'):
+        import numpy as np
+        image_io.save_hdr(args.output, np.asarray(r.hdr()))
+        print(f'saved {args.output}')
+    else:
+        save(args.output, r.u8())
+    if args.autosave:
+        # offline autosave slot (Raytracer.cpp:1711-1756)
+        save(os.path.join(out_dir, f'exportE{args.frame}.jpg'), r.u8())
+        if args.denoise:
+            from .render import film as film_mod
+            u8 = film_mod.to_u8(r.denoised_display())
+            save(os.path.join(out_dir,
+                              f'exportEFiltered{args.frame}.jpg'), u8)
     return 0
 
 
