@@ -310,9 +310,10 @@ def intersect(sc: SceneArrays, origins, dirs, avoid_ghosts=False) -> Hit:
     if sc.envmap is not None:
         inv_len = 1.0 / jnp.sqrt(jnp.maximum(
             nlx * nlx + nly * nly + nlz * nlz, 1e-20))
-        # dome has flipped normals; envmap lookup uses the outward normal
-        ke_env = _envmap_ke(sc, -sgn * nlx * inv_len, -sgn * nly * inv_len,
-                            -sgn * nlz * inv_len)
+        # the lookup uses the OUTWARD geometric normal N = P - O *before*
+        # the flip (Geometry.h:965-971); nl carries sgn, so undo it
+        ke_env = _envmap_ke(sc, sgn * nlx * inv_len, sgn * nly * inv_len,
+                            sgn * nlz * inv_len)
         ke = jnp.where((obj_id == 1)[:, None], ke_env, 0.0)
     else:
         ke = jnp.zeros_like(p)

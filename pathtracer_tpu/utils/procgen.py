@@ -74,11 +74,15 @@ def sphere_mesh(n_lat: int, n_lon: int, radius: float = 1.0,
     v11 = vid(ii + 1, jj + 1)
     tris = np.concatenate([np.stack([v00, v10, v11], -1),
                            np.stack([v00, v11, v01], -1)], 0)
-    # drop degenerate polar slivers (v00 == v01 at the poles)
-    area_ok = ~((tris[:, 0] == tris[:, 1]) | (tris[:, 1] == tris[:, 2])
-                | (tris[:, 0] == tris[:, 2]))
-    # pole rows share vertices only along lon; keep everything non-equal
-    tris = tris[area_ok]
+    # drop degenerate polar slivers: pole-ring "vertices" have distinct
+    # indices but collinear positions (identical when displace_amp == 0),
+    # so filter by actual area, not index equality — degenerate triangles
+    # hit NaN/inf edge cases differently per backend and break parity
+    tv = verts[tris]
+    area2 = np.linalg.norm(np.cross(tv[:, 1] - tv[:, 0],
+                                    tv[:, 2] - tv[:, 0]), axis=1)
+    diag2 = float(np.sum((verts.max(0) - verts.min(0)) ** 2))
+    tris = tris[area2 > 1e-10 * diag2]
     return _meshdata(verts, tris, normals, uvs, kd=kd)
 
 

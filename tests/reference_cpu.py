@@ -63,6 +63,64 @@ def reflect(d, n):
     return d - 2.0 * np.dot(d, n) * n
 
 
+# --- measured (MERL) BRDF: scalar port of models/merl.py merl_eval,
+# itself a vectorization of lookup_brdf_val (MERLBRDFRead.cpp:76-207) ---
+MERL_RES_TH, MERL_RES_TD, MERL_RES_PD = 90, 90, 360
+MERL_SCALES = np.array([1.0 / 1500.0, 1.15 / 1500.0, 1.66 / 1500.0],
+                       np.float32)
+
+
+def _rot_z(v, ang):
+    c, s = math.cos(ang), math.sin(ang)
+    return np.array([c * v[0] - s * v[1], s * v[0] + c * v[1], v[2]],
+                    np.float32)
+
+
+def _rot_y(v, ang):
+    c, s = math.cos(ang), math.sin(ang)
+    return np.array([c * v[0] + s * v[2], v[1], -s * v[0] + c * v[2]],
+                    np.float32)
+
+
+def merl_eval_np(table, wi, wo, n):
+    """table: (3, TH*TD*PD/2) float32.  Mirrors merl_eval exactly."""
+    t1 = get_tangent(n)
+    t2 = np.cross(t1, n)
+    wi_l = np.array([np.dot(wi, t1), np.dot(wi, t2), np.dot(wi, n)],
+                    np.float32)
+    wo_l = np.array([np.dot(wo, t1), np.dot(wo, t2), np.dot(wo, n)],
+                    np.float32)
+    if wi_l[2] <= 0.0 or wo_l[2] <= 0.0:
+        return np.zeros(3, np.float32)
+    half = normalize((wi_l + wo_l) * np.float32(0.5))
+    theta_half = math.acos(min(1.0, max(-1.0, float(half[2]))))
+    fi_half = math.atan2(half[1], half[0])
+    diff = _rot_y(_rot_z(wi_l, -fi_half), -theta_half)
+    theta_diff = math.acos(min(1.0, max(-1.0, float(diff[2]))))
+    fi_diff = math.atan2(diff[1], diff[0])
+
+    th_deg = theta_half / (math.pi / 2.0) * MERL_RES_TH
+    ith = int(math.sqrt(max(th_deg * MERL_RES_TH, 0.0)))
+    ith = 0 if theta_half <= 0.0 else min(max(ith, 0), MERL_RES_TH - 1)
+    itd = min(max(int(theta_diff / (math.pi * 0.5) * MERL_RES_TD), 0),
+              MERL_RES_TD - 1)
+    fi_d = fi_diff + math.pi if fi_diff < 0.0 else fi_diff
+    ipd = min(max(int(fi_d / math.pi * (MERL_RES_PD // 2)), 0),
+              MERL_RES_PD // 2 - 1)
+    idx = ipd + itd * (MERL_RES_PD // 2) + ith * (MERL_RES_PD // 2) * MERL_RES_TD
+    return np.maximum(table[:, idx] * MERL_SCALES, 0.0).astype(np.float32)
+
+
+def envmap_ke_np(envmap, n_out):
+    """Dome radiance lookup; twin of scene._envmap_ke (Geometry.h:963-977)."""
+    eh, ew = envmap.shape[0], envmap.shape[1]
+    theta = 1.0 - math.acos(min(1.0, max(-1.0, float(n_out[1])))) / math.pi
+    phi = (math.atan2(-n_out[2], n_out[0]) + math.pi) / (2.0 * math.pi)
+    ti = min(max(int(theta * (eh - 1)), 0), eh - 1)
+    pi_ = min(max(int(phi * (ew - 1)), 0), ew - 1)
+    return envmap[ti, pi_] * np.float32(100000.0 / 255.0)
+
+
 def phong_eval(kd, ks, ne, wi, wo, n):
     refl = reflect(-wo, n)
     d = np.dot(refl, wi)
@@ -77,7 +135,7 @@ class Obj:
                  flip_normals=False, kd=(1, 1, 1), ks=(0, 0, 0), ne=(1, 1, 1),
                  transp=False, refr_index=1.3, miroir=False,
                  translation=(0, 0, 0), tri_verts=None, tri_normals=None,
-                 ksub=(0, 0, 0)):
+                 ksub=(0, 0, 0), merl=None):
         self.kind = kind
         self.center = (np.asarray(center if center is not None else point,
                                   np.float32)
@@ -95,6 +153,7 @@ class Obj:
         self.tri_verts = tri_verts        # (T,3,3) for kind == 'mesh'
         self.tri_normals = tri_normals    # (T,3,3) per-corner shading normals
         self.ksub = np.asarray(ksub, np.float32)
+        self.merl = merl                  # (3, TH*TD*PD/2) measured table
 
     def all_intersections(self, org, dirn, tmax):
         """All hits with this object in [0, tmax): list of (t, normal)."""
@@ -137,7 +196,9 @@ class Obj:
                 beta = (b11 * m22 - b21 * m12) * invdet
                 gamma = (b21 * m11 - b11 * m12) * invdet
                 alpha = 1 - beta - gamma
-                if beta < 0 or gamma < 0 or alpha < 0:
+                # positive acceptance: NaN barycentrics of degenerate
+                # triangles must be REJECTED (kernels test beta >= 0)
+                if not (beta >= 0 and gamma >= 0 and alpha >= 0):
                     continue
                 if self.tri_normals is not None:
                     sn = (self.tri_normals[k, 0] * alpha
@@ -199,13 +260,13 @@ class Obj:
                 invdet = 1.0 / (m11 * m22 - m12 * m12)
                 b11 = np.dot(w, u); b21 = np.dot(w, v)
                 beta = (b11 * m22 - b21 * m12) * invdet
-                if beta < 0:
+                if not (beta >= 0):      # NaN-rejecting (degenerate tris)
                     continue
                 gamma = (b21 * m11 - b11 * m12) * invdet
-                if gamma < 0:
+                if not (gamma >= 0):
                     continue
                 alpha = 1 - beta - gamma
-                if alpha < 0:
+                if not (alpha >= 0):
                     continue
                 if t < best_t:
                     best_t = t
@@ -223,10 +284,11 @@ class Obj:
 
 class CPUScene:
     def __init__(self, objects, light_intensity, envmap_intensity=1.0,
-                 fog=None):
+                 fog=None, envmap=None):
         self.objects = objects
         self.light_intensity = light_intensity
         self.envmap_intensity = envmap_intensity
+        self.envmap = envmap              # (He,We,3) f32 lat-long or None
         light = objects[0]
         self.center_light = light.center + light.translation
         self.radius_light = light.radius
@@ -496,6 +558,8 @@ def trace_path(scene: CPUScene, cam, i, j, key, cp_shift, lattice_pt,
             if not shadowed:
                 if ss_now:
                     f = obj.ksub / np.pi
+                elif obj.merl is not None:
+                    f = merl_eval_np(obj.merl, wi, -dirn_shading, n)
                 else:
                     f = phong_eval(obj.kd, obj.ks, obj.ne, wi,
                                    -dirn_shading, n)
@@ -516,7 +580,11 @@ def trace_path(scene: CPUScene, cam, i, j, key, cp_shift, lattice_pt,
 
         # --- color adds, fog-attenuated ---
         if oid == 1:
-            pass  # dome Ke = 0 without envmap
+            # dome: envmap radiance on show_env paths (Raytracer.cpp:274-302);
+            # outward normal = -n (the dome sphere has flipped normals)
+            if scene.envmap is not None and show_env:
+                color += (T * weight * scene.envmap_intensity
+                          * envmap_ke_np(scene.envmap, -n))
         elif oid == 0:
             if show_lights:
                 color += T * weight * scene.light_power
@@ -557,6 +625,12 @@ def trace_path(scene: CPUScene, cam, i, j, key, cp_shift, lattice_pt,
                 d_ind = random_cos(n, r1_cp, r2_cp)
                 pdf = np.dot(n, d_ind) / np.pi
                 f_ind = obj.ksub / np.pi
+            elif obj.merl is not None:
+                # measured BRDFs sample pure cosine and draw no lobe-choice
+                # uniform (BRDF.h:126-131, :198-203; integrator.py gate)
+                d_ind = random_cos(n, r1_cp, r2_cp)
+                pdf = np.dot(n, d_ind) / np.pi
+                f_ind = merl_eval_np(obj.merl, d_ind, -dirn_shading, n)
             else:
                 u_choice = eng.next_float()   # canonical order #4
                 avg_ne = float(np.mean(obj.ne))
