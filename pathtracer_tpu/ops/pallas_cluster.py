@@ -1,8 +1,5 @@
 """Two-level cluster traversal — the TPU-native BIG-mesh intersection.
 
-Validated on-device (v5e): bit-exact vs the dense sweep at 30k tris,
-runs at 1M tris / 2M rays without OOM.
-
 The SMEM packet kernel (ops/pallas_bvh.py) caps at a few thousand
 triangles because Mosaic only allows arbitrary dynamic scalar indexing
 from SMEM (~1MB).  This module scales to millions of triangles with a
@@ -10,28 +7,57 @@ design that avoids every dynamic-indexing restriction:
 
   Phase 1 — cluster culling (`cluster_cull`).  Triangles are partitioned
   into fixed-size spatially-coherent CLUSTERS (contiguous ranges of the
-  global BVH order, TRIS_C each).  A small top-level BVH over cluster
-  AABBs lives in SMEM; the packet kernel traverses it per BLOCK-ray
-  packet and emits the clusters the packet enters, SORTED near-first by
-  packet-min slab entry t.  When a packet touches more than MAXC
-  clusters, the farthest recorded one is replaced (the kept set is the
-  MAXC nearest-entry clusters; the true count is still reported).
+  global BVH order, TRIS_C each).  Two interchangeable implementations
+  emit, per BLOCK-ray packet, the clusters the packet enters SORTED
+  near-first by packet-min slab entry t:
+    * `dense_cull` (default for <= DENSE_CULL_MAX clusters): a pure-XLA
+      all-rays x all-clusters slab rectangle, reduced per packet, then
+      `lax.top_k` for the MAXC nearest — no scalar control flow at all
+      (the Pallas SMEM tree walk measured ~740us/packet, 98% of it
+      serial-loop overhead; the dense rectangle is ~30us/packet).
+    * `_cull_kernel` (huge meshes): the SMEM top-BVH packet traversal.
+  When a packet touches more than MAXC clusters the true count is still
+  reported and `two_level_hit` refines/reroutes (no hit ever dropped).
 
-  Phase 2 — per-packet dense sweeps (`cluster_sweep`).  One grid step
-  per packet; the kernel loops over ONLY the emitted slots, copying each
-  packed (24, TRIS_C) cluster record HBM->VMEM with a serial
-  start->wait DMA (~1% of slot cost; a cond-switched double-buffer
-  variant hung the device — keep the control flow simple), then runs a
-  fully dense VPU sweep — no gathers, no dynamic tri indices, no SMEM
-  DMA.  Three culls bound the work: a sound early BREAK once the next
-  sorted slot's entry key exceeds every lane's best t; a whole-cluster
-  skip when no lane's AABB entry beats its best t; and per-SUBT-subtile
-  skips via the sub-AABBs stored in packed rows 17-22.
+  Phase 2 — per-packet sweeps (`cluster_sweep`).  One grid step per
+  packet; the kernel loops over ONLY the emitted slots, copying each
+  packed cluster record HBM->VMEM with a serial start->wait DMA (~3% of
+  slot cost; a cond-switched double-buffer variant hung the device —
+  keep the control flow simple).  The ray x triangle work is cast as ONE
+  (BLOCK, 8) x (8, 6*SUBT) MXU matmul per subtile over a PRECOMPUTED
+  PLANE layout — for triangle (a, u, v) with normal n and inverse
+  Gram rows U' = invdet*(m22*u - m12*v), V' = invdet*(m11*v - m12*u):
+
+      t     = -[(o - c)·n    - (a - c)·n]  / (d·n)
+      beta  =  [(o - c)·U' - (a - c)·U'] + t * (d·U')
+      gamma =  [(o - c)·V' - (a - c)·V'] + t * (d·V')
+
+  so with rays as R = [o - c, 1, d, 0] all six dot families are columns
+  of one matmul against A = [[n U' V' 0 0 0], [-a·n -a·U' -a·V' 0 0 0],
+  [0 0 0 n U' V']] (rows grouped by R component); c is the cluster
+  centroid (re-centering bounds the magnitudes so the fp32 MXU passes
+  keep barycentric precision).  A sound early BREAK ends most packets
+  after a handful of sorted slots, and a whole-cluster slab skip prunes
+  never-entered slots.
+
+  Measured on v5e (1M-tri terrain, all-hit 32x32-tile packets, 8
+  slots/packet median): ~80us fixed per packet + ~49us per slot, split
+  ~33us VPU epilogue (VMEM-bandwidth-bound), ~14us matmul (HIGHEST, 2
+  subtiles), ~0.6us DMA -> 2.8M rays/s closest-hit at 1M triangles.
+  Hard-won rules embedded here (violations measured, do not rediscover):
+    * jit the WHOLE pipeline (`_two_level_exec`): per-call closures under
+      lax.map/cond re-trace + re-compile every call (~6s/call constant);
+    * never feed rays as a (BLOCK, small) minor-dim block (strided DMA);
+      build R^T in-kernel from row planes, contract sublane dims;
+    * MXU DEFAULT truncates f32 to bf16 -> barycentric edge tests flip
+      (31% of lanes picked a neighboring triangle): Precision.HIGHEST;
+    * packet coherence is worth 6x: 32x32-pixel tiles vs raster rows
+      cut median slots/packet 52 -> 8.
 
 Per-packet work scales with the clusters a coherent packet actually
-enters (the wavefront's octant ray sorting feeds coherence); empty space
-costs one SMEM traversal.  scene/mesh.py activates this tier on TPU for
-meshes beyond PACKET_MAX_TRIS (scene.py:_mesh_closest_hit dispatch).
+enters (the wavefront's octant ray sorting feeds coherence).
+scene/mesh.py activates this tier on TPU for meshes beyond
+PACKET_MAX_TRIS (scene.py:_mesh_closest_hit dispatch).
 
 Counterpart of the reference's BVH traversal for its biggest scenes
 (TriangleMesh.cpp:1133-1235); the cluster decomposition replaces the
@@ -41,7 +67,7 @@ deep per-ray stack with hardware-shaped dense work.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import numpy as np
 import jax
@@ -54,18 +80,19 @@ from .traverse import TriSoup, make_soup
 
 BIG_T = np.float32(1e30)
 BLOCK = 1024          # rays per packet (shared with pallas_bvh)
-TRIS_C = 2048         # triangles per cluster (padded)
-SUBT = 256            # phase-2 triangle subtile: ~15 live (BLOCK, SUBT)
-                      # f32 temps must fit the 16MB scoped-VMEM stack
-                      # (ray/output planes are (1,1,BLOCK) rows, so the
-                      # stack is temps-dominated; 256 fits since the
-                      # lane-padded (BLOCK,1) buffers are gone)
-MAXC = 64             # cluster slots per packet (nearest kept on overflow)
+TRIS_C = 512          # triangles per cluster (padded)
+SUBT = 256            # phase-2 triangle subtile (128-multiple): bounds the
+                      # live (BLOCK, 6*SUBT) matmul output + epilogue temps
+                      # inside the 16MB scoped-VMEM stack
+MAXC = 128            # cluster slots per packet (overflow -> refine/reroute)
 STACK_DEPTH = 64
+DENSE_CULL_MAX = 8192   # clusters; above this the SMEM tree cull takes over
 CHUNK_PACKETS = 256   # packets per kernel launch: SMEM outputs and the
                       # sweep's prefetched id table are lane-padded to
                       # (nb, 128) i32 and double-buffered — chunking keeps
                       # them inside the 1MB SMEM budget at any ray count
+A_ROWS = 8            # sweep A-matrix rows (R = [o-c, 1, d, 0] K dim)
+TAIL = 256            # packed tail lanes: [AABB | centroid] scalar blocks
 
 
 class ClusteredMesh(NamedTuple):
@@ -77,17 +104,24 @@ class ClusteredMesh(NamedTuple):
     top_a: jnp.ndarray; top_b: jnp.ndarray; top_leaf: jnp.ndarray
     top_order: jnp.ndarray           # (C,) int32: leaf pos -> cluster id
     top_max_leaf: int
-    # per-cluster AABBs (C,) — phase-2 per-slot pruning
+    # per-cluster AABBs (C,) — dense cull + per-slot pruning
     cb_lox: jnp.ndarray; cb_loy: jnp.ndarray; cb_loz: jnp.ndarray
     cb_hix: jnp.ndarray; cb_hiy: jnp.ndarray; cb_hiz: jnp.ndarray
-    # per-cluster triangle data, ONE (C, 24, TRIS_C) f32 array: rows
-    # 0-15 = TriSoup components, row 16 = validity, rows 17-23 pad to a
-    # sublane multiple.  One array -> ONE pipeline DMA per grid step
-    # (separate per-component arrays cost 17 tiny latency-bound DMAs).
+    # per-cluster sweep A-matrices, ONE (C, A_ROWS, W) f32 array where
+    # W = n_sub*6*SUBT + TAIL.  Per subtile s, columns [s*6S, (s+1)*6S)
+    # hold the six plane blocks [n | U' | V' | n | U' | V'] with rows
+    # grouped by the R = [o-c, 1, d, 0] component they multiply: rows
+    # 0-2 = plane xyz (o part), row 3 = -(a-c)·plane, rows 4-6 = plane
+    # xyz again (d part, nonzero only in the last three blocks), row 7 =
+    # 0.  The TAIL lanes carry per-cluster scalars replicated across 128
+    # lanes: [AABB lo/hi in rows 0-5 | centroid xyz in rows 0-2].
+    # One array -> ONE manual DMA per slot.
     packed: jnp.ndarray
     n_clusters: int
     order: np.ndarray                # (T,) global BVH order (host):
                                      # sweep tri index -> original tri
+    host_tris: Optional[np.ndarray] = None   # (C*TRIS_C, 3, 3) padded,
+                                             # BVH order (tests/oracles)
 
 
 def build_clustered(tri_verts: np.ndarray, fb=None) -> ClusteredMesh:
@@ -122,23 +156,48 @@ def build_clustered(tri_verts: np.ndarray, fb=None) -> ClusteredMesh:
     b = np.where(top.node_leaf, top.node_b - top.node_a,
                  top.node_b).astype(np.int32)
 
-    soup_flat = make_soup(ordered)
-    packed = np.zeros((c, 24, TRIS_C), np.float32)
-    for i, comp in enumerate(soup_flat):
-        packed[:, i, :] = np.asarray(comp).reshape(c, TRIS_C)
-    packed[:, 16, :] = valid.astype(np.float32)
-    # rows 17-22: per-SUBT-subtile AABBs, each value replicated across its
-    # subtile's lanes — the sweep reduces a lane slice to recover the
-    # scalar (vector-reduce beats scalar VMEM loads on TPU)
+    # --- sweep A-matrices (see class docstring + module docstring) ---
+    # plane data per triangle, f64 precompute like make_soup
+    av = grouped[:, :, 0, :].astype(np.float64)          # (c, T, 3)
+    uv = grouped[:, :, 1, :].astype(np.float64) - av
+    vv = grouped[:, :, 2, :].astype(np.float64) - av
+    nv = np.cross(uv, vv)
+    m11 = np.sum(uv * uv, -1)
+    m12 = np.sum(uv * vv, -1)
+    m22 = np.sum(vv * vv, -1)
+    det = m11 * m22 - m12 * m12
+    with np.errstate(divide='ignore', invalid='ignore'):
+        invdet = np.where(det != 0.0, 1.0 / det, 0.0)
+    Up = invdet[..., None] * (m22[..., None] * uv - m12[..., None] * vv)
+    Vp = invdet[..., None] * (m11[..., None] * vv - m12[..., None] * uv)
+    # invalid (pad/degenerate) triangles: zero planes -> t = 0/0 = NaN ->
+    # rejected by the epilogue's positive acceptance
+    keep = (valid & (det != 0.0) & np.isfinite(nv).all(-1))[..., None]
+    nv = np.where(keep, nv, 0.0)
+    Up = np.where(keep, Up, 0.0)
+    Vp = np.where(keep, Vp, 0.0)
+    a_c = av - centers[:, None, :]                       # re-centered a
     n_sub = TRIS_C // SUBT
-    sub_pts = grouped.reshape(c, n_sub, SUBT * 3, 3)
-    sub_valid = np.repeat(valid.reshape(c, n_sub, SUBT), 3,
-                          axis=2)[:, :, :, None]
-    sub_lo = np.where(sub_valid, sub_pts, BIG_T).min(axis=2)    # (c,ns,3)
-    sub_hi = np.where(sub_valid, sub_pts, -BIG_T).max(axis=2)
-    for ax3 in range(3):
-        packed[:, 17 + ax3, :] = np.repeat(sub_lo[:, :, ax3], SUBT, axis=1)
-        packed[:, 20 + ax3, :] = np.repeat(sub_hi[:, :, ax3], SUBT, axis=1)
+    width = n_sub * 6 * SUBT + TAIL
+    packed = np.zeros((c, A_ROWS, width), np.float32)
+    planes = (nv, Up, Vp)
+    for s in range(n_sub):
+        sl = slice(s * SUBT, (s + 1) * SUBT)
+        base = s * 6 * SUBT
+        for pidx, pl_ in enumerate(planes):
+            col = slice(base + pidx * SUBT, base + (pidx + 1) * SUBT)
+            packed[:, 0:3, col] = pl_[:, sl].transpose(0, 2, 1)
+            packed[:, 3, col] = -np.sum(a_c[:, sl] * pl_[:, sl], -1)
+            # d-part blocks 3-5 mirror the planes in rows 4-6
+            cold = slice(base + (3 + pidx) * SUBT, base + (4 + pidx) * SUBT)
+            packed[:, 4:7, cold] = pl_[:, sl].transpose(0, 2, 1)
+    tail0 = n_sub * 6 * SUBT
+    for k, arr in enumerate((clo[:, 0], clo[:, 1], clo[:, 2],
+                             chi[:, 0], chi[:, 1], chi[:, 2])):
+        packed[:, k, tail0:tail0 + 128] = arr[:, None]
+    for k in range(3):
+        packed[:, k, tail0 + 128:tail0 + 256] = centers[:, k][:, None]
+
     # batch the small arrays into TWO uploads (plus packed): per-array
     # device_put through the axon tunnel has wildly variable latency
     # (observed 7s-673s for the same mesh when done as 17 transfers)
@@ -169,14 +228,14 @@ def build_clustered(tri_verts: np.ndarray, fb=None) -> ClusteredMesh:
         cb_lox=f32s(6), cb_loy=f32s(7), cb_loz=f32s(8),
         cb_hix=f32s(9), cb_hiy=f32s(10), cb_hiz=f32s(11),
         packed=jnp.asarray(packed),
-        n_clusters=c, order=fb.order,
+        n_clusters=c, order=fb.order, host_tris=ordered,
     )
 
 
 def flat_soup(cm: ClusteredMesh) -> TriSoup:
-    """The packed triangle data as a flat (C*TRIS_C,) TriSoup (tests /
-    brute-force oracles)."""
-    return TriSoup(*[cm.packed[:, i, :].reshape(-1) for i in range(16)])
+    """The clustered triangles as a flat (C*TRIS_C,) TriSoup in BVH order
+    (tests / brute-force oracles; pad triangles reject via NaN)."""
+    return make_soup(cm.host_tris)
 
 
 def cluster_arrays(cm: ClusteredMesh) -> tuple:
@@ -332,7 +391,6 @@ def _cull_kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
 
 
 def _sweep_kernel(ids_ref, cnt_ref, keys_ref,
-                  cb_lox, cb_loy, cb_loz, cb_hix, cb_hiy, cb_hiz,
                   packed_hbm,
                   ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                   tx_ref, tn_ref,
@@ -341,18 +399,26 @@ def _sweep_kernel(ids_ref, cnt_ref, keys_ref,
     """Phase 2: one grid step per PACKET; in-kernel loop over only the
     clusters phase 1 emitted, with manual HBM->VMEM DMA per slot.
 
-    The DMA is serial (start->wait->process): one 196KB copy is ~0.5us
-    against ~50us of sweep compute, and the cond-switched double-buffer
-    variant hung the device — keep the control flow simple.
+    The DMA is serial (start->wait->process): one ~100KB copy is well
+    under the slot's compute, and the cond-switched double-buffer variant
+    hung the device — keep the control flow simple.
 
-    Three levels of culling end most packets after a handful of slots:
-      * sound early BREAK once the next (sorted) slot's entry key is
-        beyond every lane's current best t;
-      * whole-cluster skip when no lane's AABB entry beats its best t;
-      * per-SUBT-subtile skip via the sub-AABBs in packed rows 17-22.
+    Per subtile the six dot families (o·n, o·U', o·V', d·n, d·U', d·V',
+    with the -a·plane constants folded into R's `1` column) come from ONE
+    (BLOCK, 8) x (8, 6*SUBT) MXU matmul over the re-centered rays
+    (module docstring); the VPU epilogue assembles t/beta/gamma, applies
+    positive acceptance (pad/degenerate planes produce NaN -> rejected),
+    and extracts the per-lane winner with iota/onehot min-reductions.
+
+    Culling: a sound early BREAK once the next (sorted) slot's entry key
+    is beyond every lane's best t, and a whole-cluster skip when no
+    lane's AABB entry beats its best t (AABB scalars ride the packed
+    tail; all-equal lane reductions scalarize them).
     """
     b = pl.program_id(0)
     cnt = jnp.minimum(cnt_ref[b, 0], MAXC)
+    n_sub = TRIS_C // SUBT
+    tail0 = n_sub * 6 * SUBT
 
     tout_ref[0, 0, :] = tx_ref[0, 0, :]
     triout_ref[0, 0, :] = jnp.full((BLOCK,), -1, jnp.int32)
@@ -362,12 +428,9 @@ def _sweep_kernel(ids_ref, cnt_ref, keys_ref,
     ox = ox_ref[0, 0, :]
     oy = oy_ref[0, 0, :]
     oz = oz_ref[0, 0, :]
-    dx = dx_ref[0, 0, :]
-    dy = dy_ref[0, 0, :]
-    dz = dz_ref[0, 0, :]
-    ix = 1.0 / dx
-    iy = 1.0 / dy
-    iz = 1.0 / dz
+    ix = 1.0 / dx_ref[0, 0, :]
+    iy = 1.0 / dy_ref[0, 0, :]
+    iz = 1.0 / dz_ref[0, 0, :]
     tn = tn_ref[0, 0, :]
 
     def dma(k):
@@ -390,89 +453,82 @@ def _sweep_kernel(ids_ref, cnt_ref, keys_ref,
         entry = jnp.maximum(tmin, 0.0)
         return (tmax >= entry) & (entry < tout_ref[0, 0, :])
 
-    def process(cid, soup_ref):
-        live = slab6(cb_lox[cid], cb_loy[cid], cb_loz[cid],
-                     cb_hix[cid], cb_hiy[cid], cb_hiz[cid])
+    def process(cid):
+        # cluster scalars from the packed tail (all-equal lane reductions)
+        lo_x = jnp.min(buf0[0, tail0:tail0 + 128])
+        lo_y = jnp.min(buf0[1, tail0:tail0 + 128])
+        lo_z = jnp.min(buf0[2, tail0:tail0 + 128])
+        hi_x = jnp.min(buf0[3, tail0:tail0 + 128])
+        hi_y = jnp.min(buf0[4, tail0:tail0 + 128])
+        hi_z = jnp.min(buf0[5, tail0:tail0 + 128])
+        c_x = jnp.min(buf0[0, tail0 + 128:tail0 + 256])
+        c_y = jnp.min(buf0[1, tail0 + 128:tail0 + 256])
+        c_z = jnp.min(buf0[2, tail0 + 128:tail0 + 256])
+        live = slab6(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z)
 
         @pl.when(jnp.any(live))
         def _():
-            def sub_body(s, _):
-                off = pl.multiple_of(s * SUBT, SUBT)
-                sl = pl.ds(off, SUBT)
-                # sub-AABB scalars via all-equal lane reduction
-                live_s = slab6(jnp.min(soup_ref[17, sl]),
-                               jnp.min(soup_ref[18, sl]),
-                               jnp.min(soup_ref[19, sl]),
-                               jnp.max(soup_ref[20, sl]),
-                               jnp.max(soup_ref[21, sl]),
-                               jnp.max(soup_ref[22, sl]))
+            # ray matrix R^T = [o-c, 1, d, 0] built IN-KERNEL as an
+            # (8, BLOCK) sublane stack from the row planes: a separate
+            # (BLOCK, 8) input block would lane-pad its minor dim 8->128
+            # into a strided DMA (~3.2ms/packet measured — the dominant
+            # cost; same hazard class as the round-1 (BLOCK,3) rule)
+            rt = jnp.concatenate(
+                [(ox - c_x)[None, :], (oy - c_y)[None, :],
+                 (oz - c_z)[None, :], jnp.ones((1, BLOCK), jnp.float32),
+                 dx_ref[0], dy_ref[0], dz_ref[0],
+                 jnp.zeros((1, BLOCK), jnp.float32)], axis=0)
 
-                @pl.when(jnp.any(live_s))
-                def _():
-                    oxc = ox[:, None]
-                    oyc = oy[:, None]
-                    ozc = oz[:, None]
-                    dxc = dx[:, None]
-                    dyc = dy[:, None]
-                    dzc = dz[:, None]
-                    rnx = soup_ref[9, sl][None, :]
-                    rny = soup_ref[10, sl][None, :]
-                    rnz = soup_ref[11, sl][None, :]
-                    rax = soup_ref[0, sl][None, :]
-                    ray_ = soup_ref[1, sl][None, :]
-                    raz = soup_ref[2, sl][None, :]
-                    dn = dxc * rnx + dyc * rny + dzc * rnz
-                    t = ((rax - oxc) * rnx + (ray_ - oyc) * rny
-                         + (raz - ozc) * rnz) / dn
-                    px = oxc + t * dxc - rax
-                    py = oyc + t * dyc - ray_
-                    pz = ozc + t * dzc - raz
-                    b11 = (px * soup_ref[3, sl][None, :]
-                           + py * soup_ref[4, sl][None, :]
-                           + pz * soup_ref[5, sl][None, :])
-                    b21 = (px * soup_ref[6, sl][None, :]
-                           + py * soup_ref[7, sl][None, :]
-                           + pz * soup_ref[8, sl][None, :])
-                    beta = (b11 * soup_ref[14, sl][None, :]
-                            - b21 * soup_ref[13, sl][None, :]) \
-                        * soup_ref[15, sl][None, :]
-                    gamma = (b21 * soup_ref[12, sl][None, :]
-                             - b11 * soup_ref[13, sl][None, :]) \
-                        * soup_ref[15, sl][None, :]
-                    alpha = 1.0 - beta - gamma
-                    ok = ((t >= 0.0) & (beta >= 0.0) & (gamma >= 0.0)
-                          & (alpha >= 0.0)
-                          & (soup_ref[16, sl][None, :] > 0.5)
-                          & (t > tn[:, None]) & ~jnp.isnan(t))
-                    t = jnp.where(ok, t, BIG_T)
-                    # winner by min-reductions (no gathers / argmin)
-                    tj = jnp.min(t, axis=-1)                  # (BLOCK,)
-                    lane_iota = jax.lax.broadcasted_iota(
-                        jnp.int32, (BLOCK, SUBT), 1)
-                    is_win = t <= tj[:, None]
-                    j = jnp.min(jnp.where(is_win, lane_iota, SUBT),
-                                axis=-1)
-                    onehot = lane_iota == j[:, None]
-                    al_j = jnp.sum(jnp.where(onehot, alpha, 0.0), axis=-1)
-                    be_j = jnp.sum(jnp.where(onehot, beta, 0.0), axis=-1)
-                    win = tj < tout_ref[0, 0, :]
-                    tout_ref[0, 0, :] = jnp.where(win, tj,
-                                                  tout_ref[0, 0, :])
-                    triout_ref[0, 0, :] = jnp.where(
-                        win, cid * TRIS_C + off + j, triout_ref[0, 0, :])
-                    alout_ref[0, 0, :] = jnp.where(win, al_j,
-                                                   alout_ref[0, 0, :])
-                    beout_ref[0, 0, :] = jnp.where(win, be_j,
-                                                   beout_ref[0, 0, :])
+            def sub_body(s, _):
+                off = pl.multiple_of(s * (6 * SUBT), 6 * SUBT)
+                amat = buf0[:, pl.ds(off, 6 * SUBT)]  # (8, 6*SUBT)
+                # contract the sublane dims: (8,B)^T x (8,6S) -> (B,6S).
+                # HIGHEST: TPU DEFAULT truncates f32 operands to bf16 on
+                # the MXU — 8 mantissa bits flip barycentric edge tests
+                # (measured: 31% of lanes picked a neighboring triangle)
+                prod = jax.lax.dot_general(
+                    rt, amat, (((0,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+                on = prod[:, 0 * SUBT:1 * SUBT]
+                oU = prod[:, 1 * SUBT:2 * SUBT]
+                oV = prod[:, 2 * SUBT:3 * SUBT]
+                dn = prod[:, 3 * SUBT:4 * SUBT]
+                dU = prod[:, 4 * SUBT:5 * SUBT]
+                dV = prod[:, 5 * SUBT:6 * SUBT]
+                t = -(on / dn)
+                beta = oU + t * dU
+                gamma = oV + t * dV
+                # positive acceptance rejects NaN (pad/degenerate planes)
+                ok = ((t >= 0.0) & (t > tn[:, None]) & (beta >= 0.0)
+                      & (gamma >= 0.0) & (beta + gamma <= 1.0))
+                t = jnp.where(ok, t, BIG_T)
+                # winner by min-reductions (no gathers / argmin)
+                tj = jnp.min(t, axis=-1)              # (BLOCK,)
+                lane_iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (BLOCK, SUBT), 1)
+                is_win = t <= tj[:, None]
+                j = jnp.min(jnp.where(is_win, lane_iota, SUBT), axis=-1)
+                onehot = lane_iota == j[:, None]
+                be_j = jnp.sum(jnp.where(onehot, beta, 0.0), axis=-1)
+                ga_j = jnp.sum(jnp.where(onehot, gamma, 0.0), axis=-1)
+                win = tj < tout_ref[0, 0, :]
+                tout_ref[0, 0, :] = jnp.where(win, tj, tout_ref[0, 0, :])
+                triout_ref[0, 0, :] = jnp.where(
+                    win, cid * TRIS_C + s * SUBT + j, triout_ref[0, 0, :])
+                alout_ref[0, 0, :] = jnp.where(win, 1.0 - be_j - ga_j,
+                                               alout_ref[0, 0, :])
+                beout_ref[0, 0, :] = jnp.where(win, be_j,
+                                               beout_ref[0, 0, :])
                 return 0
 
-            jax.lax.fori_loop(0, TRIS_C // SUBT, sub_body, jnp.int32(0))
+            jax.lax.fori_loop(0, n_sub, sub_body, jnp.int32(0))
 
     def loop(k):
         copy = dma(k)
         copy.start()
         copy.wait()
-        process(ids_ref[b, k], buf0)
+        process(ids_ref[b, k])
 
         # sound early break: slots are sorted by packet-min entry key and
         # every lane's own entry >= that key, so once the NEXT key is
@@ -539,14 +595,73 @@ def _top_arrays(cm: ClusteredMesh):
             cm.top_hiz, cm.top_a, cm.top_b, cm.top_leaf, cm.top_order)
 
 
+@jax.jit
+def _dense_cull(cb, org, dirn, tmax):
+    """Pure-XLA phase 1: every packet x every cluster slab rectangle.
+
+    The Pallas SMEM tree walk costs ~740us/packet — 98% serial-loop
+    overhead around 16ns of vector work per node (measured, round 2).
+    For mesh-scale cluster counts the exact dense rectangle is ~30us a
+    packet, entirely inside XLA's fused elementwise+reduce pipeline, and
+    `lax.top_k` gives the near-first sorted slots directly."""
+    lox, loy, loz, hix, hiy, hiz = cb
+    n = org.shape[0]
+    nb = n // BLOCK
+    c = lox.shape[0]
+
+    def per_packet(xs):
+        o, d, tm = xs                   # (BLOCK,3) (BLOCK,3) (BLOCK,)
+        ivx = 1.0 / d[:, 0:1]
+        ivy = 1.0 / d[:, 1:2]
+        ivz = 1.0 / d[:, 2:3]
+        t1 = (lox[None, :] - o[:, 0:1]) * ivx
+        t2 = (hix[None, :] - o[:, 0:1]) * ivx
+        tmin = jnp.minimum(t1, t2)
+        tmx = jnp.maximum(t1, t2)
+        t1 = (loy[None, :] - o[:, 1:2]) * ivy
+        t2 = (hiy[None, :] - o[:, 1:2]) * ivy
+        tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+        tmx = jnp.minimum(tmx, jnp.maximum(t1, t2))
+        t1 = (loz[None, :] - o[:, 2:3]) * ivz
+        t2 = (hiz[None, :] - o[:, 2:3]) * ivz
+        tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+        tmx = jnp.minimum(tmx, jnp.maximum(t1, t2))
+        entry = jnp.maximum(tmin, 0.0)
+        live = (tmx >= entry) & (tmin < tm[:, None])       # (BLOCK, C)
+        key = jnp.min(jnp.where(live, entry, BIG_T), axis=0)
+        return key, jnp.any(live, axis=0)
+
+    keys_c, live_c = jax.lax.map(
+        per_packet, (org.reshape(nb, BLOCK, 3), dirn.reshape(nb, BLOCK, 3),
+                     tmax.reshape(nb, BLOCK)))             # (nb, C)
+    count = jnp.sum(live_c, axis=1, dtype=jnp.int32)[:, None]
+    k = min(MAXC, c)
+    negk, idx = jax.lax.top_k(-keys_c, k)                  # ascending key
+    keys_sel = -negk
+    ids = jnp.where(keys_sel < BIG_T, idx.astype(jnp.int32), -1)
+    if k < MAXC:
+        nb_ = ids.shape[0]
+        ids = jnp.concatenate(
+            [ids, jnp.full((nb_, MAXC - k), -1, jnp.int32)], axis=1)
+        keys_sel = jnp.concatenate(
+            [keys_sel, jnp.full((nb_, MAXC - k), BIG_T)], axis=1)
+    return ids, count, keys_sel
+
+
 def cluster_cull(cm: ClusteredMesh, org, dirn, tmax, interpret=False):
     """Phase 1.  Returns (ids (nb, MAXC) int32, -1-padded, near-first;
     count (nb, 1) int32; count > MAXC means the packet overflowed and
     only the MAXC nearest-entry clusters were kept;
     keys (nb, MAXC) f32: the sorted packet-min slab entry t per slot).
 
-    Large ray sets run as a lax.map over CHUNK_PACKETS-packet chunks (one
-    compile, one dispatch) to bound the kernel's SMEM output footprint."""
+    Dispatch: the exact dense XLA rectangle up to DENSE_CULL_MAX
+    clusters; the Pallas SMEM top-BVH walk beyond it.  Large ray sets
+    run the Pallas path as a lax.map over CHUNK_PACKETS-packet chunks
+    (one compile, one dispatch) to bound the SMEM output footprint."""
+    if cm.n_clusters <= DENSE_CULL_MAX:
+        return _dense_cull(
+            (cm.cb_lox, cm.cb_loy, cm.cb_loz,
+             cm.cb_hix, cm.cb_hiy, cm.cb_hiz), org, dirn, tmax)
     n = org.shape[0]
     nb = n // BLOCK
     if nb <= CHUNK_PACKETS:
@@ -568,16 +683,16 @@ def cluster_cull(cm: ClusteredMesh, org, dirn, tmax, interpret=False):
 
 
 @functools.partial(jax.jit, static_argnames=('interpret',))
-def cluster_sweep(ids, counts, keys, cbounds, packed, org, dirn, tmax,
+def cluster_sweep(ids, counts, keys, packed, org, dirn, tmax,
                   tmin, interpret: bool = False):
     """Phase 2: per-packet grid; the kernel loops over only the emitted
-    slots with manual double-buffered HBM->VMEM DMA of packed clusters.
+    slots with manual HBM->VMEM DMA of packed cluster A-matrices.
 
-    cbounds: the 6 (C,) cluster AABB arrays; packed: (C, 24, TRIS_C)."""
+    packed: (C, A_ROWS, n_sub*6*SUBT + TAIL) — see ClusteredMesh."""
     n = org.shape[0]
     nb = n // BLOCK
+    width = packed.shape[2]
 
-    smem = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 6
     hbm = pl.BlockSpec(memory_space=pl.ANY)         # DMA'd manually
     # rays and outputs travel as (nb, 1, BLOCK) row planes: a (BLOCK, 1)
     # block would be lane-padded to (BLOCK, 128) — 512KB per buffer —
@@ -587,10 +702,10 @@ def cluster_sweep(ids, counts, keys, cbounds, packed, org, dirn, tmax,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nb,),
-        in_specs=smem + [hbm] + [row] * 8,
+        in_specs=[hbm] + [row] * 8,
         out_specs=[row] * 4,
         scratch_shapes=[
-            pltpu.VMEM((24, TRIS_C), jnp.float32),
+            pltpu.VMEM((A_ROWS, width), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -605,7 +720,7 @@ def cluster_sweep(ids, counts, keys, cbounds, packed, org, dirn, tmax,
             jax.ShapeDtypeStruct((nb, 1, BLOCK), jnp.float32),
         ],
         interpret=interpret,
-    )(ids, counts, keys, *cbounds, packed,
+    )(ids, counts, keys, packed,
       plane(org[:, 0]), plane(org[:, 1]), plane(org[:, 2]),
       plane(dirn[:, 0]), plane(dirn[:, 1]), plane(dirn[:, 2]),
       plane(tmax), plane(tmin))
@@ -626,6 +741,58 @@ def _residual_lanes(counts, keys, t):
     tp = t.reshape(nb, BLOCK)
     over = counts[:, 0] > MAXC
     return (over[:, None] & (tp > keys[:, MAXC - 1][:, None])).reshape(-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('n_clusters', 'top_max_leaf', 'interpret',
+                     'refine_rounds'))
+def _two_level_exec(arrays, org, dirn, tmax, tmin, *,
+                    n_clusters: int, top_max_leaf: int, interpret: bool,
+                    refine_rounds: int):
+    """Jitted body of two_level_hit.  Module-level jit is essential: the
+    chunk lax.map / refine lax.cond close over per-call state, and an
+    unjitted wrapper would re-trace + re-compile them on EVERY call
+    (measured: ~6s/call constant, 30x the actual sweep time)."""
+    cm = cluster_from_arrays(arrays, n_clusters, top_max_leaf)
+    n = org.shape[0]
+
+    def round_(o, d, tx, tn):
+        ids, counts, keys = cluster_cull(cm, o, d, tx, interpret=interpret)
+        t, tri, al, be = cluster_sweep(ids, counts, keys, cm.packed,
+                                       o, d, tx, tn, interpret=interpret)
+        return t, tri, al, be, _residual_lanes(counts, keys, t)
+
+    def chunk(o, d, tx, tn):
+        t, tri, al, be, res = round_(o, d, tx, tn)
+
+        def refine(args):
+            t, tri, al, be, _res = args
+            # re-cull with the tightened per-lane best t: only clusters
+            # still able to beat it are emitted, so overflowed packets
+            # collapse to a handful of slots
+            t2, tri2, al2, be2, res2 = round_(o, d, t, tn)
+            win = t2 < t
+            return (jnp.where(win, t2, t),
+                    jnp.where(win, tri2, tri),
+                    jnp.where(win, al2, al),
+                    jnp.where(win, be2, be),
+                    res2)
+
+        for _ in range(refine_rounds):
+            t, tri, al, be, res = jax.lax.cond(
+                jnp.any(res), refine, lambda a: a, (t, tri, al, be, res))
+        return t, tri, al, be, res
+
+    if n // BLOCK <= CHUNK_PACKETS:
+        return chunk(org, dirn, tmax, tmin)
+    k, n_pad = _chunk_packets(n)
+    org, dirn, tmax, tmin = _pad_rays(org, dirn, tmax, tmin, n_pad)
+    t, tri, al, be, res = jax.lax.map(
+        lambda xs: chunk(*xs),
+        (org.reshape(k, -1, 3), dirn.reshape(k, -1, 3),
+         tmax.reshape(k, -1), tmin.reshape(k, -1)))
+    return tuple(x.reshape(-1) for x in (t, tri, al, be, res))
 
 
 def two_level_hit(cm: ClusteredMesh, org, dirn, tmax, tmin=None,
@@ -651,49 +818,10 @@ def two_level_hit(cm: ClusteredMesh, org, dirn, tmax, tmin=None,
     n = org.shape[0]
     if tmin is None:
         tmin = jnp.full((n,), -1.0, jnp.float32)
-    cbounds = (cm.cb_lox, cm.cb_loy, cm.cb_loz,
-               cm.cb_hix, cm.cb_hiy, cm.cb_hiz)
-
-    def round_(o, d, tx, tn):
-        ids, counts, keys = _cull_call(
-            _top_arrays(cm), o, d, tx, max_leaf=cm.top_max_leaf,
-            interpret=interpret)
-        t, tri, al, be = cluster_sweep(ids, counts, keys, cbounds,
-                                       cm.packed, o, d, tx, tn,
-                                       interpret=interpret)
-        return t, tri, al, be, _residual_lanes(counts, keys, t)
-
-    def chunk(o, d, tx, tn):
-        t, tri, al, be, res = round_(o, d, tx, tn)
-
-        def refine(args):
-            t, tri, al, be, _res = args
-            # re-cull with the tightened per-lane best t: only clusters
-            # still able to beat it are emitted, so overflowed packets
-            # collapse to a handful of slots
-            t2, tri2, al2, be2, res2 = round_(o, d, t, tn)
-            win = t2 < t
-            return (jnp.where(win, t2, t),
-                    jnp.where(win, tri2, tri),
-                    jnp.where(win, al2, al),
-                    jnp.where(win, be2, be),
-                    res2)
-
-        for _ in range(refine_rounds):
-            t, tri, al, be, res = jax.lax.cond(
-                jnp.any(res), refine, lambda a: a, (t, tri, al, be, res))
-        return t, tri, al, be, res
-
-    if n // BLOCK <= CHUNK_PACKETS:
-        t, tri, al, be, res = chunk(org, dirn, tmax, tmin)
-    else:
-        k, n_pad = _chunk_packets(n)
-        org, dirn, tmax, tmin = _pad_rays(org, dirn, tmax, tmin, n_pad)
-        t, tri, al, be, res = jax.lax.map(
-            lambda xs: chunk(*xs),
-            (org.reshape(k, -1, 3), dirn.reshape(k, -1, 3),
-             tmax.reshape(k, -1), tmin.reshape(k, -1)))
-        t, tri, al, be, res = (x.reshape(-1) for x in (t, tri, al, be, res))
+    t, tri, al, be, res = _two_level_exec(
+        cluster_arrays(cm), org, dirn, tmax, tmin,
+        n_clusters=cm.n_clusters, top_max_leaf=cm.top_max_leaf,
+        interpret=interpret, refine_rounds=refine_rounds)
     out = (t[:n_orig], tri[:n_orig], al[:n_orig], be[:n_orig])
     if return_residual:
         return out + (res[:n_orig],)

@@ -28,11 +28,8 @@ def cull(org, dirn, tmax):
     return pc.cluster_cull(cm, org, dirn, tmax)
 
 
-cbounds = (cm.cb_lox, cm.cb_loy, cm.cb_loz, cm.cb_hix, cm.cb_hiy, cm.cb_hiz)
-
-
 def sweep(ids, counts, keys, org, dirn, tmax, tmin):
-    return pc.cluster_sweep(ids, counts, keys, cbounds, cm.packed,
+    return pc.cluster_sweep(ids, counts, keys, cm.packed,
                             org, dirn, tmax, tmin)
 
 

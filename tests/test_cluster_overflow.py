@@ -12,13 +12,13 @@ a dropped (far) cluster was lost.  The fix is layered:
   * scene/mesh.py reroutes lanes still residual after refinement to the
     lockstep BVH (exactness net).
 
-Geometry: 66 parallel 2048-triangle grid slabs along z (one cluster each —
-slab centroids share a z plane, so BVH splits never cut inside a slab).
-Slabs 0..64 span x in [0,32]; slab 65 (the farthest) spans x in [0,64].
-Packet = 1000 rays at x=5.5 (enter all 66 cluster AABBs -> overflow, keep
-the 64 nearest) + 24 rays at x=40.5 whose only hit is in the DROPPED far
-slab.  Reference behavior to match: TriangleMesh.cpp:1133-1235 (no silent
-hit loss).
+Geometry: MAXC+2 parallel TRIS_C-triangle grid slabs along z (one cluster
+each — slab centroids share a z plane, so BVH splits never cut inside a
+slab).  All but the last slab span x in [0,S]; the farthest spans x in
+[0,2S].  Packet = 1000 rays inside x<S (enter every cluster AABB ->
+overflow, keep the MAXC nearest) + 24 rays at x>S whose only hit is in
+the DROPPED far slab.  Reference behavior to match:
+TriangleMesh.cpp:1133-1235 (no silent hit loss).
 """
 
 import functools
@@ -30,7 +30,7 @@ from pathtracer_tpu.ops import pallas_cluster as pc
 from pathtracer_tpu.ops.traverse import brute_force_hit
 
 BIG_T = np.float32(1e30)
-N_SLABS = 66
+N_SLABS = pc.MAXC + 2
 
 
 def _grid_slab(z, nx, ny, cell=1.0):
@@ -51,10 +51,14 @@ def _grid_slab(z, nx, ny, cell=1.0):
     return tris
 
 
+_G = int(np.sqrt(pc.TRIS_C // 2))     # near slabs: _G x _G cells
+
+
 def _slab_stack():
-    assert pc.TRIS_C == 2048, 'test geometry sized for TRIS_C=2048'
-    slabs = [_grid_slab(100.0 * k, 32, 32) for k in range(N_SLABS - 1)]
-    slabs.append(_grid_slab(100.0 * (N_SLABS - 1), 64, 16))  # wide far slab
+    assert 2 * _G * _G == pc.TRIS_C, 'test geometry must fill one cluster'
+    slabs = [_grid_slab(100.0 * k, _G, _G) for k in range(N_SLABS - 1)]
+    # wide far slab: same tri count, spans x in [0, 2G]
+    slabs.append(_grid_slab(100.0 * (N_SLABS - 1), 2 * _G, _G // 2))
     return np.concatenate(slabs, axis=0)
 
 
@@ -62,7 +66,7 @@ def _rays():
     n = 1024
     org = np.tile(np.array([5.5 + 1 / 3, 5.5 + 1 / 3, -50.0], np.float32),
                   (n, 1))
-    org[1000:, 0] = 40.5 + 1 / 3       # only the wide far slab covers x>32
+    org[1000:, 0] = _G + 4.5 + 1 / 3   # only the wide far slab covers x>_G
     dirn = np.tile(np.array([0.0, 0.0, 1.0], np.float32), (n, 1))
     return jnp.asarray(org), jnp.asarray(dirn)
 

@@ -34,7 +34,7 @@ def _rays(n, seed=1):
 def test_two_level_matches_brute_force():
     tri = _random_mesh(5000)
     cm = pc.build_clustered(tri)
-    assert cm.n_clusters == 3
+    assert cm.n_clusters == -(-5000 // pc.TRIS_C)
 
     n = 1024
     org, dirn = _rays(n)
@@ -55,18 +55,21 @@ def test_two_level_matches_brute_force():
     # (emission order vs index order) — require near-total agreement
     match = (np.asarray(tid) == np.asarray(ref.tri))
     assert match.mean() > 0.999, match.mean()
+    # the plane-matmul formulation rounds barycentrics differently from
+    # the edge-matrix oracle (same planes, different op order) — a few
+    # 1e-5 ulps of drift is irrelevant to shading
     np.testing.assert_allclose(np.asarray(al)[match],
                                np.asarray(ref.alpha)[match],
-                               rtol=1e-5, atol=1e-5)
+                               rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(be)[match],
                                np.asarray(ref.beta)[match],
-                               rtol=1e-5, atol=1e-5)
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_cull_counts_and_padding():
     tri = _random_mesh(9000, seed=3)
     cm = pc.build_clustered(tri)
-    assert cm.n_clusters == 5
+    assert cm.n_clusters == -(-9000 // pc.TRIS_C)
 
     n = 1500                      # not a multiple of BLOCK -> padding path
     org, dirn = _rays(n, seed=4)
@@ -89,6 +92,32 @@ def test_cull_counts_and_padding():
         assert (ids[b, :c] >= 0).all()
         assert (ids[b, c:] == -1).all()
         assert len(set(ids[b, :c].tolist())) == c   # each cluster once
+
+
+def test_pallas_cull_matches_dense_cull():
+    """The SMEM tree-walk cull (used above DENSE_CULL_MAX clusters) must
+    agree with the exact dense XLA rectangle: same per-packet cluster
+    set, same overflow counts, same near-first keys."""
+    tri = _random_mesh(9000, seed=5)
+    cm = pc.build_clustered(tri)
+    n = 2 * pc.BLOCK
+    org, dirn = _rays(n, seed=6)
+    tmax = jnp.full((n,), BIG_T)
+
+    ids_d, cnt_d, keys_d = pc._dense_cull(
+        (cm.cb_lox, cm.cb_loy, cm.cb_loz,
+         cm.cb_hix, cm.cb_hiy, cm.cb_hiz), org, dirn, tmax)
+    ids_p, cnt_p, keys_p = pc._cull_call(
+        pc._top_arrays(cm), org, dirn, tmax,
+        max_leaf=cm.top_max_leaf, interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(cnt_d), np.asarray(cnt_p))
+    for b in range(n // pc.BLOCK):
+        c = min(int(cnt_d[b, 0]), pc.MAXC)
+        assert set(np.asarray(ids_d)[b, :c]) == set(np.asarray(ids_p)[b, :c])
+        np.testing.assert_allclose(np.asarray(keys_d)[b, :c],
+                                   np.asarray(keys_p)[b, :c],
+                                   rtol=1e-6, atol=1e-6)
 
 
 def test_tmin_excludes_near_hits():
