@@ -218,6 +218,48 @@ def _read_mtl(path: str, group_names: Dict[str, int],
                 materials[cur].map_d = line[5:].strip()
 
 
+def seg_colors(labels: np.ndarray) -> np.ndarray:
+    """Per-face overlay color from an integer label, with the reference's
+    exact hash formula (mainApp.cpp:2331): for label u,
+      r = ((u*u*(u+2)*123 + 51) % 1000) / 1000
+      g = ((u*(u+7)*456 + 266) % 1000) / 1000
+      b = ((u*u*u*5 + u*33 + 687) % 1000) / 1000
+    """
+    u = np.asarray(labels, np.int64)
+    r = ((u * u * (u + 2) * 123 + 51) % 1000) / 1000.0
+    g = ((u * (u + 7) * 456 + 266) % 1000) / 1000.0
+    b = ((u * u * u * 5 + u * 33 + 687) % 1000) / 1000.0
+    return np.stack([r, g, b], axis=-1).astype(np.float32)
+
+
+def load_seg(path: str, num_triangles: int) -> np.ndarray:
+    """.seg face-label file -> (T,3) facecolors in ORIGINAL triangle order
+    (reference: mainApp.cpp:2311-2338 — one integer label per face line,
+    hashed to a color; labels beyond T are ignored)."""
+    labels = np.zeros(num_triangles, np.int64)
+    with open(path) as f:
+        for faceid, tok in enumerate(f.read().split()):
+            if faceid < num_triangles:
+                labels[faceid] = int(tok)
+    return seg_colors(labels)
+
+
+def load_lab(path: str, num_triangles: int) -> np.ndarray:
+    """.lab segmentation file -> (T,3) facecolors (reference:
+    mainApp.cpp:2340-2377): alternating name line / face-id line pairs;
+    face ids are 1-BASED; segment index drives the hash color."""
+    colors = np.zeros((num_triangles, 3), np.float32)
+    with open(path) as f:
+        lines = [ln.rstrip('\n') for ln in f]
+    seg_id = 0
+    for i in range(0, len(lines) - 1, 2):
+        ids = np.asarray([int(x) for x in lines[i + 1].split()], np.int64) - 1
+        ids = ids[(ids >= 0) & (ids < num_triangles)]
+        colors[ids] = seg_colors(np.asarray([seg_id]))[0]
+        seg_id += 1
+    return colors
+
+
 def transform_mesh(md: MeshData, scaling: float = 1.0,
                    offset=(0.0, 0.0, 0.0), preserve_input: bool = False,
                    center: bool = True) -> MeshData:

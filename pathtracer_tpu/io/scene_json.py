@@ -92,6 +92,19 @@ def _object_doc(o: scn.ObjectSpec) -> dict:
         doc['mesh_scaling'] = getattr(o, 'mesh_scaling', 30.0)
         doc['mesh_offset'] = _vec(getattr(o, 'mesh_offset', (0.0, 0.0, 0.0)))
         doc['interp_normals'] = bool(o.interp_normals)
+        if o.display_edges:
+            doc['display_edges'] = True
+        if isinstance(o.seg_path, str):
+            doc['seg_path'] = o.seg_path
+    # texture channel paths (path-valued entries only; in-memory arrays
+    # are not serialized, matching the reference's filename-based save,
+    # Geometry.h:455-520)
+    if o.textures:
+        tex = o.textures if isinstance(o.textures, list) else [o.textures]
+        ser = [{ch: p for ch, p in (t or {}).items() if isinstance(p, str)}
+               for t in tex]
+        if any(ser):
+            doc['textures'] = ser if isinstance(o.textures, list) else ser[0]
     return doc
 
 
@@ -136,6 +149,14 @@ def load_scene(path: str, name_subst: Optional[str] = None):
                       else np.asarray(od['rotation']).reshape(3, 3)),
             rotation_center=od.get('rotation_center'),
         )
+        if od.get('textures'):
+            tex = od['textures']
+            def _resolve_tex(t):
+                return {ch: (p if os.path.isabs(p)
+                             else os.path.join(base_dir, p))
+                        for ch, p in (t or {}).items()}
+            kw['textures'] = ([_resolve_tex(t) for t in tex]
+                              if isinstance(tex, list) else _resolve_tex(tex))
         if od.get('merl_path'):
             from ..models import merl as merl_mod
             mp = od['merl_path']
@@ -156,6 +177,11 @@ def load_scene(path: str, name_subst: Optional[str] = None):
             md = obj_io.load_mesh(mp, scaling=od.get('mesh_scaling', 30.0),
                                   offset=tuple(od.get('mesh_offset',
                                                       (0.0, 0.0, 0.0))))
+            kw['display_edges'] = bool(od.get('display_edges', False))
+            sp = od.get('seg_path')
+            if sp is not None and not os.path.isabs(sp):
+                sp = os.path.join(base_dir, sp)
+            kw['seg_path'] = sp
             spec = scn.mesh_object(md, **kw)
             spec.mesh_path = od['mesh_path']
             spec.mesh_scaling = od.get('mesh_scaling', 30.0)

@@ -68,6 +68,39 @@ class GroupTextures:
                     self.transp, self.refr, self.ksub))
 
 
+_LOADERS = {
+    'kd': load_color_image, 'ks': load_color_image, 'ksub': load_color_image,
+    'alpha': load_color_image, 'roughness': load_raw_image,
+    'transp': load_raw_image, 'refr': load_raw_image,
+    'normal': load_normal_image,
+}
+
+
+def make_group_textures(spec) -> 'GroupTextures':
+    """Build GroupTextures from a {channel: path-or-array} dict.
+
+    Channels: kd, ks, normal, alpha, roughness, transp, refr, ksub —
+    the reference's 8 per-object texture slots (Geometry.h:399-445).
+    Paths go through the channel's loader (color maps gamma-linearize,
+    normal maps decode); arrays are taken as already-decoded float data.
+    """
+    spec = spec or {}
+    kw = {}
+    for ch, val in spec.items():
+        if ch not in _LOADERS:
+            raise ValueError(f'unknown texture channel {ch!r}')
+        if val is None:
+            continue
+        if isinstance(val, str):
+            arr = _LOADERS[ch](val)
+        else:
+            arr = np.asarray(val, np.float32)
+        if arr.ndim == 2:
+            arr = np.repeat(arr[:, :, None], 3, axis=2)
+        kw[ch] = jnp.asarray(arr)
+    return GroupTextures(**kw)
+
+
 def wrap(u):
     """Fractional repeat wrap (reference: BRDF.h:270-275)."""
     u = u - jnp.floor(u)

@@ -42,6 +42,13 @@ class MeshArrays:
     vc0: Optional[jnp.ndarray]   # (T,3) vertex colors or None
     vc1: Optional[jnp.ndarray]
     vc2: Optional[jnp.ndarray]
+    # wireframe edge flags (T,3) bool, BVH order — real polygon borders
+    # only (fan-triangulation interior edges stay hidden); kept on device
+    # only when display_edges (TriangleMesh.cpp:978-1023)
+    show_edges: Optional[jnp.ndarray]
+    # per-face overlay colors (T,3) from .seg/.lab files, or None
+    # (mainApp.cpp:2311-2377; overrides Kd like reference facecolors)
+    facecolors: Optional[jnp.ndarray]
     # per-group constant materials (differentiable leaves)
     g_kd: jnp.ndarray        # (G,3)
     g_ks: jnp.ndarray        # (G,3)
@@ -65,6 +72,7 @@ class MeshArrays:
     n_clusters: int = flax.struct.field(pytree_node=False)
     cluster_top_max_leaf: int = flax.struct.field(pytree_node=False)
     interp_normals: bool = flax.struct.field(pytree_node=False)
+    display_edges: bool = flax.struct.field(pytree_node=False, default=False)
 
     @property
     def num_triangles(self):
@@ -82,7 +90,10 @@ def upload_mesh(md: obj_io.MeshData, obj_row: int,
                 load_textures: bool = True,
                 default_ksub=(0.0, 0.0, 0.0),
                 default_transp: bool = False,
-                default_refr: float = 1.3) -> MeshArrays:
+                default_refr: float = 1.3,
+                display_edges: bool = False,
+                facecolors=None,
+                texture_overrides=None) -> MeshArrays:
     """Build BVH + device arrays from host MeshData (TriMesh::init tail,
     TriangleMesh.cpp:784-841)."""
     from ..models import texture as tex_mod
@@ -156,6 +167,22 @@ def upload_mesh(md: obj_io.MeshData, obj_row: int,
             )
         textures.append(gt)
 
+    # explicit per-group channel overrides (scene-JSON `textures` — the
+    # reference's GUI texture slots incl. transp/refr/subsurface maps,
+    # Geometry.h:399-445); dict applies to group 0, list is per group
+    if texture_overrides:
+        ov_list = ([texture_overrides] if isinstance(texture_overrides, dict)
+                   else list(texture_overrides))
+        for gi, ov in enumerate(ov_list[:g]):
+            if not ov:
+                continue
+            new = tex_mod.make_group_textures(ov)
+            merged = {ch: getattr(new, ch) if getattr(new, ch) is not None
+                      else getattr(textures[gi], ch)
+                      for ch in ('kd', 'ks', 'normal', 'alpha', 'roughness',
+                                 'transp', 'refr', 'ksub')}
+            textures[gi] = tex_mod.GroupTextures(**merged)
+
     if use_brute is None:
         use_brute = len(order) <= BRUTE_FORCE_MAX_TRIS
 
@@ -188,8 +215,17 @@ def upload_mesh(md: obj_io.MeshData, obj_row: int,
         n_clusters = 0
         cluster_top_max_leaf = 0
 
+    se = (jnp.asarray(md.show_edges[order]) if display_edges else None)
+    if facecolors is not None:
+        fc = np.asarray(facecolors, np.float32)
+        assert fc.shape == (len(order), 3), 'facecolors must be (T,3)'
+        fc = jnp.asarray(fc[order])
+    else:
+        fc = None
+
     return MeshArrays(
         soup=soup, bvh=bvh, packed=packed, use_packet=use_packet,
+        show_edges=se, facecolors=fc, display_edges=bool(display_edges),
         clustered=clustered, use_cluster=bool(use_cluster),
         n_clusters=int(n_clusters),
         cluster_top_max_leaf=int(cluster_top_max_leaf),

@@ -114,6 +114,10 @@ class SceneArrays:
     pointsets: tuple = ()
     # yarn cylinder sets, each bound to an object row
     yarns: tuple = ()
+    # per-analytic-object texture channels (GroupTextures or None per row);
+    # spheres sample spherical UV (Geometry.h:979-984), planes 0.1*(x,z)
+    # (Geometry.h:1152-1154)
+    obj_textures: tuple = ()
 
     @property
     def num_objects(self):
@@ -326,6 +330,48 @@ def intersect(sc: SceneArrays, origins, dirs, avoid_ghosts=False) -> Hit:
         miroir=row(sc.miroir) & hit, ghost=row(sc.ghost) & hit,
         brdf_type=row(sc.brdf_type),
     )
+
+    # analytic-object texture channels: constant material x image, sphere
+    # spherical UV / plane 0.1*(x,z) (queryMaterial, Geometry.h:399-445;
+    # UVs Geometry.h:979-984, 1152-1154).  Static loop over the few
+    # textured rows; local-frame P and the pre-flip outward normal are
+    # still in scope here.
+    for o, gt in enumerate(sc.obj_textures):
+        if gt is None or not gt.any_image:
+            continue
+        from ..models import texture as tex_mod
+        m = (obj_id == o) & hit
+        # sphere UV uses the outward geometric normal BEFORE flip_normals
+        inv_len = 1.0 / jnp.sqrt(jnp.maximum(
+            nlx * nlx + nly * nly + nlz * nlz, 1e-20))
+        nx_o, ny_o, nz_o = (sgn * nlx * inv_len, sgn * nly * inv_len,
+                            sgn * nlz * inv_len)
+        u_sph = 1.0 - jnp.arccos(jnp.clip(ny_o, -1.0, 1.0)) / np.pi
+        v_sph = (jnp.arctan2(-nz_o, nx_o) + np.pi) / (2.0 * np.pi)
+        u = jnp.where(is_sphere, u_sph, px * 0.1)
+        v = jnp.where(is_sphere, v_sph, pz * 0.1)
+        def _ov(field, img, mult):
+            val = tex_mod.sample_point(img, u, v) * mult
+            return jnp.where(m[:, None], val, field)
+        if gt.kd is not None:
+            out = out._replace(kd=_ov(out.kd, gt.kd, sc.kd[o]))
+        if gt.ks is not None:
+            out = out._replace(ks=_ov(out.ks, gt.ks, sc.ks[o]))
+        if gt.roughness is not None:
+            out = out._replace(ne=_ov(out.ne, gt.roughness, sc.ne[o]))
+        if gt.ksub is not None:
+            out = out._replace(ksub=_ov(out.ksub, gt.ksub, sc.ksub[o]))
+        if gt.transp is not None:
+            # getBool: red * multiplier < 0.5 is transparent; the constant
+            # multiplier encodes the flag as 0 (transp) / 1 (opaque)
+            tmult = jnp.where(sc.transp[o], 0.0, 1.0)
+            tval = tex_mod.sample_red(gt.transp, u, v) * tmult < 0.5
+            out = out._replace(transp=jnp.where(m, tval, out.transp))
+        if gt.refr is not None:
+            rval = tex_mod.sample_red(gt.refr, u, v) * sc.refr_index[o]
+            out = out._replace(
+                refr_index=jnp.where(m, rval, out.refr_index))
+
     for mesh in sc.meshes:
         out = _merge_mesh_hit(sc, mesh, origins, dirs, out, avoid_ghosts)
     for ps in sc.pointsets:
@@ -643,6 +689,9 @@ def _merge_mesh_hit(sc: SceneArrays, mesh, origins, dirs, cur: Hit,
     kd = mesh.g_kd[grp]
     ks = mesh.g_ks[grp]
     ne = mesh.g_ne[grp]
+    ksub = mesh.g_ksub[grp]
+    transp = mesh.g_transp[grp]
+    refr = mesh.g_refr[grp]
     for g, gt in enumerate(mesh.textures):
         sel_g = (grp == g)[:, None]
         if gt.kd is not None:
@@ -654,10 +703,35 @@ def _merge_mesh_hit(sc: SceneArrays, mesh, origins, dirs, cur: Hit,
         if gt.roughness is not None:
             ne = jnp.where(sel_g, tex_mod.sample_point(gt.roughness, u, v)
                            * mesh.g_ne[g], ne)
+        if gt.ksub is not None:
+            ksub = jnp.where(sel_g, tex_mod.sample_point(gt.ksub, u, v)
+                             * mesh.g_ksub[g], ksub)
+        if gt.transp is not None:
+            # getBool semantics: red * multiplier < 0.5 -> transparent;
+            # the group flag encodes the constant multiplier 0/1
+            # (Geometry.h:432-436, BRDF.h:334-345)
+            tmult = jnp.where(mesh.g_transp[g], 0.0, 1.0)
+            tval = tex_mod.sample_red(gt.transp, u, v) * tmult < 0.5
+            transp = jnp.where(grp == g, tval, transp)
+        if gt.refr is not None:
+            # getValRed: red * multiplier (Geometry.h:437-441)
+            rval = tex_mod.sample_red(gt.refr, u, v) * mesh.g_refr[g]
+            refr = jnp.where(grp == g, rval, refr)
     if mesh.vc0 is not None:
         # vertex-color override (TriangleMesh.cpp:975-977)
         kd = (mesh.vc0[tri] * al[:, None] + mesh.vc1[tri] * be[:, None]
               + mesh.vc2[tri] * ga[:, None])
+    if mesh.facecolors is not None:
+        # .seg/.lab overlay replaces Kd outright (TriangleMesh.cpp:988-990)
+        kd = mesh.facecolors[tri]
+    if mesh.display_edges and mesh.show_edges is not None:
+        # wireframe: blacken near real polygon borders — bary < 0.05
+        # against the opposite-corner edge flag (TriangleMesh.cpp:1015-1021;
+        # alpha->showEdges[1], beta->showEdges[2], gamma->showEdges[0])
+        se = mesh.show_edges[tri]
+        edge = ((al < 0.05) & se[:, 1]) | ((be < 0.05) & se[:, 2]) \
+            | ((ga < 0.05) & se[:, 0])
+        kd = jnp.where(edge[:, None], 0.0, kd)
 
     def sel(new, old):
         m = win[..., None] if new.ndim > win.ndim else win
@@ -673,9 +747,9 @@ def _merge_mesh_hit(sc: SceneArrays, mesh, origins, dirs, cur: Hit,
         ks=sel(ks, cur.ks),
         ne=sel(ne, cur.ne),
         ke=sel(jnp.zeros_like(cur.ke), cur.ke),
-        ksub=sel(mesh.g_ksub[grp], cur.ksub),
-        transp=jnp.where(win, mesh.g_transp[grp], cur.transp),
-        refr_index=jnp.where(win, mesh.g_refr[grp], cur.refr_index),
+        ksub=sel(ksub, cur.ksub),
+        transp=jnp.where(win, transp, cur.transp),
+        refr_index=jnp.where(win, refr, cur.refr_index),
         miroir=jnp.where(win, sc.miroir[row], cur.miroir),
         ghost=jnp.where(win, sc.ghost[row], cur.ghost),
         brdf_type=jnp.where(win, sc.brdf_type[row], cur.brdf_type),
@@ -930,6 +1004,16 @@ class ObjectSpec:
     mesh_data: Any = None           # host MeshData for obj_type == MESH
     interp_normals: bool = True
     measured_brdf: Any = None       # models.merl.MeasuredBRDF or None
+    # texture channel images: {channel: path-or-array} (see
+    # models.texture.make_group_textures); for meshes a list gives
+    # per-group overrides.  Analytic objects sample them with sphere
+    # spherical UV (Geometry.h:979-984) / plane 0.1*(x,z) UV
+    # (Geometry.h:1152-1154)
+    textures: Any = None
+    # wireframe edge display (TriangleMesh.cpp:978-1023) and .seg/.lab
+    # face overlay source (path or (T,3) colors, mainApp.cpp:2311-2377)
+    display_edges: bool = False
+    seg_path: Any = None
     # keyframe animation: {frame: {'translation','rotation','scale'}}
     # (reference: Object keyframe maps, Geometry.h:258-320)
     keyframes: Any = None
@@ -1062,14 +1146,36 @@ def build_scene(objects, light_intensity, envmap_intensity=1.0, envmap=None,
                     + light_tr[:, 3])
 
     from . import mesh as mesh_mod
+
+    def _facecolors(o):
+        if o.seg_path is None:
+            return None
+        if isinstance(o.seg_path, str):
+            from ..io import obj as obj_io
+            t = o.mesh_data.num_triangles
+            if o.seg_path.lower().endswith('.lab'):
+                return obj_io.load_lab(o.seg_path, t)
+            return obj_io.load_seg(o.seg_path, t)
+        return np.asarray(o.seg_path, np.float32)
+
     meshes = tuple(
         mesh_mod.upload_mesh(o.mesh_data, obj_row=i,
                              interp_normals=o.interp_normals,
                              default_ksub=np.broadcast_to(
                                  np.asarray(o.ksub, np.float32), (3,)),
                              default_transp=bool(o.transp),
-                             default_refr=float(o.refr_index))
+                             default_refr=float(o.refr_index),
+                             display_edges=bool(o.display_edges),
+                             facecolors=_facecolors(o),
+                             texture_overrides=o.textures)
         for i, o in enumerate(objects) if o.obj_type == MESH)
+
+    # analytic-object texture channels (sphere/plane UV sampling)
+    from ..models import texture as tex_mod
+    obj_textures = tuple(
+        (tex_mod.make_group_textures(o.textures)
+         if (o.textures and o.obj_type in (SPHERE, PLANE)) else None)
+        for o in objects)
 
     from . import pointset as ps_mod
     pointsets = []
@@ -1133,6 +1239,7 @@ def build_scene(objects, light_intensity, envmap_intensity=1.0, envmap=None,
         meshes=meshes,
         pointsets=tuple(pointsets),
         yarns=tuple(yarns_list),
+        obj_textures=obj_textures,
         fog_density=jnp.float32(fog_density),
         fog_absorption=jnp.float32(fog.get('absorption', 0.0)),
         fog_density_decay=jnp.float32(fog.get('density_decay', 0.0)),

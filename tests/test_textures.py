@@ -133,3 +133,156 @@ def test_kd_texture_modulates_albedo(tmp_path):
     hit = scn.intersect(sc, org, dirn)
     kd = np.asarray(hit.kd)[0]
     np.testing.assert_allclose(kd, [0.0, 1.0, 0.0], atol=1e-5)
+
+
+def _quad_mesh(tmp_path):
+    (tmp_path / 'quad.obj').write_text(QUAD_OBJ)
+    (tmp_path / 'quad.mtl').write_text("newmtl mat\nKd 1 1 1\n")
+    md = pt.load_mesh(str(tmp_path / 'quad.obj'), preserve_input=True)
+    md.vertices = (md.vertices * 10.0 + np.array([0, -20, 0], np.float32))
+    return md
+
+
+def _down_rays(xz_list):
+    org = jnp.asarray([[x, 0.0, z] for x, z in xz_list], jnp.float32)
+    dirn = jnp.asarray([[0.0, -1.0, 0.0]] * len(xz_list), jnp.float32)
+    return org, dirn
+
+
+def test_transp_texture_gates_transparency(tmp_path):
+    # red channel: u<0.5 dark (transparent, getBool red*mult < 0.5),
+    # u>=0.5 bright (opaque)
+    img = np.zeros((8, 8, 3), np.float32)
+    img[:, 4:, 0] = 1.0
+    md = _quad_mesh(tmp_path)
+    objs = scn.default_objects()
+    objs.append(scn.mesh_object(md, textures={'transp': img}))
+    sc = scn.build_scene(objs, scn.default_light_intensity())
+    org, dirn = _down_rays([(-5.0, 0.0), (5.0, 0.0)])
+    hit = scn.intersect(sc, org, dirn)
+    tr = np.asarray(hit.transp)
+    ids = np.asarray(hit.obj_id)
+    assert (ids == 3).all(), f"rays must hit the quad, got {ids}"
+    assert sorted(tr.tolist()) == [False, True], f"transp {tr}"
+
+
+def test_refr_texture_scales_index(tmp_path):
+    img = np.full((4, 4, 3), 0.5, np.float32)
+    md = _quad_mesh(tmp_path)
+    objs = scn.default_objects()
+    objs.append(scn.mesh_object(md, refr_index=1.4,
+                                textures={'refr': img}))
+    sc = scn.build_scene(objs, scn.default_light_intensity())
+    org, dirn = _down_rays([(0.0, 0.0)])
+    hit = scn.intersect(sc, org, dirn)
+    # getValRed: red * multiplier (the constant refr_index)
+    np.testing.assert_allclose(np.asarray(hit.refr_index)[0], 0.5 * 1.4,
+                               rtol=1e-6)
+
+
+def test_ksub_texture_modulates_subsurface(tmp_path):
+    img = np.full((4, 4, 3), 0.5, np.float32)
+    md = _quad_mesh(tmp_path)
+    objs = scn.default_objects()
+    objs.append(scn.mesh_object(md, ksub=(1.0, 0.8, 0.6),
+                                textures={'ksub': img}))
+    sc = scn.build_scene(objs, scn.default_light_intensity())
+    org, dirn = _down_rays([(0.0, 0.0)])
+    hit = scn.intersect(sc, org, dirn)
+    np.testing.assert_allclose(np.asarray(hit.ksub)[0], [0.5, 0.4, 0.3],
+                               rtol=1e-6)
+
+
+def test_seg_colors_formula():
+    from pathtracer_tpu.io import obj as obj_io
+    for u in (0, 1, 3, 17, 255):
+        r = ((u * u * (u + 2) * 123 + 51) % 1000) / 1000.0
+        g = ((u * (u + 7) * 456 + 266) % 1000) / 1000.0
+        b = ((u * u * u * 5 + u * 33 + 687) % 1000) / 1000.0
+        np.testing.assert_allclose(obj_io.seg_colors([u])[0], [r, g, b],
+                                   rtol=1e-6)
+
+
+def test_seg_file_overrides_kd(tmp_path):
+    from pathtracer_tpu.io import obj as obj_io
+    md = _quad_mesh(tmp_path)           # 2 triangles (quad fan)
+    seg = tmp_path / 'quad.seg'
+    seg.write_text("3\n7\n")
+    objs = scn.default_objects()
+    objs.append(scn.mesh_object(md, seg_path=str(seg)))
+    sc = scn.build_scene(objs, scn.default_light_intensity())
+    # one ray in each fan triangle: tri0 covers z<x region near z=-5,
+    # tri1 the other; sample two interior points on opposite sides
+    org, dirn = _down_rays([(5.0, -5.0), (-5.0, 5.0)])
+    hit = scn.intersect(sc, org, dirn)
+    kds = np.asarray(hit.kd)
+    expected = {tuple(np.round(obj_io.seg_colors([3])[0], 5)),
+                tuple(np.round(obj_io.seg_colors([7])[0], 5))}
+    got = {tuple(np.round(k, 5)) for k in kds}
+    assert got == expected, f"facecolors {got} != {expected}"
+
+
+def test_display_edges_blackens_borders(tmp_path):
+    md = _quad_mesh(tmp_path)
+    objs = scn.default_objects()
+    objs.append(scn.mesh_object(md, display_edges=True))
+    sc = scn.build_scene(objs, scn.default_light_intensity())
+    # near the quad border z=-10 (scaled: -10 local) -> bary gamma < 0.05
+    # on a real polygon edge -> black; interior stays lit; the fan's
+    # interior diagonal must NOT be drawn
+    org, dirn = _down_rays([(0.0, -9.9), (4.0, -4.0), (0.2, 0.0)])
+    hit = scn.intersect(sc, org, dirn)
+    kds = np.asarray(hit.kd)
+    assert (kds[0] == 0.0).all(), f"border not black: {kds[0]}"
+    assert (kds[1] > 0.0).all(), f"interior blackened: {kds[1]}"
+    assert (kds[2] > 0.0).all(), f"fan diagonal drawn: {kds[2]}"
+
+
+def test_sphere_spherical_uv_texture():
+    from pathtracer_tpu.models import texture as tex_mod
+    img = np.zeros((4, 4, 3), np.float32)
+    img[:] = np.arange(16, dtype=np.float32).reshape(4, 4, 1) / 16.0
+    objs = scn.default_objects()
+    objs.append(scn.sphere((0.0, 0.0, 0.0), 10.0, kd=(1.0, 0.5, 1.0),
+                           textures={'kd': img}))
+    sc = scn.build_scene(objs, scn.default_light_intensity())
+    org = jnp.asarray([[50.0, 0.0, 0.0]], jnp.float32)
+    dirn = jnp.asarray([[-1.0, 0.0, 0.0]], jnp.float32)
+    hit = scn.intersect(sc, org, dirn)
+    # hit at (10,0,0): N=(1,0,0) -> theta=u=0.5, phi=v=0.5
+    want = np.asarray(tex_mod.sample_point(
+        jnp.asarray(img), jnp.asarray([0.5]), jnp.asarray([0.5])))[0]
+    want = want * np.asarray([1.0, 0.5, 1.0])
+    np.testing.assert_allclose(np.asarray(hit.kd)[0], want, rtol=1e-5)
+
+
+def test_plane_uv_texture():
+    from pathtracer_tpu.models import texture as tex_mod
+    img = np.zeros((5, 5, 3), np.float32)
+    img[:] = np.arange(25, dtype=np.float32).reshape(5, 5, 1) / 25.0
+    objs = scn.default_objects()
+    objs[2] = scn.plane((0.0, 0.0, 0.0), (0.0, 1.0, 0.0),
+                        translation=(0.0, -27.3, 0.0),
+                        textures={'kd': img})
+    sc = scn.build_scene(objs, scn.default_light_intensity())
+    org, dirn = _down_rays([(2.5, 7.0)])
+    hit = scn.intersect(sc, org, dirn)
+    # local P = (2.5, 0, 7.0) -> u = 0.25, v = 0.7
+    want = np.asarray(tex_mod.sample_point(
+        jnp.asarray(img), jnp.asarray([0.25]), jnp.asarray([0.7])))[0]
+    np.testing.assert_allclose(np.asarray(hit.kd)[0], want, rtol=1e-5)
+
+
+def test_textures_scene_json_roundtrip(tmp_path):
+    from pathtracer_tpu.io import scene_json
+    from pathtracer_tpu.render.renderer import RenderConfig
+    img = np.full((4, 4, 3), 128, np.uint8)
+    p = str(tmp_path / 'kd.png')
+    Image.fromarray(img).save(p)
+    objs = scn.default_objects()
+    objs.append(scn.sphere((0.0, -17.0, 0.0), 10.0, textures={'kd': p}))
+    cam = pt.make_camera((0, 0, 50), (0, 0, -1), (0, 1, 0))
+    sp = str(tmp_path / 's.json')
+    scene_json.save_scene(sp, objs, 1e9, cam, RenderConfig(width=8, height=8))
+    objs2, _, _, _, _ = scene_json.load_scene(sp)
+    assert objs2[3].textures == {'kd': p}
