@@ -595,15 +595,18 @@ def _top_arrays(cm: ClusteredMesh):
             cm.top_hiz, cm.top_a, cm.top_b, cm.top_leaf, cm.top_order)
 
 
-@jax.jit
-def _dense_cull(cb, org, dirn, tmax):
+@functools.partial(jax.jit, static_argnames=('maxc',))
+def _dense_cull(cb, org, dirn, tmax, maxc: int = MAXC):
     """Pure-XLA phase 1: every packet x every cluster slab rectangle.
 
     The Pallas SMEM tree walk costs ~740us/packet — 98% serial-loop
     overhead around 16ns of vector work per node (measured, round 2).
     For mesh-scale cluster counts the exact dense rectangle is ~30us a
     packet, entirely inside XLA's fused elementwise+reduce pipeline, and
-    `lax.top_k` gives the near-first sorted slots directly."""
+    `lax.top_k` gives the near-first sorted slots directly.
+
+    Also reused by the fluid particle-cluster tier (scene/pointset.py)
+    with its own `maxc`."""
     lox, loy, loz, hix, hiy, hiz = cb
     n = org.shape[0]
     nb = n // BLOCK
@@ -635,16 +638,16 @@ def _dense_cull(cb, org, dirn, tmax):
         per_packet, (org.reshape(nb, BLOCK, 3), dirn.reshape(nb, BLOCK, 3),
                      tmax.reshape(nb, BLOCK)))             # (nb, C)
     count = jnp.sum(live_c, axis=1, dtype=jnp.int32)[:, None]
-    k = min(MAXC, c)
+    k = min(maxc, c)
     negk, idx = jax.lax.top_k(-keys_c, k)                  # ascending key
     keys_sel = -negk
     ids = jnp.where(keys_sel < BIG_T, idx.astype(jnp.int32), -1)
-    if k < MAXC:
+    if k < maxc:
         nb_ = ids.shape[0]
         ids = jnp.concatenate(
-            [ids, jnp.full((nb_, MAXC - k), -1, jnp.int32)], axis=1)
+            [ids, jnp.full((nb_, maxc - k), -1, jnp.int32)], axis=1)
         keys_sel = jnp.concatenate(
-            [keys_sel, jnp.full((nb_, MAXC - k), BIG_T)], axis=1)
+            [keys_sel, jnp.full((nb_, maxc - k), BIG_T)], axis=1)
     return ids, count, keys_sel
 
 

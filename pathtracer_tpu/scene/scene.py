@@ -443,12 +443,21 @@ def _merge_pointset_hit(sc: SceneArrays, ps, origins, dirs, cur: Hit,
     row = ps.obj_row
     org_l, dir_l = _local_ray_row(sc, row, origins, dirs)
     if ps.as_spheres:
-        t_ps, idx = ps_mod.sphere_sweep(ps, org_l, dir_l, cur.t)
+        if ps.n_clusters:
+            t_ps, idx = ps_mod.clustered_sphere_sweep(ps, org_l, dir_l,
+                                                      cur.t)
+        else:
+            t_ps, idx = ps_mod.sphere_sweep(ps, org_l, dir_l, cur.t)
         # transparent fluid: rays starting inside the particle union exit
         # at the union boundary (the reference's interval-union walk,
         # fluid.cpp:65-171) so refraction happens at entry and exit only
         if ps.transparent:
-            t_u, idx_u, inside = ps_mod.sphere_union_exit(ps, org_l, dir_l)
+            if ps.n_clusters:
+                t_u, idx_u, inside = ps_mod.clustered_union_exit(
+                    ps, org_l, dir_l)
+            else:
+                t_u, idx_u, inside = ps_mod.sphere_union_exit(ps, org_l,
+                                                              dir_l)
             use_u = inside & (t_u < cur.t) & (t_u > 0)
             t_ps = jnp.where(use_u, t_u, t_ps)
             idx = jnp.where(use_u, idx_u, idx)
@@ -957,7 +966,11 @@ def intersect_shadow(sc: SceneArrays, origins, dirs, dist_light,
     for ps in sc.pointsets:
         from . import pointset as ps_mod
         org_l, dir_l = _local_ray_row(sc, ps.obj_row, origins, dirs)
-        sweep = ps_mod.sphere_sweep if ps.as_spheres else ps_mod.disk_sweep
+        if ps.as_spheres:
+            sweep = (ps_mod.clustered_sphere_sweep if ps.n_clusters
+                     else ps_mod.sphere_sweep)
+        else:
+            sweep = ps_mod.disk_sweep
         t_ps, _ = sweep(ps, org_l, dir_l,
                         jnp.broadcast_to(BIG_T, limit.shape))
         pb = t_ps < limit
