@@ -760,6 +760,37 @@ def _two_level_exec(arrays, org, dirn, tmax, tmin, *,
     cm = cluster_from_arrays(arrays, n_clusters, top_max_leaf)
     n = org.shape[0]
 
+    # root-AABB exit clamp (sound): every real mesh hit satisfies
+    # t <= the lane's exit of the root box, so clamping each lane's tmax
+    # there lets the sweep's sorted-key early break fire even in packets
+    # that contain sky / miss lanes — those lanes previously kept
+    # best-t = 1e30 and forced the packet through every emitted slot
+    # (measured: closed 2.4M-tri sphere at 1080p, 0.46M rays/s with 31%
+    # coverage because silhouette/sky packets never broke).
+    rlo = jnp.stack([jnp.min(cm.cb_lox), jnp.min(cm.cb_loy),
+                     jnp.min(cm.cb_loz)])
+    rhi = jnp.stack([jnp.max(cm.cb_hix), jnp.max(cm.cb_hiy),
+                     jnp.max(cm.cb_hiz)])
+    slack = 1e-4 * (rhi - rlo) + 1e-3
+    lo = rlo[None, :] - slack[None, :]
+    hi = rhi[None, :] + slack[None, :]
+    inv = 1.0 / dirn
+    t1 = (lo - org) * inv
+    t2 = (hi - org) * inv
+    # d == 0 on an axis: infinite interval when inside that slab, empty
+    # otherwise (avoids the 0 * inf = NaN boundary hazard)
+    zero = dirn == 0.0
+    inside = (org >= lo) & (org <= hi)
+    lo_t = jnp.where(zero, jnp.where(inside, -BIG_T, BIG_T),
+                     jnp.minimum(t1, t2))
+    hi_t = jnp.where(zero, jnp.where(inside, BIG_T, -BIG_T),
+                     jnp.maximum(t1, t2))
+    entry = jnp.max(lo_t, axis=-1)
+    exit_t = jnp.min(hi_t, axis=-1)
+    in_box = exit_t >= jnp.maximum(entry, 0.0)
+    tmax_orig = tmax
+    tmax = jnp.where(in_box, jnp.minimum(tmax, exit_t), -1.0)
+
     def round_(o, d, tx, tn):
         ids, counts, keys = cluster_cull(cm, o, d, tx, interpret=interpret)
         t, tri, al, be = cluster_sweep(ids, counts, keys, cm.packed,
@@ -788,14 +819,20 @@ def _two_level_exec(arrays, org, dirn, tmax, tmin, *,
         return t, tri, al, be, res
 
     if n // BLOCK <= CHUNK_PACKETS:
-        return chunk(org, dirn, tmax, tmin)
-    k, n_pad = _chunk_packets(n)
-    org, dirn, tmax, tmin = _pad_rays(org, dirn, tmax, tmin, n_pad)
-    t, tri, al, be, res = jax.lax.map(
-        lambda xs: chunk(*xs),
-        (org.reshape(k, -1, 3), dirn.reshape(k, -1, 3),
-         tmax.reshape(k, -1), tmin.reshape(k, -1)))
-    return tuple(x.reshape(-1) for x in (t, tri, al, be, res))
+        t, tri, al, be, res = chunk(org, dirn, tmax, tmin)
+    else:
+        k, n_pad = _chunk_packets(n)
+        org, dirn, tmax, tmin = _pad_rays(org, dirn, tmax, tmin, n_pad)
+        t, tri, al, be, res = (
+            x.reshape(-1)[:n] for x in jax.lax.map(
+                lambda xs: chunk(*xs),
+                (org.reshape(k, -1, 3), dirn.reshape(k, -1, 3),
+                 tmax.reshape(k, -1), tmin.reshape(k, -1))))
+    # restore the miss convention (t == the CALLER's tmax when no hit):
+    # internally misses carry the clamped bound, which callers comparing
+    # `t < t_max` would misread as hits
+    t = jnp.where(tri >= 0, t, tmax_orig)
+    return t, tri, al, be, res
 
 
 def two_level_hit(cm: ClusteredMesh, org, dirn, tmax, tmin=None,

@@ -97,25 +97,48 @@ def stage_packet():
     bench_render(sc, 'packet-2k')
 
 
+def _terrain_rays(n, grazing=False):
+    """Rays for the terrain case: top-down all-hit view, or the open-sky
+    grazing worst case (near-horizontal over the ridges)."""
+    side = int(np.sqrt(n))
+    xs = np.linspace(-19.0, 19.0, side)
+    zs = np.linspace(-19.0, 19.0, side)
+    gx, gz = np.meshgrid(xs, zs)
+    m = side * side
+    if grazing:
+        org = np.stack([np.full(m, -25.0), np.full(m, 2.0),
+                        gz.ravel()], -1)
+        d = np.stack([np.ones(m), np.linspace(-0.08, 0.04, m),
+                      np.zeros(m)], -1)
+    else:
+        org = np.stack([gx.ravel(), np.full(m, 30.0), gz.ravel()], -1)
+        d = np.stack([np.zeros(m), -np.ones(m), np.zeros(m)], -1)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return (jnp.asarray(org, jnp.float32), jnp.asarray(d, jnp.float32))
+
+
 def stage_cluster():
     from pathtracer_tpu.ops import pallas_cluster as pc
     for name, md in [
         ('closed-sphere-2.4M',
          procgen.sphere_mesh(1100, 1100, radius=14.0, displace_amp=0.25)),
         ('terrain-1M', procgen.terrain_mesh(708, extent=20.0)),
+        ('terrain-1M-grazing', None),
     ]:
-        tri = md.vertices[md.vtx_idx]
-        log(f'[{name}] tris {tri.shape[0]}')
-        t0 = time.perf_counter()
-        cm = pc.build_clustered(tri)
-        jax.block_until_ready(cm.packed)
-        log(f'[{name}] build+upload {time.perf_counter() - t0:.1f}s, '
-            f'{cm.n_clusters} clusters')
+        if md is not None:
+            tri = md.vertices[md.vtx_idx]
+            log(f'[{name}] tris {tri.shape[0]}')
+            t0 = time.perf_counter()
+            cm = pc.build_clustered(tri)
+            jax.block_until_ready(cm.packed)
+            log(f'[{name}] build+upload {time.perf_counter() - t0:.1f}s, '
+                f'{cm.n_clusters} clusters')
 
-        org, dirn = primary_rays()
-        off = jnp.asarray([0.0, -15.0 if name.startswith('closed') else 20.0,
-                           0.0])
-        org = org - off              # mesh-local frame
+        if name.startswith('closed'):
+            org, dirn = primary_rays()
+            org = org - jnp.asarray([0.0, -15.0, 0.0])   # mesh-local frame
+        else:
+            org, dirn = _terrain_rays(W * H, grazing=name.endswith('grazing'))
         tmax = jnp.full((org.shape[0],), 1e30, jnp.float32)
 
         ids, count, keys = pc.cluster_cull(cm, org, dirn, tmax)
@@ -130,7 +153,8 @@ def stage_cluster():
         log(f'[{name}] first hit call {time.perf_counter() - t0:.1f}s')
         hit = float((np.asarray(t) < 1e29).mean())
         log(f'[{name}] hit fraction {hit:.3f}')
-        assert hit > 0.1, 'vacuous bench: mesh not in frame'
+        assert hit > (0.01 if name.endswith('grazing') else 0.1), \
+            'vacuous bench: mesh not in frame'
         for rep in range(3):
             t0 = time.perf_counter()
             t, tid, al, be = pc.two_level_hit(cm, org, dirn, tmax)

@@ -38,3 +38,63 @@ def test_sharded_hit_matches_single_device():
     assert hit.sum() > 30
     same = np.asarray(gtri)[hit] == np.asarray(brute.tri)[hit]
     assert same.mean() > 0.99
+
+
+def test_routed_bvh_hit_matches_broadcast_100k():
+    # VERDICT #5 done-criterion: the routed sub-BVH path produces
+    # identical hits to broadcast-combine on a >=100k-tri mesh across 8
+    # virtual devices
+    rng = np.random.default_rng(1)
+    t = 100_000
+    base = rng.uniform(-10, 10, (t, 1, 3))
+    tri = (base + rng.uniform(-0.15, 0.15, (t, 3, 3))).astype(np.float32)
+
+    n = 2048
+    org = jnp.asarray(rng.uniform(-14, 14, (n, 3)).astype(np.float32))
+    d = -np.asarray(org) + rng.normal(0, 2, (n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d.astype(np.float32))
+
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs[:8]), ('scene',))
+
+    sm2 = scene_shard.partition_mesh_bvh(tri, 8)
+    routed = scene_shard.make_routed_hit(mesh, max_leaf=sm2.max_leaf,
+                                         block=1024)
+    t_r, g_r = routed(sm2, org, d)
+
+    # oracle: single-device brute over the v2 global order
+    soup = traverse.make_soup(tri[sm2.order])
+    brute = traverse.brute_force_hit(soup, org, d)
+
+    np.testing.assert_allclose(np.asarray(t_r), np.asarray(brute.t),
+                               rtol=1e-4)
+    hit = np.asarray(brute.t) < 1e29
+    assert hit.sum() > 500, "vacuous: too few hits"
+    same = np.asarray(g_r)[hit] == np.asarray(brute.tri)[hit]
+    assert same.mean() > 0.99
+
+
+def test_routed_hit_partition_scaling():
+    # the same rays produce the same hits at 2, 4, 8 partitions
+    rng = np.random.default_rng(2)
+    t = 20_000
+    base = rng.uniform(-8, 8, (t, 1, 3))
+    tri = (base + rng.uniform(-0.3, 0.3, (t, 3, 3))).astype(np.float32)
+    n = 1024
+    org = jnp.asarray(rng.uniform(-12, 12, (n, 3)).astype(np.float32))
+    d = -np.asarray(org) + rng.normal(0, 2, (n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d.astype(np.float32))
+
+    devs = jax.devices()
+    ts = {}
+    for k in (2, 4, 8):
+        mesh = Mesh(np.array(devs[:k]), ('scene',))
+        sm2 = scene_shard.partition_mesh_bvh(tri, k)
+        routed = scene_shard.make_routed_hit(mesh, max_leaf=sm2.max_leaf,
+                                             block=512)
+        t_r, _ = routed(sm2, org, d)
+        ts[k] = np.asarray(t_r)
+    np.testing.assert_allclose(ts[2], ts[4], rtol=1e-4)
+    np.testing.assert_allclose(ts[4], ts[8], rtol=1e-4)
