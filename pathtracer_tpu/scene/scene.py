@@ -551,11 +551,15 @@ def _mesh_alpha(mesh, mh):
     return aval
 
 
-def _mesh_closest_hit(mesh, org_l, dir_l, t_max, cutout_rounds=4):
+def _mesh_closest_hit(mesh, org_l, dir_l, t_max, cutout_rounds=4,
+                      t_min=None):
     """Closest hit honoring alpha cutouts: re-intersect past texels with
     alpha < 0.5, up to cutout_rounds skips (the reference skips them inside
     the leaf loop, TriangleMesh.cpp:1199-1205; the wavefront equivalent is
-    iterative re-intersection with a rising t floor)."""
+    iterative re-intersection with a rising t floor).
+
+    t_min: optional per-lane strict lower bound (the reservoir march's
+    rising floor)."""
     from ..ops import traverse
 
     has_alpha = any(gt.alpha is not None for gt in mesh.textures)
@@ -610,7 +614,7 @@ def _mesh_closest_hit(mesh, org_l, dir_l, t_max, cutout_rounds=4):
                                 t_min=t_min)
 
     if not has_alpha:
-        return one_hit(None)
+        return one_hit(t_min)
 
     n = org_l.shape[0]
     acc = traverse.MeshHit(t=jnp.full((n,), traverse.BIG_T),
@@ -618,7 +622,8 @@ def _mesh_closest_hit(mesh, org_l, dir_l, t_max, cutout_rounds=4):
                            alpha=jnp.ones((n,)), beta=jnp.zeros((n,)),
                            gamma=jnp.zeros((n,)))
     done = jnp.zeros((n,), bool)
-    t_floor = jnp.full((n,), -1.0)
+    t_floor = (jnp.full((n,), -1.0) if t_min is None
+               else jnp.broadcast_to(t_min, (n,)))
     for _ in range(cutout_rounds):
         mh = one_hit(t_floor)
         found = mh.t < t_max
@@ -781,17 +786,82 @@ class ProbeHit(NamedTuple):
 
 
 MESH_RESERVOIR_MAX_TRIS = 65536   # dense two-pass reservoir cost cap
+RESERVOIR_MAX_CROSSINGS = 16      # crossing-march slot budget (big meshes)
 
 
 def _mesh_reservoir_supported(mesh) -> bool:
-    """Can the subsurface disk probe pick a uniform random intersection on
-    this mesh?  The dense count-then-pick sweep covers meshes up to
-    MESH_RESERVOIR_MAX_TRIS; larger (cluster-tier) meshes are excluded and
-    their object rows are masked off in build_scene's ss_obj_ok so the
-    integrator never takes the SS branch there (an unsupported probe would
-    otherwise silently duplicate the surface estimator — reference
-    counterpart: TriangleMesh.cpp:1321-1428)."""
-    return mesh.num_triangles <= MESH_RESERVOIR_MAX_TRIS
+    """Every mesh tier now has a reservoir path: the dense count-then-pick
+    sweep up to MESH_RESERVOIR_MAX_TRIS, the crossing march beyond it
+    (reference counterpart: TriangleMesh.cpp:1321-1428)."""
+    return True
+
+
+def _mesh_reservoir_march(mesh, org_m, dir_m, tmax, u,
+                          max_cross=RESERVOIR_MAX_CROSSINGS):
+    """Uniform random intersection with a BIG mesh along [0, tmax).
+
+    Instead of sweeping all T triangles (the dense two-pass, unaffordable
+    at cluster scale), march the closest-hit traversal with a rising
+    strict t floor, recording every crossing into max_cross slots — a
+    closed surface crosses a short subsurface probe segment only a few
+    times, and the traversal itself is the fast tiered one (packet /
+    cluster kernels).  Then count-then-pick with the single uniform like
+    the dense path (same distribution as the reference's sequential
+    reservoir, TriangleMesh.cpp:1321-1428).
+
+    Lanes exceeding max_cross crossings report found=False (the probe
+    behaves as a miss there — the integrator already weights probe
+    failure; 16+ crossings within a probe segment is pathological).
+    Returns (found, t, tri, alpha, beta, gamma).
+    """
+    import jax
+    n = org_m.shape[0]
+    K = max_cross
+    big = jnp.broadcast_to(tmax, (n,))
+
+    def cond(c):
+        i, _, active, *_ = c
+        return jnp.any(active) & (i < K)
+
+    def body(c):
+        i, t_floor, active, ts, tris, als, bes = c
+        mh = _mesh_closest_hit(mesh, org_m, dir_m, big, t_min=t_floor)
+        found = active & (mh.t < big)
+        row = lambda a, v: jax.lax.dynamic_update_slice(
+            a, v[None, :], (i, 0))
+        ts = row(ts, jnp.where(found, mh.t, BIG_T))
+        tris = row(tris, jnp.where(found, mh.tri, -1))
+        als = row(als, mh.alpha)
+        bes = row(bes, mh.beta)
+        return (i + 1, jnp.where(found, mh.t, t_floor), found,
+                ts, tris, als, bes)
+
+    init = (jnp.int32(0), jnp.full((n,), -1.0), jnp.ones((n,), bool),
+            jnp.full((K, n), BIG_T), jnp.full((K, n), -1, jnp.int32),
+            jnp.zeros((K, n)), jnp.zeros((K, n)))
+    i_end, _, still, ts, tris, als, bes = jax.lax.while_loop(
+        cond, body, init)
+
+    valid = ts < big[None, :]
+    count = jnp.sum(valid.astype(jnp.int32), axis=0)
+    # slot budget exhausted with crossings still coming -> probe miss
+    overflow = still & (i_end >= K)
+    found = (count > 0) & ~overflow
+    target = jnp.clip(
+        jnp.floor(u * count.astype(jnp.float32)).astype(jnp.int32),
+        0, jnp.maximum(count - 1, 0))
+    t_sel = ts[0]
+    tri_sel = tris[0]
+    al_sel = als[0]
+    be_sel = bes[0]
+    for k in range(1, K):
+        m = target == k
+        t_sel = jnp.where(m, ts[k], t_sel)
+        tri_sel = jnp.where(m, tris[k], tri_sel)
+        al_sel = jnp.where(m, als[k], al_sel)
+        be_sel = jnp.where(m, bes[k], be_sel)
+    ga_sel = 1.0 - al_sel - be_sel
+    return found, t_sel, jnp.maximum(tri_sel, 0), al_sel, be_sel, ga_sel
 
 
 def reservoir_same_object(sc: SceneArrays, origins, dirs, tmax, obj_id, u):
@@ -871,9 +941,22 @@ def reservoir_same_object(sc: SceneArrays, origins, dirs, tmax, obj_id, u):
 
     # meshes: uniform pick among triangle hits in range.  The dense
     # two-pass sweep covers every mesh small enough for it (brute AND
-    # packet tiers); cluster-tier meshes use the chunked variant below.
+    # packet tiers); bigger (cluster-tier) meshes use the crossing march.
     for mesh in sc.meshes:
-        if not _mesh_reservoir_supported(mesh):
+        if mesh.num_triangles > MESH_RESERVOIR_MAX_TRIS:
+            row = mesh.obj_row
+            org_m, dir_m = _local_ray_row(sc, row, origins, dirs)
+            lane_on_mesh = obj_id == row
+            found_m, mt, mtri, a3, b3, g3 = _mesh_reservoir_march(
+                mesh, org_m, dir_m, tmax_, u)
+            n_m = (mesh.n0[mtri] * a3[:, None] + mesh.n1[mtri] * b3[:, None]
+                   + mesh.n2[mtri] * g3[:, None])
+            m_found = lane_on_mesh & found_m
+            found = jnp.where(lane_on_mesh, m_found, found)
+            t_sel = jnp.where(m_found, mt, t_sel)
+            p_l = jnp.where(m_found[:, None],
+                            org_m + mt[:, None] * dir_m, p_l)
+            n_l = jnp.where(m_found[:, None], n_m, n_l)
             continue
         row = mesh.obj_row
         org_m, dir_m = _local_ray_row(sc, row, origins, dirs)

@@ -2,11 +2,14 @@
 
 The disk-probe BSSRDF needs a uniformly-random same-object intersection
 (reference: TriangleMesh.cpp:1321-1428 reservoir traversal).  The dense
-count-then-pick sweep now covers every mesh up to MESH_RESERVOIR_MAX_TRIS
-(brute, packet and mid-size BVH tiers); bigger meshes opt out of the SS
-entry RR entirely via SceneArrays.ss_obj_ok so the estimator stays
-unbiased (ADVICE medium: a probe that categorically fails would duplicate
-the surface estimator ~2x).
+count-then-pick sweep covers every mesh up to MESH_RESERVOIR_MAX_TRIS
+(brute, packet and mid-size BVH tiers); bigger (cluster-tier) meshes use
+the crossing march (_mesh_reservoir_march): repeated tiered closest-hit
+traversals with a rising strict t floor, then count-then-pick.  Rows
+without any reservoir path (pointsets/yarns) still opt out of the SS
+entry RR via SceneArrays.ss_obj_ok so the estimator stays unbiased
+(ADVICE medium: a probe that categorically fails would duplicate the
+surface estimator ~2x).
 """
 
 import numpy as np
@@ -90,14 +93,22 @@ def test_ss_mesh_render_contributes():
     assert np.abs(img_ss - img_no).max() > 1e-3, 'SS must change the render'
 
 
-def test_ss_gate_unbiased(monkeypatch):
-    """A ksub mesh whose reservoir is unsupported must render EXACTLY like
-    the ksub=0 mesh (SS RR disabled, gated draws leave streams untouched)."""
-    monkeypatch.setattr(scn, 'MESH_RESERVOIR_MAX_TRIS', 16)
-    sc_gated = _mesh_scene(n=24)          # 1.1k tris > 16 -> unsupported
+def test_ss_gate_unbiased_pointset():
+    """A ksub object whose reservoir path does not exist (pointset rows)
+    must render EXACTLY like the ksub=0 one (SS RR disabled, gated draws
+    leave streams untouched)."""
+    rng = np.random.default_rng(4)
+    pts = rng.normal(0, 3, (300, 3)).astype(np.float32)
+    pts[:, 1] -= 18.0
+
+    def build(ksub):
+        objs = scn.default_objects()
+        objs.append(scn.pointset_object({'points': pts}, ksub=ksub))
+        return scn.build_scene(objs, scn.default_light_intensity())
+
+    sc_gated = build((0.6, 0.4, 0.3))
     assert not bool(sc_gated.ss_obj_ok[3])
-    monkeypatch.undo()
-    sc_no = _mesh_scene(ksub=(0.0, 0.0, 0.0), n=24)
+    sc_no = build((0.0, 0.0, 0.0))
 
     cam = pt.make_camera((0, 0, 50), (0, 0, -1), (0, 1, 0))
     cfg = rnd.RenderConfig(width=W, height=H, nrays=SPP, nb_bounces=BOUNCES)
@@ -105,3 +116,62 @@ def test_ss_gate_unbiased(monkeypatch):
     img_g, _ = rnd.render_unsplatted(sc_gated, cam, cp, cfg)
     img_n, _ = rnd.render_unsplatted(sc_no, cam, cp, cfg)
     np.testing.assert_array_equal(np.asarray(img_g), np.asarray(img_n))
+
+
+def test_reservoir_march_matches_sorted_oracle(monkeypatch):
+    """The crossing march (big-mesh tier) must pick the floor(u*count)-th
+    hit in ASCENDING-T order — its own exact oracle from a brute sweep."""
+    monkeypatch.setattr(scn, 'MESH_RESERVOIR_MAX_TRIS', 1000)
+    sc = _mesh_scene()                    # 12.6k tris -> march path
+    mesh = sc.meshes[0]
+    assert mesh.num_triangles > scn.MESH_RESERVOIR_MAX_TRIS
+
+    n = 48
+    rng = np.random.default_rng(1)
+    org = np.array([0.0, -17.0, 30.0], np.float32) + \
+        rng.normal(0, 2.0, (n, 3)).astype(np.float32)
+    d = np.array([0.0, 0.0, -1.0], np.float32) + \
+        rng.normal(0, 0.05, (n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    tmax = np.full(n, 60.0, np.float32)
+    u = rng.uniform(0.05, 0.95, n).astype(np.float32)
+
+    probe = scn.reservoir_same_object(
+        sc, jnp.asarray(org), jnp.asarray(d), jnp.asarray(tmax),
+        jnp.full((n,), 3, jnp.int32), jnp.asarray(u))
+    found = np.asarray(probe.found)
+    t_probe = np.asarray(probe.t)
+    assert found.mean() > 0.9
+
+    from pathtracer_tpu.ops import traverse
+    org_l = org - np.array([0.0, -17.0, 0.0], np.float32)
+    ts = []
+    for start in range(0, mesh.num_triangles, 4096):
+        sl = slice(start, min(start + 4096, mesh.num_triangles))
+        tt, _, _, _ = traverse._tri_test_block(
+            mesh.soup, sl, jnp.asarray(org_l), jnp.asarray(d))
+        ts.append(np.asarray(tt))
+    t_all = np.concatenate(ts, axis=1)
+    valid = (t_all >= 0.0) & (t_all < tmax[:, None])
+    for i in range(n):
+        cnt = int(valid[i].sum())
+        assert found[i] == (cnt > 0), f"lane {i}: count {cnt}"
+        if cnt:
+            pick = min(int(u[i] * cnt), cnt - 1)
+            t_sorted = np.sort(t_all[i][valid[i]])
+            np.testing.assert_allclose(t_probe[i], t_sorted[pick],
+                                       rtol=1e-5)
+
+
+def test_ss_march_render_contributes(monkeypatch):
+    monkeypatch.setattr(scn, 'MESH_RESERVOIR_MAX_TRIS', 1000)
+    sc_ss = _mesh_scene()
+    assert bool(sc_ss.ss_obj_ok[3])
+    sc_no = _mesh_scene(ksub=(0.0, 0.0, 0.0))
+    cam = pt.make_camera((0, 0, 50), (0, 0, -1), (0, 1, 0))
+    cfg = rnd.RenderConfig(width=W, height=H, nrays=SPP, nb_bounces=BOUNCES)
+    cp = jnp.asarray(rng_host.random_per_pixel_fast(W, H))
+    img_ss, _ = rnd.render_unsplatted(sc_ss, cam, cp, cfg)
+    img_no, _ = rnd.render_unsplatted(sc_no, cam, cp, cfg)
+    assert np.isfinite(np.asarray(img_ss)).all()
+    assert np.abs(np.asarray(img_ss) - np.asarray(img_no)).max() > 1e-3
