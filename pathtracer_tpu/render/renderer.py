@@ -41,8 +41,11 @@ class RenderConfig(NamedTuple):
     samples_per_wave: int = 4   # spp chunk traced per jit call
     double_frustum_start_t: float = 0.0
     has_denoiser: bool = False  # accumulate unsplatted aux for denoising
-    tile_size: int = 0          # >0: trace rays in tile-major order (packet
-                                # coherence for the Pallas mesh kernel)
+    tile_size: int = -1         # >0: trace rays in tile-major order (packet
+                                # coherence for the Pallas mesh kernels);
+                                # 0: row-major; -1 AUTO: 32 when the scene
+                                # holds meshes/pointsets (measured 6x on the
+                                # cluster tier: med slots/packet 52 -> 8)
     sort_rays: bool = False     # re-sort the wavefront by direction octant
                                 # between bounces (secondary-ray coherence)
     compact_rays: bool = False  # stream compaction: skip all-dead lane
@@ -51,30 +54,45 @@ class RenderConfig(NamedTuple):
 
 
 
+def _near_divisor(n: int, ts: int) -> int:
+    """The divisor of n closest to ts (searching up to 2*ts) — keeps the
+    tile walk a pure reshape/transpose (no gather) at ANY resolution,
+    e.g. 1080 -> 30, 1920 -> 32."""
+    best = 1
+    for d in range(1, min(n, ts * 2) + 1):
+        if n % d == 0 and abs(d - ts) < abs(best - ts):
+            best = d
+    return best
+
+
 def _pixel_order(w, h, tile_size):
     """Pixel index arrays + an untile fn mapping lane order -> row-major.
 
     tile_size=0: row-major (identity).  Otherwise tile-major: lanes walk
-    32x32 (say) pixel tiles — tight packet frustums for the Pallas BVH
-    kernel (ops/pallas_bvh.py) and better locality generally.
+    ~ts x ~ts pixel tiles (per-dimension nearest divisors) — tight packet
+    frustums for the Pallas mesh kernels (ops/pallas_bvh.py,
+    ops/pallas_cluster.py) and better locality generally.
     """
     ii, jj = jnp.meshgrid(jnp.arange(h, dtype=jnp.int32),
                           jnp.arange(w, dtype=jnp.int32), indexing='ij')
-    if tile_size and w % tile_size == 0 and h % tile_size == 0:
-        ts = tile_size
-        ht, wt = h // ts, w // ts
+    if tile_size > 0:
+        tsh = _near_divisor(h, tile_size)
+        tsw = _near_divisor(w, tile_size)
+        if tsh > 1 or tsw > 1:
+            ht, wt = h // tsh, w // tsw
 
-        def tile(a):
-            return (a.reshape(ht, ts, wt, ts)
-                    .transpose(0, 2, 1, 3).reshape(-1))
+            def tile(a):
+                return (a.reshape(ht, tsh, wt, tsw)
+                        .transpose(0, 2, 1, 3).reshape(-1))
 
-        def untile(x):
-            lead = x.shape[1:]
-            return (x.reshape(ht, wt, ts, ts, *lead)
-                    .transpose(0, 2, 1, 3, *(4 + i for i in range(len(lead))))
-                    .reshape(h * w, *lead))
+            def untile(x):
+                lead = x.shape[1:]
+                return (x.reshape(ht, wt, tsh, tsw, *lead)
+                        .transpose(0, 2, 1, 3,
+                                   *(4 + i for i in range(len(lead))))
+                        .reshape(h * w, *lead))
 
-        return tile(ii), tile(jj), untile
+            return tile(ii), tile(jj), untile
     return ii.reshape(-1), jj.reshape(-1), (lambda x: x)
 
 
@@ -102,7 +120,10 @@ def _wave(sc: scn.SceneArrays, cam: cam_mod.Camera, cp_table, cfg: RenderConfig,
                                   int(np.ceil(cfg.sigma_filter * 2)),
                                   film_spec_ratio)
 
-    pix_i, pix_j, untile = _pixel_order(w, h, cfg.tile_size)
+    ts = cfg.tile_size
+    if ts < 0:   # AUTO: packet coherence matters iff tiered sweeps run
+        ts = 32 if (sc.meshes or sc.pointsets or sc.yarns) else 0
+    pix_i, pix_j, untile = _pixel_order(w, h, ts)
     pix_flat = pix_i * w + pix_j
     bg_pixel = _background_pixels(sc, pix_i, pix_j, w, h)
 

@@ -44,7 +44,7 @@ def bench_render(sc, label, spp_warm=2, spp_bench=4, bounces=3,
                  compact=True):
     cam = pt.make_camera((0, 0, 50), (0, 0, -1), (0, 1, 0))
     cfg = rnd.RenderConfig(width=W, height=H, nrays=64, nb_bounces=bounces,
-                           samples_per_wave=spp_warm, tile_size=0,
+                           samples_per_wave=spp_warm,
                            compact_rays=compact)
     r = rnd.Renderer(sc, cam, cfg)
     log(f'[{label}] compile + warmup ({spp_warm} spp)...')
@@ -75,13 +75,15 @@ def bench_render(sc, label, spp_warm=2, spp_bench=4, bounces=3,
     return rps
 
 
-def primary_rays():
+def primary_rays(tile=32):
+    """Tile-major primary rays — the renderer's packet ordering (a raster
+    1080p 'packet' is a 1024px-wide strip that enters 40-70 clusters;
+    ~32x32 tiles enter ~8)."""
     cam = pt.make_camera((0, 0, 50), (0, 0, -1), (0, 1, 0))
     from pathtracer_tpu.core import camera as cam_mod
-    ii, jj = jnp.meshgrid(jnp.arange(H, dtype=jnp.int32),
-                          jnp.arange(W, dtype=jnp.int32), indexing='ij')
+    pix_i, pix_j, _ = rnd._pixel_order(W, H, tile)
     org, dirn = cam_mod.generate_rays(
-        cam, ii.reshape(-1), jj.reshape(-1),
+        cam, pix_i, pix_j,
         jnp.zeros(()), jnp.zeros(()), jnp.zeros(()), jnp.zeros(()), W, H)
     return org, dirn
 
@@ -111,7 +113,10 @@ def _terrain_rays(n, grazing=False):
         d = np.stack([np.ones(m), np.linspace(-0.08, 0.04, m),
                       np.zeros(m)], -1)
     else:
-        org = np.stack([gx.ravel(), np.full(m, 30.0), gz.ravel()], -1)
+        # tile-major order like the renderer feeds the kernels
+        pi, pj, _ = rnd._pixel_order(side, side, 32)
+        pi, pj = np.asarray(pi), np.asarray(pj)
+        org = np.stack([gx[pi, pj], np.full(m, 30.0), gz[pi, pj]], -1)
         d = np.stack([np.zeros(m), -np.ones(m), np.zeros(m)], -1)
     d /= np.linalg.norm(d, axis=1, keepdims=True)
     return (jnp.asarray(org, jnp.float32), jnp.asarray(d, jnp.float32))
