@@ -44,6 +44,23 @@ design that avoids every dynamic-indexing restriction:
   slots/packet median): ~80us fixed per packet + ~49us per slot, split
   ~33us VPU epilogue (VMEM-bandwidth-bound), ~14us matmul (HIGHEST, 2
   subtiles), ~0.6us DMA -> 2.8M rays/s closest-hit at 1M triangles.
+
+  1080p closest-hit after the root-exit clamp + tile ordering (round 2):
+  closed 2.4M-tri sphere 3.8M rays/s (med slots/packet 0 — sky packets
+  cull to nothing), terrain all-hit 2.5M, open-sky grazing worst case
+  4.4M (was 0.25M).  CEILING ANALYSIS: cost is now ~purely slot sweeps —
+  packets_covering_mesh x slots x 49us.  An all-hit 1080p view at ~9
+  slots/packet costs ~0.9s/2M rays => ~2.2M rays/s; reaching the 62.5M
+  rays/s per-chip share needs ~27x, which this formulation cannot reach
+  by tuning: the epilogue's (BLOCK, 6*SUBT) f32 traffic is VMEM-bandwidth
+  bound (33us/slot ~= 15MB at ~1.3TB/s x several passes) and shrinking
+  SUBT trades it for fixed overhead.  The structural paths are (a)
+  smaller packets with tighter frusta (fewer tris tested per ray), (b) a
+  bf16 prefilter pass with exact re-test of candidates, (c) per-lane
+  cluster assignment (sorting rays to clusters, not clusters to packets)
+  — all future work; the SMEM packet tier (<=8k tris) already reaches
+  19.3M live rays/s END-TO-END at 1080p, so the gap is specific to
+  multi-M-triangle scenes.
   Hard-won rules embedded here (violations measured, do not rediscover):
     * jit the WHOLE pipeline (`_two_level_exec`): per-call closures under
       lax.map/cond re-trace + re-compile every call (~6s/call constant);
@@ -124,24 +141,36 @@ class ClusteredMesh(NamedTuple):
                                              # BVH order (tests/oracles)
 
 
-def build_clustered(tri_verts: np.ndarray, fb=None) -> ClusteredMesh:
+def build_clustered(tri_verts: np.ndarray, fb=None,
+                    tris_c: Optional[int] = None) -> ClusteredMesh:
     """Partition by global BVH order; top BVH over cluster bounds.
 
     fb: optional precomputed FlatBVH over tri_verts (scene/mesh.py passes
-    its own so the tree is built once)."""
+    its own so the tree is built once).
+
+    tris_c: triangles per cluster (SUBT multiple).  Default: TRIS_C,
+    auto-doubled until the cluster count fits the exact dense cull
+    (<= DENSE_CULL_MAX) — e.g. 23.7M tris pack 4096/cluster into ~5.8k
+    clusters.  The sweep kernel reads the width from the packed shape,
+    so no kernel change is needed per size."""
     t = tri_verts.shape[0]
+    if tris_c is None:
+        tris_c = TRIS_C
+        while -(-t // tris_c) > DENSE_CULL_MAX:
+            tris_c *= 2
+    assert tris_c % SUBT == 0, f'tris_c {tris_c} not a SUBT multiple'
     if fb is None:
         fb = bvh_mod.build_bvh(tri_verts)
     ordered = tri_verts[fb.order]
-    c = -(-t // TRIS_C)
-    pad = c * TRIS_C - t
+    c = -(-t // tris_c)
+    pad = c * tris_c - t
     if pad:
         ordered = np.concatenate(
             [ordered, np.zeros((pad, 3, 3), np.float32)], axis=0)
-    grouped = ordered.reshape(c, TRIS_C, 3, 3).astype(np.float32)
-    valid = (np.arange(c * TRIS_C) < t).reshape(c, TRIS_C)
+    grouped = ordered.reshape(c, tris_c, 3, 3).astype(np.float32)
+    valid = (np.arange(c * tris_c) < t).reshape(c, tris_c)
     # cluster bounds over VALID triangles only (pad tris sit at origin)
-    pts = grouped.reshape(c, TRIS_C * 3, 3)
+    pts = grouped.reshape(c, tris_c * 3, 3)
     vmask = np.repeat(valid, 3, axis=1)[:, :, None]
     clo = np.where(vmask, pts, np.inf).min(axis=1).astype(np.float32)
     chi = np.where(vmask, pts, -np.inf).max(axis=1).astype(np.float32)
@@ -177,7 +206,7 @@ def build_clustered(tri_verts: np.ndarray, fb=None) -> ClusteredMesh:
     Up = np.where(keep, Up, 0.0)
     Vp = np.where(keep, Vp, 0.0)
     a_c = av - centers[:, None, :]                       # re-centered a
-    n_sub = TRIS_C // SUBT
+    n_sub = tris_c // SUBT
     width = n_sub * 6 * SUBT + TAIL
     packed = np.zeros((c, A_ROWS, width), np.float32)
     planes = (nv, Up, Vp)
@@ -417,7 +446,9 @@ def _sweep_kernel(ids_ref, cnt_ref, keys_ref,
     """
     b = pl.program_id(0)
     cnt = jnp.minimum(cnt_ref[b, 0], MAXC)
-    n_sub = TRIS_C // SUBT
+    # cluster size travels in the packed width (build_clustered docstring)
+    n_sub = (buf0.shape[1] - TAIL) // (6 * SUBT)
+    tris_c = n_sub * SUBT
     tail0 = n_sub * 6 * SUBT
 
     tout_ref[0, 0, :] = tx_ref[0, 0, :]
@@ -515,7 +546,7 @@ def _sweep_kernel(ids_ref, cnt_ref, keys_ref,
                 win = tj < tout_ref[0, 0, :]
                 tout_ref[0, 0, :] = jnp.where(win, tj, tout_ref[0, 0, :])
                 triout_ref[0, 0, :] = jnp.where(
-                    win, cid * TRIS_C + s * SUBT + j, triout_ref[0, 0, :])
+                    win, cid * tris_c + s * SUBT + j, triout_ref[0, 0, :])
                 alout_ref[0, 0, :] = jnp.where(win, 1.0 - be_j - ga_j,
                                                alout_ref[0, 0, :])
                 beout_ref[0, 0, :] = jnp.where(win, be_j,

@@ -180,8 +180,41 @@ def stage_render():
     bench_render(sc, 'cluster-2.4M', spp_warm=1, spp_bench=2)
 
 
+def stage_big():
+    """VERDICT #2: >=8M triangles on one chip.  8M forces tris_c
+    auto-doubling (15625 clusters at 512 -> 7813 at 1024, inside the
+    dense cull) and a ~1.7GB packed upload."""
+    from pathtracer_tpu.ops import pallas_cluster as pc
+    md = procgen.sphere_mesh(2001, 2001, radius=14.0, displace_amp=0.25)
+    tri = md.vertices[md.vtx_idx]
+    log('big mesh tris:', tri.shape[0])
+    t0 = time.perf_counter()
+    cm = pc.build_clustered(tri)
+    log(f'host build {time.perf_counter() - t0:.1f}s, {cm.n_clusters} '
+        f'clusters, packed {cm.packed.nbytes / 1e9:.2f} GB')
+    jax.block_until_ready(cm.packed)
+    log(f'build+upload total {time.perf_counter() - t0:.1f}s')
+
+    org, dirn = primary_rays()
+    org = org - jnp.asarray([0.0, -15.0, 0.0])
+    tmax = jnp.full((org.shape[0],), 1e30, jnp.float32)
+    t0 = time.perf_counter()
+    t, tid, al, be = pc.two_level_hit(cm, org, dirn, tmax)
+    t.block_until_ready()
+    log(f'first hit call {time.perf_counter() - t0:.1f}s')
+    hit = float((np.asarray(t) < 1e29).mean())
+    log(f'hit fraction {hit:.3f}')
+    assert hit > 0.1, 'vacuous: mesh not in frame'
+    for rep in range(3):
+        t0 = time.perf_counter()
+        t, tid, al, be = pc.two_level_hit(cm, org, dirn, tmax)
+        t.block_until_ready()
+        dt = time.perf_counter() - t0
+        log(f'rep{rep}: {dt:.3f}s -> {org.shape[0] / dt / 1e6:.2f}M rays/s')
+
+
 if __name__ == '__main__':
     stage = sys.argv[1] if len(sys.argv) > 1 else 'packet'
     log('devices:', jax.devices())
     {'packet': stage_packet, 'cluster': stage_cluster,
-     'render': stage_render}[stage]()
+     'render': stage_render, 'big': stage_big}[stage]()

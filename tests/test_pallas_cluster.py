@@ -134,3 +134,35 @@ def test_tmin_excludes_near_hits():
                                    interpret=True)
     t1 = np.asarray(t1)
     assert (t1[hit] > np.asarray(t0)[hit]).all()
+
+
+def test_two_level_big_cluster_size():
+    """tris_c > TRIS_C (the >=8M-tri packing, build_clustered docstring):
+    the sweep kernel must derive the cluster width from the packed shape
+    and return identical hits."""
+    tri = _random_mesh(5000, seed=3)
+    cm = pc.build_clustered(tri, tris_c=1024)
+    assert cm.n_clusters == -(-5000 // 1024)
+    assert cm.packed.shape[2] == (1024 // pc.SUBT) * 6 * pc.SUBT + pc.TAIL
+
+    n = 1024
+    org, dirn = _rays(n, seed=4)
+    tmax = jnp.full((n,), BIG_T)
+    t, tid, al, be = pc.two_level_hit(cm, org, dirn, tmax, interpret=True)
+    ref = brute_force_hit(pc.flat_soup(cm), org, dirn)
+    # plane-matmul vs edge-matrix op-order drift: ~1e-6 rel on rare lanes
+    np.testing.assert_allclose(np.asarray(t), np.asarray(ref.t),
+                               rtol=1e-5, atol=1e-6)
+    match = (np.asarray(tid) == np.asarray(ref.tri))
+    assert match.mean() > 0.999
+
+
+def test_auto_tris_c_keeps_dense_cull():
+    # the auto-doubling rule: cluster count never exceeds DENSE_CULL_MAX
+    import math
+    for t in (10_000, 9_000_000, 24_000_000):
+        tris_c = pc.TRIS_C
+        while -(-t // tris_c) > pc.DENSE_CULL_MAX:
+            tris_c *= 2
+        assert -(-t // tris_c) <= pc.DENSE_CULL_MAX
+        assert tris_c % pc.SUBT == 0
