@@ -1,11 +1,19 @@
-"""Benchmark: wavefront path-tracing throughput on the flagship scene.
+"""Benchmark: wavefront path-tracing throughput on the flagship scene,
+plus a mesh-scene (packet-tier) end-to-end number.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
+extra keys for the mesh-scene render:
+  mesh_scene_rays_per_s — live-lane rays/s of a full 1080p render over a
+      2k-triangle displaced sphere (the SMEM packet tier; VERDICT #1's
+      measured mesh throughput).  Cluster-tier (multi-M-tri) numbers are
+      recorded separately in BENCH_MESH.json because their first compile
+      through the remote-compile tunnel takes minutes.
+  mesh_scene_tris — triangle count of that scene.
 
 Metric: hardware ray operations per second on one chip at 1080p.  Each
 sample-wave traces W*H paths for nb_bounces bounces; every bounce does one
-closest-hit sweep and one NEE shadow sweep over all lanes (lockstep wavefront,
-no compaction yet), so rays = W*H * spp * nb_bounces * 2.
+closest-hit sweep and one NEE shadow sweep over all lanes (lockstep
+wavefront), so rays = W*H * spp * nb_bounces * 2.
 
 Baseline: BASELINE.md targets >=1e9 rays/s aggregate on a v5e-16 at 1080p
 64spp => 62.5e6 rays/s per chip.  vs_baseline = value / 62.5e6.
@@ -18,11 +26,24 @@ import jax
 import jax.numpy as jnp
 
 
+def _bench_renderer(r, warm_spp, bench_spp):
+    import pathtracer_tpu as pt  # noqa: F401  (jax symbols already live)
+    r.step(warm_spp)
+    jax.block_until_ready(r.image)
+    t0 = time.perf_counter()
+    done = 0
+    while done < bench_spp:
+        r.step(warm_spp)
+        done += warm_spp
+    jax.block_until_ready(r.image)
+    return done, time.perf_counter() - t0
+
+
 def main():
     import pathtracer_tpu as pt
-    from pathtracer_tpu.core import rng_host
     from pathtracer_tpu.render import renderer as rnd
     from pathtracer_tpu.scene import scene as scn
+    from pathtracer_tpu.utils import procgen
 
     W, H, BOUNCES = 1920, 1080, 3
     WARMUP_SPP, BENCH_SPP = 16, 32
@@ -38,27 +59,32 @@ def main():
     cfg = pt.RenderConfig(width=W, height=H, nrays=64, nb_bounces=BOUNCES,
                           samples_per_wave=WARMUP_SPP)
 
-    r = pt.Renderer(sc, cam, cfg)
-    # warmup: compile + first wave
-    r.step(WARMUP_SPP)
-    jax.block_until_ready(r.image)
-
-    t0 = time.perf_counter()
-    done = 0
-    while done < BENCH_SPP:
-        r.step(WARMUP_SPP)
-        done += WARMUP_SPP
-    jax.block_until_ready(r.image)
-    dt = time.perf_counter() - t0
-
+    done, dt = _bench_renderer(pt.Renderer(sc, cam, cfg), WARMUP_SPP,
+                               BENCH_SPP)
     rays = W * H * done * BOUNCES * 2
     rays_per_s = rays / dt
+
+    # mesh scene: 2k-tri displaced sphere through the SMEM packet kernel,
+    # full renderer (hit + NEE shadow per bounce), live-lane accounting
+    md = procgen.sphere_mesh(32, 32, radius=12.0, displace_amp=0.25)
+    mobjs = scn.default_objects()
+    mobjs.append(scn.mesh_object(md, translation=(0.0, -15.0, 0.0)))
+    msc = scn.build_scene(mobjs, scn.default_light_intensity())
+    mcfg = rnd.RenderConfig(width=W, height=H, nrays=8, nb_bounces=BOUNCES,
+                            samples_per_wave=2, compact_rays=True)
+    mr = rnd.Renderer(msc, cam, mcfg)
+    mdone, mdt = _bench_renderer(mr, 2, 4)
+    st = mr.stats(mdt)
+    mesh_rays_per_s = (st['rays_traced'] * mdone / (mdone + 2)) / mdt
+
     per_chip_target = 1e9 / 16.0
     print(json.dumps({
         "metric": "rays_per_second_per_chip",
         "value": rays_per_s,
         "unit": "rays/s",
         "vs_baseline": rays_per_s / per_chip_target,
+        "mesh_scene_rays_per_s": mesh_rays_per_s,
+        "mesh_scene_tris": int(md.num_triangles),
     }))
 
 
