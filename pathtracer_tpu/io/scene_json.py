@@ -94,6 +94,8 @@ def _object_doc(o: scn.ObjectSpec) -> dict:
         doc['interp_normals'] = bool(o.interp_normals)
         if o.display_edges:
             doc['display_edges'] = True
+        if getattr(o, 'bilinear', False):
+            doc['bilinear'] = True
         if isinstance(o.seg_path, str):
             doc['seg_path'] = o.seg_path
     # texture channel paths (path-valued entries only; in-memory arrays
@@ -178,6 +180,7 @@ def load_scene(path: str, name_subst: Optional[str] = None):
                                   offset=tuple(od.get('mesh_offset',
                                                       (0.0, 0.0, 0.0))))
             kw['display_edges'] = bool(od.get('display_edges', False))
+            kw['bilinear'] = bool(od.get('bilinear', False))
             sp = od.get('seg_path')
             if sp is not None and not os.path.isabs(sp):
                 sp = os.path.join(base_dir, sp)

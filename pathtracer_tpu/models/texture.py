@@ -121,3 +121,106 @@ def sample_point(img: jnp.ndarray, u, v):
 def sample_red(img: jnp.ndarray, u, v):
     """Red-channel scalar sample (reference getValRed, BRDF.h:381-392)."""
     return sample_point(img, u, v)[..., 0]
+
+
+def sample_bilinear(img: jnp.ndarray, u, v):
+    """Bilinear sample at wrapped (u,v) — an OPTION the reference lacks
+    (its Texture is point-sampled, BRDF.h:293-307); coordinates use the
+    same x = u*(W-1) mapping so bilinear==point at texel centers."""
+    h, w = img.shape[0], img.shape[1]
+    xf = wrap(u) * (w - 1)
+    yf = wrap(v) * (h - 1)
+    x0 = jnp.clip(jnp.floor(xf).astype(jnp.int32), 0, w - 1)
+    y0 = jnp.clip(jnp.floor(yf).astype(jnp.int32), 0, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    fx = (xf - x0.astype(xf.dtype))[..., None]
+    fy = (yf - y0.astype(yf.dtype))[..., None]
+    c00 = img[y0, x0]
+    c10 = img[y0, x1]
+    c01 = img[y1, x0]
+    c11 = img[y1, x1]
+    return ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
+            + (c01 * (1 - fx) + c11 * fx) * fy)
+
+
+CHANNELS = ('kd', 'ks', 'normal', 'alpha', 'roughness', 'transp', 'refr',
+            'ksub')
+
+
+@flax.struct.dataclass
+class ChannelAtlas:
+    """One channel's per-group images packed into a single array.
+
+    The per-group select-chain in scene._merge_mesh_hit is the right
+    call for a handful of groups (select chains beat gathers on TPU for
+    small tables — CLAUDE.md rule), but a mesh with dozens of textured
+    groups would pay G full-image samples per channel.  The atlas stacks
+    every group's image vertically into one (Ht, Wmax, 3) array plus
+    per-group row-offset/size tables, so ONE gather serves all groups
+    regardless of G (replaces the reference's per-group Texture vector,
+    Geometry.h:666-713, at wavefront width)."""
+
+    img: jnp.ndarray        # (Ht, Wmax, 3)
+    y0: jnp.ndarray         # (G,) int32 first row of group g's image
+    h: jnp.ndarray          # (G,) int32 (1 for imageless groups)
+    w: jnp.ndarray          # (G,) int32
+    has: jnp.ndarray        # (G,) bool — group has an image here
+
+
+def build_atlas(images) -> Optional[ChannelAtlas]:
+    """Pack a per-group list of Optional[(H,W,3)] into a ChannelAtlas
+    (None when no group has an image)."""
+    if not any(im is not None for im in images):
+        return None
+    y0s, hs, ws, rows = [], [], [], []
+    wmax = max(int(im.shape[1]) for im in images if im is not None)
+    y = 0
+    for im in images:
+        if im is None:
+            y0s.append(0)
+            hs.append(1)
+            ws.append(1)
+            continue
+        im = np.asarray(im, np.float32)
+        hh, ww = im.shape[0], im.shape[1]
+        if ww < wmax:
+            im = np.pad(im, ((0, 0), (0, wmax - ww), (0, 0)))
+        rows.append(im)
+        y0s.append(y)
+        hs.append(hh)
+        ws.append(ww)
+        y += hh
+    return ChannelAtlas(
+        img=jnp.asarray(np.concatenate(rows, axis=0)),
+        y0=jnp.asarray(y0s, jnp.int32), h=jnp.asarray(hs, jnp.int32),
+        w=jnp.asarray(ws, jnp.int32), has=jnp.asarray(
+            [im is not None for im in images]))
+
+
+def sample_atlas(at: ChannelAtlas, grp, u, v, bilinear: bool = False):
+    """Per-lane atlas sample: (vals (N,3), has (N,) bool).
+
+    Point mode reproduces sample_point exactly (x = u*(w-1) truncated);
+    bilinear clamps the 2x2 footprint inside the group's own rows so no
+    lane ever blends across group boundaries."""
+    hg = at.h[grp]
+    wg = at.w[grp]
+    y0g = at.y0[grp]
+    xf = wrap(u) * (wg - 1).astype(jnp.float32)
+    yf = wrap(v) * (hg - 1).astype(jnp.float32)
+    x0 = jnp.clip(xf.astype(jnp.int32), 0, wg - 1)
+    y0 = jnp.clip(yf.astype(jnp.int32), 0, hg - 1)
+    if not bilinear:
+        return at.img[y0g + y0, x0], at.has[grp]
+    x1 = jnp.minimum(x0 + 1, wg - 1)
+    y1 = jnp.minimum(y0 + 1, hg - 1)
+    fx = (xf - x0.astype(xf.dtype))[..., None]
+    fy = (yf - y0.astype(yf.dtype))[..., None]
+    c00 = at.img[y0g + y0, x0]
+    c10 = at.img[y0g + y0, x1]
+    c01 = at.img[y0g + y1, x0]
+    c11 = at.img[y0g + y1, x1]
+    val = ((c00 * (1 - fx) + c10 * fx) * (1 - fy)
+           + (c01 * (1 - fx) + c11 * fx) * fy)
+    return val, at.has[grp]

@@ -110,6 +110,10 @@ CHUNK_PACKETS = 256   # packets per kernel launch: SMEM outputs and the
                       # them inside the 1MB SMEM budget at any ray count
 A_ROWS = 8            # sweep A-matrix rows (R = [o-c, 1, d, 0] K dim)
 TAIL = 256            # packed tail lanes: [AABB | centroid] scalar blocks
+SUB_META = 128        # packed lanes per SUBTILE AABB block (after TAIL):
+                      # rows 0-5 = subtile lo/hi xyz replicated across the
+                      # 128 lanes so the sweep kernel reads them with
+                      # all-equal lane reductions (Mosaic-safe scalarize)
 
 
 class ClusteredMesh(NamedTuple):
@@ -125,13 +129,19 @@ class ClusteredMesh(NamedTuple):
     cb_lox: jnp.ndarray; cb_loy: jnp.ndarray; cb_loz: jnp.ndarray
     cb_hix: jnp.ndarray; cb_hiy: jnp.ndarray; cb_hiz: jnp.ndarray
     # per-cluster sweep A-matrices, ONE (C, A_ROWS, W) f32 array where
-    # W = n_sub*6*SUBT + TAIL.  Per subtile s, columns [s*6S, (s+1)*6S)
-    # hold the six plane blocks [n | U' | V' | n | U' | V'] with rows
-    # grouped by the R = [o-c, 1, d, 0] component they multiply: rows
-    # 0-2 = plane xyz (o part), row 3 = -(a-c)·plane, rows 4-6 = plane
-    # xyz again (d part, nonzero only in the last three blocks), row 7 =
-    # 0.  The TAIL lanes carry per-cluster scalars replicated across 128
-    # lanes: [AABB lo/hi in rows 0-5 | centroid xyz in rows 0-2].
+    # W = n_sub*6*SUBT + TAIL + n_sub*SUB_META.  Per subtile s, columns
+    # [s*6S, (s+1)*6S) hold the six plane blocks [n | U' | V' | n | U' |
+    # V'] with rows grouped by the R = [o-c, 1, d, 0] component they
+    # multiply: rows 0-2 = plane xyz (o part), row 3 = -(a-c)·plane,
+    # rows 4-6 = plane xyz again (d part, nonzero only in the last three
+    # blocks), row 7 = 0.  The TAIL lanes carry per-cluster scalars
+    # replicated across 128 lanes: [AABB lo/hi in rows 0-5 | centroid
+    # xyz in rows 0-2].  After TAIL, one SUB_META-lane block per subtile
+    # carries that subtile's own AABB (rows 0-5, lane-replicated) — the
+    # sweep kernel slab-tests it per lane and SKIPS the subtile's
+    # matmul+epilogue when no lane's entry beats its best t (the big
+    # win for auto-doubled clusters: a packet clipping a 4096-tri
+    # cluster's corner sweeps 1-2 of its 16 subtiles, not all).
     # One array -> ONE manual DMA per slot.
     packed: jnp.ndarray
     n_clusters: int
@@ -207,7 +217,7 @@ def build_clustered(tri_verts: np.ndarray, fb=None,
     Vp = np.where(keep, Vp, 0.0)
     a_c = av - centers[:, None, :]                       # re-centered a
     n_sub = tris_c // SUBT
-    width = n_sub * 6 * SUBT + TAIL
+    width = n_sub * 6 * SUBT + TAIL + n_sub * SUB_META
     packed = np.zeros((c, A_ROWS, width), np.float32)
     planes = (nv, Up, Vp)
     for s in range(n_sub):
@@ -226,6 +236,24 @@ def build_clustered(tri_verts: np.ndarray, fb=None,
         packed[:, k, tail0:tail0 + 128] = arr[:, None]
     for k in range(3):
         packed[:, k, tail0 + 128:tail0 + 256] = centers[:, k][:, None]
+
+    # per-subtile AABBs over VALID triangles (empty subtiles collapse to
+    # the cluster-lo point: a degenerate box the slab test almost never
+    # enters; a spurious enter only wastes a sweep, never loses a hit)
+    pts_s = grouped.reshape(c, n_sub, SUBT * 3, 3)
+    vmask_s = np.repeat(valid.reshape(c, n_sub, SUBT), 3,
+                        axis=2)[..., None]
+    slo = np.where(vmask_s, pts_s, np.inf).min(axis=2)      # (c, n_sub, 3)
+    shi = np.where(vmask_s, pts_s, -np.inf).max(axis=2)
+    sempty = ~valid.reshape(c, n_sub, SUBT).any(axis=2)
+    slo = np.where(sempty[..., None], clo[:, None, :], slo)
+    shi = np.where(sempty[..., None], clo[:, None, :], shi)
+    sub0 = tail0 + TAIL
+    for s in range(n_sub):
+        base = sub0 + s * SUB_META
+        for k in range(3):
+            packed[:, k, base:base + SUB_META] = slo[:, s, k][:, None]
+            packed[:, 3 + k, base:base + SUB_META] = shi[:, s, k][:, None]
 
     # batch the small arrays into TWO uploads (plus packed): per-array
     # device_put through the axon tunnel has wildly variable latency
@@ -447,9 +475,10 @@ def _sweep_kernel(ids_ref, cnt_ref, keys_ref,
     b = pl.program_id(0)
     cnt = jnp.minimum(cnt_ref[b, 0], MAXC)
     # cluster size travels in the packed width (build_clustered docstring)
-    n_sub = (buf0.shape[1] - TAIL) // (6 * SUBT)
+    n_sub = (buf0.shape[1] - TAIL) // (6 * SUBT + SUB_META)
     tris_c = n_sub * SUBT
     tail0 = n_sub * 6 * SUBT
+    sub0 = tail0 + TAIL              # first subtile-AABB block
 
     tout_ref[0, 0, :] = tx_ref[0, 0, :]
     triout_ref[0, 0, :] = jnp.full((BLOCK,), -1, jnp.int32)
@@ -511,6 +540,22 @@ def _sweep_kernel(ids_ref, cnt_ref, keys_ref,
                  jnp.zeros((1, BLOCK), jnp.float32)], axis=0)
 
             def sub_body(s, _):
+                # subtile AABB from its lane-replicated block; skip the
+                # matmul+epilogue when no lane's slab entry beats its
+                # current best t (sound: the subtile's triangles all lie
+                # inside this AABB, so any hit would have t >= entry)
+                moff = pl.multiple_of(s * SUB_META, SUB_META)
+                sb = buf0[:, pl.ds(sub0 + moff, SUB_META)]   # (8, 128)
+                live_s = slab6(jnp.min(sb[0]), jnp.min(sb[1]),
+                               jnp.min(sb[2]), jnp.min(sb[3]),
+                               jnp.min(sb[4]), jnp.min(sb[5]))
+
+                @pl.when(jnp.any(live_s))
+                def _():
+                    _sub_sweep(s)
+                return 0
+
+            def _sub_sweep(s):
                 off = pl.multiple_of(s * (6 * SUBT), 6 * SUBT)
                 amat = buf0[:, pl.ds(off, 6 * SUBT)]  # (8, 6*SUBT)
                 # contract the sublane dims: (8,B)^T x (8,6S) -> (B,6S).

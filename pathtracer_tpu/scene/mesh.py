@@ -73,6 +73,12 @@ class MeshArrays:
     cluster_top_max_leaf: int = flax.struct.field(pytree_node=False)
     interp_normals: bool = flax.struct.field(pytree_node=False)
     display_edges: bool = flax.struct.field(pytree_node=False, default=False)
+    # per-channel texture atlases (models.texture.CHANNELS order; each a
+    # ChannelAtlas or None) — built for many-group meshes so material
+    # fetch does ONE gather per channel instead of a G-long select chain
+    atlases: tuple = ()
+    # bilinear texture filtering option (reference is point-sampled)
+    bilinear: bool = flax.struct.field(pytree_node=False, default=False)
 
     @property
     def num_triangles(self):
@@ -81,6 +87,7 @@ class MeshArrays:
 
 BRUTE_FORCE_MAX_TRIS = 8192   # below this, dense sweep beats traversal on TPU
 PACKET_MAX_TRIS = 8000        # SMEM-resident tier (~1MB scalar memory)
+ATLAS_MIN_GROUPS = 5          # textured groups before the atlas pays off
 
 
 def upload_mesh(md: obj_io.MeshData, obj_row: int,
@@ -93,7 +100,9 @@ def upload_mesh(md: obj_io.MeshData, obj_row: int,
                 default_refr: float = 1.3,
                 display_edges: bool = False,
                 facecolors=None,
-                texture_overrides=None) -> MeshArrays:
+                texture_overrides=None,
+                use_atlas: Optional[bool] = None,
+                bilinear: bool = False) -> MeshArrays:
     """Build BVH + device arrays from host MeshData (TriMesh::init tail,
     TriangleMesh.cpp:784-841)."""
     from ..models import texture as tex_mod
@@ -183,6 +192,19 @@ def upload_mesh(md: obj_io.MeshData, obj_row: int,
                                  'transp', 'refr', 'ksub')}
             textures[gi] = tex_mod.GroupTextures(**merged)
 
+    # many-group meshes: pack each channel's images into one atlas so the
+    # material fetch is one gather per channel, not a G-long select chain
+    # (select chains win for small G — CLAUDE.md rule — so the atlas only
+    # activates past ATLAS_MIN_GROUPS unless forced)
+    if use_atlas is None:
+        use_atlas = sum(gt.any_image for gt in textures) >= ATLAS_MIN_GROUPS
+    if use_atlas and any(gt.any_image for gt in textures):
+        atlases = tuple(
+            tex_mod.build_atlas([getattr(gt, ch) for gt in textures])
+            for ch in tex_mod.CHANNELS)
+    else:
+        atlases = ()
+
     if use_brute is None:
         use_brute = len(order) <= BRUTE_FORCE_MAX_TRIS
 
@@ -225,6 +247,7 @@ def upload_mesh(md: obj_io.MeshData, obj_row: int,
 
     return MeshArrays(
         soup=soup, bvh=bvh, packed=packed, use_packet=use_packet,
+        atlases=atlases, bilinear=bool(bilinear),
         show_edges=se, facecolors=fc, display_edges=bool(display_edges),
         clustered=clustered, use_cluster=bool(use_cluster),
         n_clusters=int(n_clusters),

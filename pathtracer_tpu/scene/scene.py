@@ -544,9 +544,16 @@ def _mesh_alpha(mesh, mh):
     u, v = _mesh_uv(mesh, tri, al, be, ga)
     grp = mesh.group[tri]
     aval = jnp.ones_like(mh.t)
+    atl = dict(zip(tex_mod.CHANNELS, mesh.atlases)) if mesh.atlases else {}
+    if atl.get('alpha') is not None:
+        val, has = tex_mod.sample_atlas(atl['alpha'], grp, u, v,
+                                        mesh.bilinear)
+        return jnp.where(has, val[:, 0], aval)
+    samp = (tex_mod.sample_bilinear if mesh.bilinear
+            else tex_mod.sample_point)
     for g, gt in enumerate(mesh.textures):
         if gt.alpha is not None:
-            aval = jnp.where(grp == g, tex_mod.sample_red(gt.alpha, u, v),
+            aval = jnp.where(grp == g, samp(gt.alpha, u, v)[..., 0],
                              aval)
     return aval
 
@@ -671,19 +678,33 @@ def _merge_mesh_hit(sc: SceneArrays, mesh, origins, dirs, cur: Hit,
     u, v = _mesh_uv(mesh, tri, al, be, ga)
 
     # tangent-space normal mapping (TriangleMesh.cpp:952-970)
+    atl = dict(zip(tex_mod.CHANNELS, mesh.atlases)) if mesh.atlases else {}
+    samp = (tex_mod.sample_bilinear if mesh.bilinear
+            else tex_mod.sample_point)
     if any(gt.normal is not None for gt in mesh.textures):
         tangent = vec.normalize(
             mesh.t0[tri] * al[:, None] + mesh.t1[tri] * be[:, None]
             + mesh.t2[tri] * ga[:, None])
         bitangent = vec.cross(n_l, tangent)
-        for g, gt in enumerate(mesh.textures):
-            if gt.normal is not None:
-                ns_loc = tex_mod.sample_point(gt.normal, u, v)
-                ns = (ns_loc[:, 0:1] * tangent + ns_loc[:, 1:2] * bitangent
-                      + ns_loc[:, 2:3] * n_l)
-                degenerate = vec.norm2(ns) < 1e-20
-                ns = jnp.where(degenerate[:, None], n_l, vec.normalize(ns))
-                n_l = jnp.where((grp == g)[:, None], ns, n_l)
+        if atl.get('normal') is not None:
+            ns_loc, has_nm = tex_mod.sample_atlas(atl['normal'], grp, u, v,
+                                                  mesh.bilinear)
+            ns = (ns_loc[:, 0:1] * tangent + ns_loc[:, 1:2] * bitangent
+                  + ns_loc[:, 2:3] * n_l)
+            degenerate = vec.norm2(ns) < 1e-20
+            ns = jnp.where(degenerate[:, None], n_l, vec.normalize(ns))
+            n_l = jnp.where(has_nm[:, None], ns, n_l)
+        else:
+            for g, gt in enumerate(mesh.textures):
+                if gt.normal is not None:
+                    ns_loc = samp(gt.normal, u, v)
+                    ns = (ns_loc[:, 0:1] * tangent
+                          + ns_loc[:, 1:2] * bitangent
+                          + ns_loc[:, 2:3] * n_l)
+                    degenerate = vec.norm2(ns) < 1e-20
+                    ns = jnp.where(degenerate[:, None], n_l,
+                                   vec.normalize(ns))
+                    n_l = jnp.where((grp == g)[:, None], ns, n_l)
 
     n_l = jnp.where(sc.flip_normals[row], -n_l, n_l)
 
@@ -706,31 +727,57 @@ def _merge_mesh_hit(sc: SceneArrays, mesh, origins, dirs, cur: Hit,
     ksub = mesh.g_ksub[grp]
     transp = mesh.g_transp[grp]
     refr = mesh.g_refr[grp]
-    for g, gt in enumerate(mesh.textures):
-        sel_g = (grp == g)[:, None]
-        if gt.kd is not None:
-            kd = jnp.where(sel_g, tex_mod.sample_point(gt.kd, u, v)
-                           * mesh.g_kd[g], kd)
-        if gt.ks is not None:
-            ks = jnp.where(sel_g, tex_mod.sample_point(gt.ks, u, v)
-                           * mesh.g_ks[g], ks)
-        if gt.roughness is not None:
-            ne = jnp.where(sel_g, tex_mod.sample_point(gt.roughness, u, v)
-                           * mesh.g_ne[g], ne)
-        if gt.ksub is not None:
-            ksub = jnp.where(sel_g, tex_mod.sample_point(gt.ksub, u, v)
-                             * mesh.g_ksub[g], ksub)
-        if gt.transp is not None:
-            # getBool semantics: red * multiplier < 0.5 -> transparent;
-            # the group flag encodes the constant multiplier 0/1
+    if atl:
+        # atlas path: one gather per imaged channel, any group count
+        def _atlas_mul(name, cur, gconst):
+            a = atl.get(name)
+            if a is None:
+                return cur
+            val, has = tex_mod.sample_atlas(a, grp, u, v, mesh.bilinear)
+            return jnp.where(has[:, None], val * gconst[grp], cur)
+
+        kd = _atlas_mul('kd', kd, mesh.g_kd)
+        ks = _atlas_mul('ks', ks, mesh.g_ks)
+        ne = _atlas_mul('roughness', ne, mesh.g_ne)
+        ksub = _atlas_mul('ksub', ksub, mesh.g_ksub)
+        if atl.get('transp') is not None:
+            # getBool semantics: red * multiplier < 0.5 -> transparent
             # (Geometry.h:432-436, BRDF.h:334-345)
-            tmult = jnp.where(mesh.g_transp[g], 0.0, 1.0)
-            tval = tex_mod.sample_red(gt.transp, u, v) * tmult < 0.5
-            transp = jnp.where(grp == g, tval, transp)
-        if gt.refr is not None:
+            val, has = tex_mod.sample_atlas(atl['transp'], grp, u, v,
+                                            mesh.bilinear)
+            tmult = jnp.where(mesh.g_transp[grp], 0.0, 1.0)
+            transp = jnp.where(has, val[:, 0] * tmult < 0.5, transp)
+        if atl.get('refr') is not None:
             # getValRed: red * multiplier (Geometry.h:437-441)
-            rval = tex_mod.sample_red(gt.refr, u, v) * mesh.g_refr[g]
-            refr = jnp.where(grp == g, rval, refr)
+            val, has = tex_mod.sample_atlas(atl['refr'], grp, u, v,
+                                            mesh.bilinear)
+            refr = jnp.where(has, val[:, 0] * mesh.g_refr[grp], refr)
+    else:
+        for g, gt in enumerate(mesh.textures):
+            sel_g = (grp == g)[:, None]
+            if gt.kd is not None:
+                kd = jnp.where(sel_g, samp(gt.kd, u, v)
+                               * mesh.g_kd[g], kd)
+            if gt.ks is not None:
+                ks = jnp.where(sel_g, samp(gt.ks, u, v)
+                               * mesh.g_ks[g], ks)
+            if gt.roughness is not None:
+                ne = jnp.where(sel_g, samp(gt.roughness, u, v)
+                               * mesh.g_ne[g], ne)
+            if gt.ksub is not None:
+                ksub = jnp.where(sel_g, samp(gt.ksub, u, v)
+                                 * mesh.g_ksub[g], ksub)
+            if gt.transp is not None:
+                # getBool semantics: red * multiplier < 0.5 -> transparent;
+                # the group flag encodes the constant multiplier 0/1
+                # (Geometry.h:432-436, BRDF.h:334-345)
+                tmult = jnp.where(mesh.g_transp[g], 0.0, 1.0)
+                tval = samp(gt.transp, u, v)[..., 0] * tmult < 0.5
+                transp = jnp.where(grp == g, tval, transp)
+            if gt.refr is not None:
+                # getValRed: red * multiplier (Geometry.h:437-441)
+                rval = samp(gt.refr, u, v)[..., 0] * mesh.g_refr[g]
+                refr = jnp.where(grp == g, rval, refr)
     if mesh.vc0 is not None:
         # vertex-color override (TriangleMesh.cpp:975-977)
         kd = (mesh.vc0[tri] * al[:, None] + mesh.vc1[tri] * be[:, None]
@@ -1110,6 +1157,12 @@ class ObjectSpec:
     # face overlay source (path or (T,3) colors, mainApp.cpp:2311-2377)
     display_edges: bool = False
     seg_path: Any = None
+    # texture filtering/packing options (mesh objects): bilinear is an
+    # option the reference lacks (its Texture is point-sampled); atlas
+    # packing activates automatically past ATLAS_MIN_GROUPS textured
+    # groups, or force with use_atlas
+    bilinear: bool = False
+    use_atlas: Any = None
     # keyframe animation: {frame: {'translation','rotation','scale'}}
     # (reference: Object keyframe maps, Geometry.h:258-320)
     keyframes: Any = None
@@ -1263,7 +1316,9 @@ def build_scene(objects, light_intensity, envmap_intensity=1.0, envmap=None,
                              default_refr=float(o.refr_index),
                              display_edges=bool(o.display_edges),
                              facecolors=_facecolors(o),
-                             texture_overrides=o.textures)
+                             texture_overrides=o.textures,
+                             use_atlas=o.use_atlas,
+                             bilinear=bool(o.bilinear))
         for i, o in enumerate(objects) if o.obj_type == MESH)
 
     # analytic-object texture channels (sphere/plane UV sampling)

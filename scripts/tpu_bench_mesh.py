@@ -213,8 +213,45 @@ def stage_big():
         log(f'rep{rep}: {dt:.3f}s -> {org.shape[0] / dt / 1e6:.2f}M rays/s')
 
 
+def stage_office():
+    """Config-5 scale: 23.7M triangles (antiqueOffice, reference
+    README.md:70) on ONE chip.  tris_c auto-doubles 512->4096 (~5.8k
+    clusters, inside the dense cull); packed A-matrices ~5GB of the
+    16GB HBM.  The per-subtile AABB skip is what makes 4096-tri
+    clusters affordable: a packet clipping a cluster corner sweeps a
+    couple of its 16 subtiles."""
+    from pathtracer_tpu.ops import pallas_cluster as pc
+    md = procgen.sphere_mesh(3445, 3445, radius=14.0, displace_amp=0.25)
+    tri = md.vertices[md.vtx_idx]
+    log('office-scale mesh tris:', tri.shape[0])
+    t0 = time.perf_counter()
+    cm = pc.build_clustered(tri)
+    log(f'host build {time.perf_counter() - t0:.1f}s, {cm.n_clusters} '
+        f'clusters, packed {cm.packed.nbytes / 1e9:.2f} GB')
+    jax.block_until_ready(cm.packed)
+    log(f'build+upload total {time.perf_counter() - t0:.1f}s')
+
+    org, dirn = primary_rays()
+    org = org - jnp.asarray([0.0, -15.0, 0.0])
+    tmax = jnp.full((org.shape[0],), 1e30, jnp.float32)
+    t0 = time.perf_counter()
+    t, tid, al, be = pc.two_level_hit(cm, org, dirn, tmax)
+    t.block_until_ready()
+    log(f'first hit call {time.perf_counter() - t0:.1f}s')
+    hit = float((np.asarray(t) < 1e29).mean())
+    log(f'hit fraction {hit:.3f}')
+    assert hit > 0.1, 'vacuous: mesh not in frame'
+    for rep in range(3):
+        t0 = time.perf_counter()
+        t, tid, al, be = pc.two_level_hit(cm, org, dirn, tmax)
+        t.block_until_ready()
+        dt = time.perf_counter() - t0
+        log(f'rep{rep}: {dt:.3f}s -> {org.shape[0] / dt / 1e6:.2f}M rays/s')
+
+
 if __name__ == '__main__':
     stage = sys.argv[1] if len(sys.argv) > 1 else 'packet'
     log('devices:', jax.devices())
     {'packet': stage_packet, 'cluster': stage_cluster,
-     'render': stage_render, 'big': stage_big}[stage]()
+     'render': stage_render, 'big': stage_big,
+     'office': stage_office}[stage]()

@@ -143,7 +143,8 @@ def test_two_level_big_cluster_size():
     tri = _random_mesh(5000, seed=3)
     cm = pc.build_clustered(tri, tris_c=1024)
     assert cm.n_clusters == -(-5000 // 1024)
-    assert cm.packed.shape[2] == (1024 // pc.SUBT) * 6 * pc.SUBT + pc.TAIL
+    n_sub = 1024 // pc.SUBT
+    assert cm.packed.shape[2] == n_sub * (6 * pc.SUBT + pc.SUB_META) + pc.TAIL
 
     n = 1024
     org, dirn = _rays(n, seed=4)

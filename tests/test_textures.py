@@ -286,3 +286,86 @@ def test_textures_scene_json_roundtrip(tmp_path):
     scene_json.save_scene(sp, objs, 1e9, cam, RenderConfig(width=8, height=8))
     objs2, _, _, _, _ = scene_json.load_scene(sp)
     assert objs2[3].textures == {'kd': p}
+
+
+def test_sample_bilinear_interpolates():
+    img = jnp.asarray(np.array(
+        [[[0, 0, 0], [1, 1, 1]],
+         [[2, 2, 2], [3, 3, 3]]], np.float32))
+    # texel centers reproduce point sampling
+    for u, v, want in ((0.0, 0.0, 0.0), (1.0 - 1e-6, 0.0, 1.0),
+                       (0.0, 1.0 - 1e-6, 2.0)):
+        got = tex_mod.sample_bilinear(img, jnp.asarray([u]),
+                                      jnp.asarray([v]))
+        np.testing.assert_allclose(np.asarray(got)[0, 0], want, atol=1e-4)
+    # midpoint blends all four texels
+    got = tex_mod.sample_bilinear(img, jnp.asarray([0.5]),
+                                  jnp.asarray([0.5]))
+    np.testing.assert_allclose(np.asarray(got)[0, 0], 1.5, atol=1e-6)
+
+
+def test_atlas_matches_pergroup_sampling():
+    rng = np.random.default_rng(11)
+    imgs = [rng.random((6, 4, 3)).astype(np.float32), None,
+            rng.random((3, 8, 3)).astype(np.float32)]
+    at = tex_mod.build_atlas(imgs)
+    assert at is not None
+    n = 64
+    u = rng.random(n).astype(np.float32)
+    v = rng.random(n).astype(np.float32)
+    grp = rng.integers(0, 3, n).astype(np.int32)
+    val, has = tex_mod.sample_atlas(at, jnp.asarray(grp), jnp.asarray(u),
+                                    jnp.asarray(v))
+    val = np.asarray(val)
+    has = np.asarray(has)
+    want_has = np.asarray([imgs[g] is not None for g in grp])
+    np.testing.assert_array_equal(has, want_has)
+    for g, im in enumerate(imgs):
+        sel = grp == g
+        if im is None or not sel.any():
+            continue
+        ref = np.asarray(tex_mod.sample_point(
+            jnp.asarray(im), jnp.asarray(u[sel]), jnp.asarray(v[sel])))
+        np.testing.assert_array_equal(val[sel], ref)
+    # bilinear atlas path stays inside the group's own rows
+    valb, _ = tex_mod.sample_atlas(at, jnp.asarray(grp), jnp.asarray(u),
+                                   jnp.asarray(v), bilinear=True)
+    valb = np.asarray(valb)
+    for g, im in enumerate(imgs):
+        sel = grp == g
+        if im is None or not sel.any():
+            continue
+        refb = np.asarray(tex_mod.sample_bilinear(
+            jnp.asarray(im), jnp.asarray(u[sel]), jnp.asarray(v[sel])))
+        np.testing.assert_allclose(valb[sel], refb, atol=1e-6)
+
+
+def test_atlas_scene_matches_pergroup(tmp_path):
+    kdimg = np.zeros((8, 8, 3), np.uint8)
+    kdimg[:, :4, 0] = 255
+    kdimg[:, 4:, 2] = 255
+
+    def write(tp):
+        Image.fromarray(kdimg).save(str(tp / 'kd.png'))
+
+    def build(use_atlas):
+        (tmp_path / 'quad.obj').write_text(QUAD_OBJ)
+        (tmp_path / 'quad.mtl').write_text(
+            "newmtl mat\nKd 1 1 1\nmap_Kd kd.png\n")
+        write(tmp_path)
+        md = pt.load_mesh(str(tmp_path / 'quad.obj'), preserve_input=True)
+        md.vertices = (md.vertices * 10.0
+                       + np.array([0, -20, 0], np.float32))
+        objs = scn.default_objects()
+        objs.append(scn.mesh_object(md, use_atlas=use_atlas))
+        return scn.build_scene(objs, scn.default_light_intensity())
+
+    sc0 = build(False)
+    sc1 = build(True)
+    assert sc1.meshes[0].atlases and sc1.meshes[0].atlases[0] is not None
+    org, dirn = _down_rays([(-5.0, 0.0), (5.0, 0.0), (2.0, 3.0)])
+    h0 = scn.intersect(sc0, org, dirn)
+    h1 = scn.intersect(sc1, org, dirn)
+    np.testing.assert_array_equal(np.asarray(h0.kd), np.asarray(h1.kd))
+    np.testing.assert_array_equal(np.asarray(h0.transp),
+                                  np.asarray(h1.transp))
