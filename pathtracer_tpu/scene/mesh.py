@@ -79,6 +79,9 @@ class MeshArrays:
     atlases: tuple = ()
     # bilinear texture filtering option (reference is point-sampled)
     bilinear: bool = flax.struct.field(pytree_node=False, default=False)
+    # alpha-cutout re-intersection rounds (reference's in-leaf skip is
+    # unbounded, TriangleMesh.cpp:1199-1205; each round is one traversal)
+    cutout_rounds: int = flax.struct.field(pytree_node=False, default=4)
 
     @property
     def num_triangles(self):
@@ -102,7 +105,8 @@ def upload_mesh(md: obj_io.MeshData, obj_row: int,
                 facecolors=None,
                 texture_overrides=None,
                 use_atlas: Optional[bool] = None,
-                bilinear: bool = False) -> MeshArrays:
+                bilinear: bool = False,
+                cutout_rounds: int = 4) -> MeshArrays:
     """Build BVH + device arrays from host MeshData (TriMesh::init tail,
     TriangleMesh.cpp:784-841)."""
     from ..models import texture as tex_mod
@@ -248,6 +252,7 @@ def upload_mesh(md: obj_io.MeshData, obj_row: int,
     return MeshArrays(
         soup=soup, bvh=bvh, packed=packed, use_packet=use_packet,
         atlases=atlases, bilinear=bool(bilinear),
+        cutout_rounds=int(cutout_rounds),
         show_edges=se, facecolors=fc, display_edges=bool(display_edges),
         clustered=clustered, use_cluster=bool(use_cluster),
         n_clusters=int(n_clusters),

@@ -558,7 +558,7 @@ def _mesh_alpha(mesh, mh):
     return aval
 
 
-def _mesh_closest_hit(mesh, org_l, dir_l, t_max, cutout_rounds=4,
+def _mesh_closest_hit(mesh, org_l, dir_l, t_max, cutout_rounds=None,
                       t_min=None):
     """Closest hit honoring alpha cutouts: re-intersect past texels with
     alpha < 0.5, up to cutout_rounds skips (the reference skips them inside
@@ -566,9 +566,15 @@ def _mesh_closest_hit(mesh, org_l, dir_l, t_max, cutout_rounds=4,
     iterative re-intersection with a rising t floor).
 
     t_min: optional per-lane strict lower bound (the reservoir march's
-    rising floor)."""
+    rising floor).
+
+    cutout_rounds defaults to the mesh's own cutout_rounds (upload_mesh
+    option; the reference's in-leaf skip is unbounded — raise it for
+    scenes stacking >4 cutout texels along one ray)."""
     from ..ops import traverse
 
+    if cutout_rounds is None:
+        cutout_rounds = getattr(mesh, 'cutout_rounds', 4)
     has_alpha = any(gt.alpha is not None for gt in mesh.textures)
 
     def one_hit(t_min):
@@ -1079,9 +1085,13 @@ def intersect_shadow(sc: SceneArrays, origins, dirs, dist_light,
         has_alpha = any(gt.alpha is not None for gt in mesh.textures)
         if has_alpha or mesh.use_packet or mesh.use_cluster:
             # alpha-cutout texels must not occlude (TriangleMesh.cpp:1299-1305);
-            # the packet/cluster kernels also route through the closest-hit path
-            mh = _mesh_closest_hit(mesh, org_l, dir_l,
-                                   jnp.broadcast_to(BIG_T, limit.shape))
+            # the packet/cluster kernels also route through the closest-hit
+            # path.  Bounding t_max at the light distance is sound (hits
+            # beyond it never occlude) and lets the cluster cull emit far
+            # fewer slots + fire the early break: t is transform-invariant
+            # because _local_ray_row keeps dir_l unnormalized (the same
+            # convention _merge_mesh_hit's cur.t pruning relies on).
+            mh = _mesh_closest_hit(mesh, org_l, dir_l, limit)
             mb = mh.t < limit
         elif mesh.use_brute:
             mb = traverse.brute_force_any(mesh.soup, org_l, dir_l, limit)
@@ -1163,6 +1173,9 @@ class ObjectSpec:
     # groups, or force with use_atlas
     bilinear: bool = False
     use_atlas: Any = None
+    # alpha-cutout re-intersection rounds (>=4 stacked cutout texels
+    # along one ray need a higher value; each round costs one traversal)
+    cutout_rounds: int = 4
     # keyframe animation: {frame: {'translation','rotation','scale'}}
     # (reference: Object keyframe maps, Geometry.h:258-320)
     keyframes: Any = None
@@ -1318,7 +1331,8 @@ def build_scene(objects, light_intensity, envmap_intensity=1.0, envmap=None,
                              facecolors=_facecolors(o),
                              texture_overrides=o.textures,
                              use_atlas=o.use_atlas,
-                             bilinear=bool(o.bilinear))
+                             bilinear=bool(o.bilinear),
+                             cutout_rounds=int(o.cutout_rounds))
         for i, o in enumerate(objects) if o.obj_type == MESH)
 
     # analytic-object texture channels (sphere/plane UV sampling)
