@@ -608,9 +608,10 @@ def _sweep_kernel(ids_ref, cnt_ref, keys_ref,
 
         # sound early break: slots are sorted by packet-min entry key and
         # every lane's own entry >= that key, so once the NEXT key is
-        # beyond every lane's best t no later slot can win
+        # beyond every lane's best t no later slot can win.  Slot-table
+        # width rides the input shape (routed runs pass width-1 tables).
         max_tout = jnp.max(tout_ref[0, 0, :])
-        kn = jnp.minimum(k + 1, MAXC - 1)
+        kn = jnp.minimum(k + 1, keys_ref.shape[1] - 1)
         cont = (k + 1 < cnt) & (keys_ref[b, kn] < max_tout)
         return jnp.where(cont, k + 1, cnt)
 
@@ -822,27 +823,14 @@ def _residual_lanes(counts, keys, t):
     return (over[:, None] & (tp > keys[:, MAXC - 1][:, None])).reshape(-1)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=('n_clusters', 'top_max_leaf', 'interpret',
-                     'refine_rounds'))
-def _two_level_exec(arrays, org, dirn, tmax, tmin, *,
-                    n_clusters: int, top_max_leaf: int, interpret: bool,
-                    refine_rounds: int):
-    """Jitted body of two_level_hit.  Module-level jit is essential: the
-    chunk lax.map / refine lax.cond close over per-call state, and an
-    unjitted wrapper would re-trace + re-compile them on EVERY call
-    (measured: ~6s/call constant, 30x the actual sweep time)."""
-    cm = cluster_from_arrays(arrays, n_clusters, top_max_leaf)
-    n = org.shape[0]
-
-    # root-AABB exit clamp (sound): every real mesh hit satisfies
-    # t <= the lane's exit of the root box, so clamping each lane's tmax
-    # there lets the sweep's sorted-key early break fire even in packets
-    # that contain sky / miss lanes — those lanes previously kept
-    # best-t = 1e30 and forced the packet through every emitted slot
-    # (measured: closed 2.4M-tri sphere at 1080p, 0.46M rays/s with 31%
-    # coverage because silhouette/sky packets never broke).
+def root_exit_clamp(cm: ClusteredMesh, org, dirn, tmax):
+    """Clamp each lane's tmax at its exit of the root AABB (sound: every
+    real mesh hit satisfies t <= that exit), so the sweep's sorted-key
+    early break fires even in packets containing sky / miss lanes —
+    those lanes otherwise keep best-t = 1e30 and force the packet
+    through every emitted slot (measured: closed 2.4M-tri sphere at
+    1080p, 0.46M rays/s with 31% coverage before the clamp).  Lanes
+    missing the root box get tmax = -1 (dead everywhere)."""
     rlo = jnp.stack([jnp.min(cm.cb_lox), jnp.min(cm.cb_loy),
                      jnp.min(cm.cb_loz)])
     rhi = jnp.stack([jnp.max(cm.cb_hix), jnp.max(cm.cb_hiy),
@@ -864,8 +852,24 @@ def _two_level_exec(arrays, org, dirn, tmax, tmin, *,
     entry = jnp.max(lo_t, axis=-1)
     exit_t = jnp.min(hi_t, axis=-1)
     in_box = exit_t >= jnp.maximum(entry, 0.0)
+    return jnp.where(in_box, jnp.minimum(tmax, exit_t), -1.0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('n_clusters', 'top_max_leaf', 'interpret',
+                     'refine_rounds'))
+def _two_level_exec(arrays, org, dirn, tmax, tmin, *,
+                    n_clusters: int, top_max_leaf: int, interpret: bool,
+                    refine_rounds: int):
+    """Jitted body of two_level_hit.  Module-level jit is essential: the
+    chunk lax.map / refine lax.cond close over per-call state, and an
+    unjitted wrapper would re-trace + re-compile them on EVERY call
+    (measured: ~6s/call constant, 30x the actual sweep time)."""
+    cm = cluster_from_arrays(arrays, n_clusters, top_max_leaf)
+    n = org.shape[0]
     tmax_orig = tmax
-    tmax = jnp.where(in_box, jnp.minimum(tmax, exit_t), -1.0)
+    tmax = root_exit_clamp(cm, org, dirn, tmax)
 
     def round_(o, d, tx, tn):
         ids, counts, keys = cluster_cull(cm, o, d, tx, interpret=interpret)
