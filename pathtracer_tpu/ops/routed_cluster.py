@@ -31,6 +31,21 @@ and one unique-index scatter to map run results back to rays.
 Counterpart of the reference's coherent/incoherent traversal hints
 (Geometry.h:1392-1394) taken to their TPU conclusion: rays are sorted to
 the acceleration structure, not the structure walked per ray.
+
+MEASURED RESULT (v5e, round 2) — the packet path WINS and stays the
+default (scene/mesh.py use_routed=False):
+  * closed 2.4M-tri sphere, 1080p primaries: two_level 4.8M rays/s,
+    routed 2.4M (bit-identical hits);
+  * 1M-tri terrain, top-down: two_level 6.0M, routed 3.1M;
+  * fully incoherent rays (random origins on the surface, random dirs):
+    both 0.12M — the seal/packet sweep dominates either way once every
+    packet overflows MAXC.
+Why: the sweep kernel's in-kernel progressive tightening + subtile AABB
+skip already recover most of the per-lane benefit, while routing pays an
+argsort, block-aligned gathers, one scatter, and a seal pass that
+re-visits the packet tables.  The module stays as the evaluated
+alternative (and the run machinery is reusable for sparse probe batches
+where packet occupancy is the bottleneck).
 """
 
 from __future__ import annotations
@@ -127,9 +142,11 @@ def _route_and_sweep(packed, org, dirn, tmin, cid, t_cur, tri, al, be,
     dir_p = dirn[ray]
     tmax_p = jnp.where(vflat, t_cur[ray], -1.0)
     tmin_p = tmin[ray]
-    t_p, tri_p, al_p, be_p = pc.cluster_sweep(
+    # chunked: scalar-prefetch tables lane-pad (nb,1) -> (nb,128) in
+    # SMEM, so thousands of run-packets in one call blow the 1MB budget
+    t_p, tri_p, al_p, be_p = _sweep_full(
         ids_r, cnt_r, key_r, packed, org_p, dir_p, tmax_p, tmin_p,
-        interpret=interpret)
+        interpret)
 
     # run-order result position of each SORTED row, scattered back to
     # ray order once (unique indices), then everything else is gathers

@@ -14,8 +14,21 @@ Film partials live per-chip and are summed with `jax.lax.psum` (the
 per-thread-accumulator merge, Raytracer.cpp:1576-1685).  Gradients of the
 differentiable render are psum'd by the shard_map transpose automatically.
 
-Scene/BVH sharding ('tp'-like, for the 23.7M-tri config) rides the same
-mesh via a 'scene' axis with ray all-to-all — later milestone (ops/bvh).
+Scene/BVH sharding ('tp'-like, for the 23.7M-tri config) rides a
+'scene' axis with per-partition sub-BVHs and routed rays
+(parallel/scene_shard.py) — the CP/ring-attention analogue.
+
+On bounce-stage pipelining (the PP analogue, SURVEY §2.7): deliberately
+NOT implemented as a device axis.  PP exists in ML stacks to split
+*parameter memory* across stages; a wavefront path tracer has no
+per-stage parameters — every bounce needs the SAME scene data, so
+pipelining bounces across chips would replicate (or re-shard) the scene
+anyway while adding warmup/drain bubbles and a full ray-state ppermute
+per bounce over ICI.  dp/sp sharding reaches the same utilization with
+zero transfers, and the scene-memory problem PP would solve is solved
+by the scene axis instead.  The in-chip analogue of pipelining — keeping
+the chip busy across bounce stages — is the wavefront itself (bounce-
+major loop + compaction + octant sort, render/integrator.py).
 """
 
 from __future__ import annotations

@@ -82,6 +82,12 @@ class MeshArrays:
     # alpha-cutout re-intersection rounds (reference's in-leaf skip is
     # unbounded, TriangleMesh.cpp:1199-1205; each round is one traversal)
     cutout_rounds: int = flax.struct.field(pytree_node=False, default=4)
+    # cluster tier variant: routed per-lane sweeps (ops/routed_cluster)
+    # vs plain packet two_level_hit.  Measured on v5e (see the routed
+    # module docstring): routed is ~2x SLOWER on coherent primaries and
+    # equal on fully incoherent rays, so the packet path stays default;
+    # the flag remains for future regimes (e.g. sparse SS probes).
+    use_routed: bool = flax.struct.field(pytree_node=False, default=False)
 
     @property
     def num_triangles(self):
@@ -106,7 +112,8 @@ def upload_mesh(md: obj_io.MeshData, obj_row: int,
                 texture_overrides=None,
                 use_atlas: Optional[bool] = None,
                 bilinear: bool = False,
-                cutout_rounds: int = 4) -> MeshArrays:
+                cutout_rounds: int = 4,
+                use_routed: bool = False) -> MeshArrays:
     """Build BVH + device arrays from host MeshData (TriMesh::init tail,
     TriangleMesh.cpp:784-841)."""
     from ..models import texture as tex_mod
@@ -252,7 +259,7 @@ def upload_mesh(md: obj_io.MeshData, obj_row: int,
     return MeshArrays(
         soup=soup, bvh=bvh, packed=packed, use_packet=use_packet,
         atlases=atlases, bilinear=bool(bilinear),
-        cutout_rounds=int(cutout_rounds),
+        cutout_rounds=int(cutout_rounds), use_routed=bool(use_routed),
         show_edges=se, facecolors=fc, display_edges=bool(display_edges),
         clustered=clustered, use_cluster=bool(use_cluster),
         n_clusters=int(n_clusters),

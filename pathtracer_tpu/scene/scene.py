@@ -585,10 +585,17 @@ def _mesh_closest_hit(mesh, org_l, dir_l, t_max, cutout_rounds=None,
             from ..ops import pallas_cluster
             cmesh = pallas_cluster.cluster_from_arrays(
                 mesh.clustered, mesh.n_clusters, mesh.cluster_top_max_leaf)
-            t, tri, al, be, res = pallas_cluster.two_level_hit(
-                cmesh, org_l, dir_l, t_max, tmin=t_min,
-                interpret=jax.default_backend() != 'tpu',
-                return_residual=True)
+            if getattr(mesh, 'use_routed', True):
+                from ..ops import routed_cluster
+                t, tri, al, be, res = routed_cluster.routed_hit(
+                    cmesh, org_l, dir_l, t_max, tmin=t_min,
+                    interpret=jax.default_backend() != 'tpu',
+                    return_residual=True)
+            else:
+                t, tri, al, be, res = pallas_cluster.two_level_hit(
+                    cmesh, org_l, dir_l, t_max, tmin=t_min,
+                    interpret=jax.default_backend() != 'tpu',
+                    return_residual=True)
 
             # overflow soundness net: lanes the refinement could not prove
             # exact re-traverse the lockstep BVH with their current best t

@@ -249,9 +249,50 @@ def stage_office():
         log(f'rep{rep}: {dt:.3f}s -> {org.shape[0] / dt / 1e6:.2f}M rays/s')
 
 
+def stage_routed():
+    """A/B: routed_hit (per-lane ray->cluster sweeps + seal) vs
+    two_level_hit on 1080p primaries over the closed 2.4M-tri sphere
+    and the 1M-tri terrain."""
+    from pathtracer_tpu.ops import pallas_cluster as pc
+    from pathtracer_tpu.ops import routed_cluster as rc
+
+    scenes = []
+    md = procgen.sphere_mesh(1100, 1100, radius=14.0, displace_amp=0.25)
+    scenes.append(('sphere2.4M', md, (0.0, -15.0, 0.0)))
+    md2 = procgen.terrain_mesh(708, extent=40.0)
+    scenes.append(('terrain1M', md2, (0.0, -10.0, 0.0)))
+
+    for name, md, tr in scenes:
+        tri = md.vertices[md.vtx_idx]
+        log(f'[{name}] tris {tri.shape[0]}')
+        cm = pc.build_clustered(tri)
+        jax.block_until_ready(cm.packed)
+        org, dirn = primary_rays()
+        org = org - jnp.asarray(tr)
+        tmax = jnp.full((org.shape[0],), 1e30, jnp.float32)
+
+        for label, fn in (('two_level', pc.two_level_hit),
+                          ('routed', rc.routed_hit)):
+            t, tid, al, be = fn(cm, org, dirn, tmax)
+            t.block_until_ready()
+            hit = float((np.asarray(t) < 1e29).mean())
+            best = 1e30
+            for rep in range(3):
+                t0 = time.perf_counter()
+                t, tid, al, be = fn(cm, org, dirn, tmax)
+                t.block_until_ready()
+                best = min(best, time.perf_counter() - t0)
+            log(f'[{name}] {label}: hit {hit:.3f} best {best:.3f}s -> '
+                f'{org.shape[0] / best / 1e6:.2f}M rays/s')
+        # cross-check the two paths agree
+        t_a = np.asarray(pc.two_level_hit(cm, org, dirn, tmax)[0])
+        t_b = np.asarray(rc.routed_hit(cm, org, dirn, tmax)[0])
+        log(f'[{name}] max|dt| {np.abs(t_a - t_b).max():.2e}')
+
+
 if __name__ == '__main__':
     stage = sys.argv[1] if len(sys.argv) > 1 else 'packet'
     log('devices:', jax.devices())
     {'packet': stage_packet, 'cluster': stage_cluster,
      'render': stage_render, 'big': stage_big,
-     'office': stage_office}[stage]()
+     'office': stage_office, 'routed': stage_routed}[stage]()
