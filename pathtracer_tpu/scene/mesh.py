@@ -88,6 +88,14 @@ class MeshArrays:
     # equal on fully incoherent rays, so the packet path stays default;
     # the flag remains for future regimes (e.g. sparse SS probes).
     use_routed: bool = flax.struct.field(pytree_node=False, default=False)
+    # MERGED multi-mesh support (the Embree top-level instance-BVH
+    # analogue, Geometry.cpp:627-674): a merged mesh holds several
+    # source objects' triangles baked to world space under ONE BVH, so a
+    # scene with many meshes pays one traversal per bounce instead of
+    # one per mesh.  group_rows maps each material group to its source
+    # object row (per-lane flags/transforms resolve by gather).
+    group_rows: Optional[jnp.ndarray] = None     # (G,) int32 or None
+    world_space: bool = flax.struct.field(pytree_node=False, default=False)
 
     @property
     def num_triangles(self):
@@ -113,7 +121,12 @@ def upload_mesh(md: obj_io.MeshData, obj_row: int,
                 use_atlas: Optional[bool] = None,
                 bilinear: bool = False,
                 cutout_rounds: int = 4,
-                use_routed: bool = False) -> MeshArrays:
+                use_routed: bool = False,
+                group_rows=None,
+                world_space: bool = False,
+                group_transp=None,
+                group_refr=None,
+                group_ksub=None) -> MeshArrays:
     """Build BVH + device arrays from host MeshData (TriMesh::init tail,
     TriangleMesh.cpp:784-841)."""
     from ..models import texture as tex_mod
@@ -272,13 +285,153 @@ def upload_mesh(md: obj_io.MeshData, obj_row: int,
         vc0=vc0, vc1=vc1, vc2=vc2,
         g_kd=jnp.asarray(g_kd), g_ks=jnp.asarray(g_ks),
         g_ne=jnp.asarray(g_ne),
-        g_ksub=jnp.broadcast_to(
-            jnp.asarray(default_ksub, jnp.float32), (g, 3)),
+        g_ksub=(jnp.asarray(group_ksub, jnp.float32)
+                if group_ksub is not None else jnp.broadcast_to(
+                    jnp.asarray(default_ksub, jnp.float32), (g, 3))),
         # object-level transp/refr seed every group (the reference's
         # per-Object fields, Geometry.h:418-433 defaults; MTL/texture
-        # channels can override per group later)
-        g_transp=jnp.full((g,), bool(default_transp)),
-        g_refr=jnp.full((g,), float(default_refr), jnp.float32),
+        # channels can override per group later); merged meshes pass
+        # per-group arrays gathered from their source objects
+        g_transp=(jnp.asarray(group_transp, bool) if group_transp
+                  is not None else jnp.full((g,), bool(default_transp))),
+        g_refr=(jnp.asarray(group_refr, jnp.float32) if group_refr
+                is not None else jnp.full((g,), float(default_refr),
+                                          jnp.float32)),
+        group_rows=(None if group_rows is None
+                    else jnp.asarray(group_rows, jnp.int32)),
+        world_space=bool(world_space),
         obj_row=int(obj_row), max_leaf=int(fb.max_leaf),
         use_brute=bool(use_brute), interp_normals=bool(interp_normals),
     )
+
+
+def mergeable_spec(spec) -> bool:
+    """Eligibility for the merged multi-mesh tier: features that need
+    per-source-object state the merged path does not carry yet stay on
+    the per-mesh path (vertex colors, seg overlays, wireframe,
+    subsurface reservoirs)."""
+    md = spec.mesh_data
+    return (md is not None
+            and md.vertex_colors is None
+            and spec.seg_path is None
+            and not spec.display_edges
+            # a ghost inside a merged BVH would occlude behind-surfaces
+            # on avoid_ghosts sweeps (closest hit returns the ghost and
+            # the surface behind it is lost); per-mesh ghosts skip their
+            # whole traversal instead, which is the correct semantics
+            and not spec.ghost
+            and not np.any(np.broadcast_to(
+                np.asarray(spec.ksub, np.float32), (3,)) != 0.0))
+
+
+def merge_mesh_entries(entries):
+    """Bake several mesh objects into ONE world-space MeshData.
+
+    entries: list of (spec, row, trans (3,4) np, rot (3,3) np).
+    Returns (MeshData, group_rows (G,) int32, per-group default dict,
+    texture_overrides list) ready for upload_mesh(world_space=True).
+
+    The reference reaches the same end through Embree instancing — each
+    TriMesh is a sub-scene instanced with its 3x4 transform into one top
+    scene (Geometry.cpp:255-277, 627-674).  On TPU an instance hierarchy
+    would put a per-lane transform gather inside the traversal inner
+    loop, so the transforms are baked into the soup instead and the
+    per-object state (flags, rows) is recovered per GROUP at shading.
+    Keyframed objects re-bake on every build_scene(frame=...) exactly
+    like the reference's per-frame build_matrix."""
+    verts, normals, uvs, tangents = [], [], [], []
+    vtx_idx, n_idx, uv_idx, groups, show_edges = [], [], [], [], []
+    materials, group_rows = [], []
+    g_transp, g_refr, g_ksub, tex_ov = [], [], [], []
+    v_base = n_base = uv_base = g_base = 0
+    import dataclasses as dc
+    import os
+
+    for spec, row, trans, rot in entries:
+        md = spec.mesh_data
+        m3 = np.asarray(trans, np.float64)[:, :3]
+        t3 = np.asarray(trans, np.float64)[:, 3]
+        r3 = np.asarray(rot, np.float64)
+        V = (md.vertices.astype(np.float64) @ m3.T + t3).astype(np.float32)
+        t = md.vtx_idx.shape[0]
+        verts.append(V)
+        vtx_idx.append(md.vtx_idx + v_base)
+
+        if spec.interp_normals and len(md.normals):
+            N = (md.normals.astype(np.float64) @ r3.T).astype(np.float32)
+            normals.append(N)
+            n_idx.append(np.clip(md.n_idx, 0, len(md.normals) - 1)
+                         + n_base)
+            n_base += len(N)
+        else:
+            # face normals expanded per corner (flat shading baked in)
+            fv = V[md.vtx_idx]
+            fn = np.cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0])
+            ln = np.linalg.norm(fn, axis=-1, keepdims=True)
+            fn = (fn / np.maximum(ln, 1e-20)).astype(np.float32)
+            normals.append(fn)
+            n_idx.append(np.repeat(np.arange(t, dtype=np.int32)[:, None],
+                                   3, axis=1) + n_base)
+            n_base += t
+
+        if len(md.uvs):
+            uvs.append(md.uvs)
+            uv_idx.append(np.clip(md.uv_idx, 0, len(md.uvs) - 1)
+                          + uv_base)
+            uv_base += len(md.uvs)
+        else:
+            uvs.append(np.zeros((1, 2), np.float32))
+            uv_idx.append(np.full((t, 3), uv_base, np.int32))
+            uv_base += 1
+
+        if md.tangents is not None:
+            tangents.append((md.tangents.astype(np.float64)
+                             @ r3.T).astype(np.float32))
+        else:
+            tangents.append(np.zeros_like(V))
+
+        groups.append(md.group + g_base)
+        show_edges.append(md.show_edges if md.show_edges is not None
+                          else np.zeros((t, 3), bool))
+        ng = len(md.materials)
+        for m in md.materials:
+            def absify(p):
+                if not p:
+                    return p
+                q = p.replace('\\', '/')
+                return q if os.path.isabs(q) else os.path.join(
+                    md.obj_dir, q)
+            materials.append(dc.replace(
+                m, map_kd=absify(m.map_kd), map_ks=absify(m.map_ks),
+                map_bump=absify(m.map_bump), map_d=absify(m.map_d)))
+        group_rows.extend([row] * ng)
+        g_transp.extend([bool(spec.transp)] * ng)
+        g_refr.extend([float(spec.refr_index)] * ng)
+        ks3 = np.broadcast_to(np.asarray(spec.ksub, np.float32), (3,))
+        g_ksub.extend([ks3] * ng)
+        ov = spec.textures
+        ov_list = ([ov] if isinstance(ov, dict) else list(ov or []))
+        ov_list = (ov_list + [None] * ng)[:ng]
+        tex_ov.extend(ov_list)
+        v_base += len(V)
+        g_base += ng
+
+    md_merged = obj_io.MeshData(
+        vertices=np.concatenate(verts).astype(np.float32),
+        normals=np.concatenate(normals).astype(np.float32),
+        uvs=np.concatenate(uvs).astype(np.float32),
+        vtx_idx=np.concatenate(vtx_idx).astype(np.int32),
+        uv_idx=np.concatenate(uv_idx).astype(np.int32),
+        n_idx=np.concatenate(n_idx).astype(np.int32),
+        group=np.concatenate(groups).astype(np.int32),
+        show_edges=np.concatenate(show_edges),
+        vertex_colors=None,
+        materials=materials,
+        group_names={},
+        tangents=np.concatenate(tangents).astype(np.float32),
+        obj_dir='',
+    )
+    gdef = {'transp': np.asarray(g_transp, bool),
+            'refr': np.asarray(g_refr, np.float32),
+            'ksub': np.stack(g_ksub).astype(np.float32)}
+    return (md_merged, np.asarray(group_rows, np.int32), gdef, tex_ov)

@@ -669,13 +669,24 @@ def _merge_mesh_hit(sc: SceneArrays, mesh, origins, dirs, cur: Hit,
     from ..models import texture as tex_mod
 
     row = mesh.obj_row
-    org_l, dir_l = _local_ray_row(sc, row, origins, dirs)
+    if mesh.world_space:
+        # merged multi-mesh: triangles baked to world space (one BVH for
+        # several source objects); per-lane object state recovers by
+        # group -> source-row gather below
+        org_l, dir_l = origins, dirs
+    else:
+        org_l, dir_l = _local_ray_row(sc, row, origins, dirs)
     mh = _mesh_closest_hit(mesh, org_l, dir_l, cur.t)
+
+    tri = jnp.maximum(mh.tri, 0)
+    if mesh.group_rows is not None:
+        row_lane = mesh.group_rows[mesh.group[tri]]
+    else:
+        row_lane = jnp.full(tri.shape, jnp.int32(row))
 
     win = mh.t < cur.t
     if avoid_ghosts:
-        win = win & ~sc.ghost[row]
-    tri = jnp.maximum(mh.tri, 0)
+        win = win & ~sc.ghost[row_lane]
     al, be, ga = traverse_bary_cleanup(mh)
 
     # shading normal (TriangleMesh.cpp:940-948)
@@ -719,11 +730,14 @@ def _merge_mesh_hit(sc: SceneArrays, mesh, origins, dirs, cur: Hit,
                                    vec.normalize(ns))
                     n_l = jnp.where((grp == g)[:, None], ns, n_l)
 
-    n_l = jnp.where(sc.flip_normals[row], -n_l, n_l)
+    n_l = jnp.where(sc.flip_normals[row_lane][:, None], -n_l, n_l)
 
     # world-space point and normal through the object transform
     p_l = org_l + mh.t[:, None] * dir_l
-    if sc.identity_transform:
+    if mesh.world_space:
+        p_w = p_l
+        n_w = n_l
+    elif sc.identity_transform:
         tr = sc.trans[row]
         p_w = p_l + jnp.stack([tr[3], tr[7], tr[11]])
         n_w = n_l
@@ -816,7 +830,7 @@ def _merge_mesh_hit(sc: SceneArrays, mesh, origins, dirs, cur: Hit,
         t=jnp.where(win, mh.t, cur.t),
         p=sel(p_w, cur.p),
         n=sel(n_w, cur.n),
-        obj_id=jnp.where(win, jnp.int32(row), cur.obj_id),
+        obj_id=jnp.where(win, row_lane, cur.obj_id),
         kd=sel(kd, cur.kd),
         ks=sel(ks, cur.ks),
         ne=sel(ne, cur.ne),
@@ -824,9 +838,9 @@ def _merge_mesh_hit(sc: SceneArrays, mesh, origins, dirs, cur: Hit,
         ksub=sel(ksub, cur.ksub),
         transp=jnp.where(win, transp, cur.transp),
         refr_index=jnp.where(win, refr, cur.refr_index),
-        miroir=jnp.where(win, sc.miroir[row], cur.miroir),
-        ghost=jnp.where(win, sc.ghost[row], cur.ghost),
-        brdf_type=jnp.where(win, sc.brdf_type[row], cur.brdf_type),
+        miroir=jnp.where(win, sc.miroir[row_lane], cur.miroir),
+        ghost=jnp.where(win, sc.ghost[row_lane], cur.ghost),
+        brdf_type=jnp.where(win, sc.brdf_type[row_lane], cur.brdf_type),
     )
 
 
@@ -1088,7 +1102,10 @@ def intersect_shadow(sc: SceneArrays, origins, dirs, dist_light,
     blocked = jnp.any(t_all < (dist_light[:, None] * 0.999), axis=-1)
     limit = dist_light * 0.999
     for mesh in sc.meshes:
-        org_l, dir_l = _local_ray_row(sc, mesh.obj_row, origins, dirs)
+        if mesh.world_space:
+            org_l, dir_l = origins, dirs
+        else:
+            org_l, dir_l = _local_ray_row(sc, mesh.obj_row, origins, dirs)
         has_alpha = any(gt.alpha is not None for gt in mesh.textures)
         if has_alpha or mesh.use_packet or mesh.use_cluster:
             # alpha-cutout texels must not occlude (TriangleMesh.cpp:1299-1305);
@@ -1261,7 +1278,11 @@ def _ss_obj_ok(objects, meshes) -> np.ndarray:
     mesh_by_row = {m.obj_row: m for m in meshes}
     for i, o in enumerate(objects):
         if o.obj_type == MESH:
-            ok[i] = _mesh_reservoir_supported(mesh_by_row[i])
+            m = mesh_by_row.get(i)
+            if m is not None:
+                ok[i] = _mesh_reservoir_supported(m)
+            # rows folded into a merged mesh have no per-row entry; they
+            # are ksub=0 by merge eligibility, so SS never fires on them
         elif o.obj_type in (POINTSET, YARNS):
             ok[i] = False   # no reservoir path for splats/cylinders yet
     return ok
@@ -1277,11 +1298,17 @@ def load_background(path: str, gamma: float = 2.2) -> np.ndarray:
 
 def build_scene(objects, light_intensity, envmap_intensity=1.0, envmap=None,
                 light_scale=1.0, fog=None, background=None,
-                frame=None) -> SceneArrays:
+                frame=None, merge_meshes=None) -> SceneArrays:
     """Assemble SceneArrays from ObjectSpecs. objects[0]=light, [1]=dome.
 
     `frame`: evaluate per-object keyframes at this frame (the reference's
     build_matrix(frame) per render, Geometry.h:322-360 via prepare_render).
+
+    `merge_meshes`: bake eligible mesh objects into ONE world-space BVH
+    (the Embree instance-BVH analogue, Geometry.cpp:627-674) so a
+    multi-object scene pays one traversal per bounce instead of one per
+    mesh.  None (default) = auto when >=2 eligible meshes; False keeps
+    the per-mesh loop (mesh_mod.mergeable_spec lists the exclusions).
     """
     n = len(objects)
     assert n >= 2, "scene needs at least light (0) and dome (1) objects"
@@ -1327,6 +1354,14 @@ def build_scene(objects, light_intensity, envmap_intensity=1.0, envmap=None,
             return obj_io.load_seg(o.seg_path, t)
         return np.asarray(o.seg_path, np.float32)
 
+    mesh_items = [(i, o) for i, o in enumerate(objects)
+                  if o.obj_type == MESH]
+    merged_rows = set()
+    if merge_meshes is None or merge_meshes:
+        eligible = [i for i, o in mesh_items if mesh_mod.mergeable_spec(o)]
+        if len(eligible) >= 2:
+            merged_rows = set(eligible)
+
     meshes = tuple(
         mesh_mod.upload_mesh(o.mesh_data, obj_row=i,
                              interp_normals=o.interp_normals,
@@ -1340,7 +1375,20 @@ def build_scene(objects, light_intensity, envmap_intensity=1.0, envmap=None,
                              use_atlas=o.use_atlas,
                              bilinear=bool(o.bilinear),
                              cutout_rounds=int(o.cutout_rounds))
-        for i, o in enumerate(objects) if o.obj_type == MESH)
+        for i, o in mesh_items if i not in merged_rows)
+
+    if merged_rows:
+        entries = [(o, i, trans[i], rot[i])
+                   for i, o in mesh_items if i in merged_rows]
+        md_m, grow, gdef, tex_ov = mesh_mod.merge_mesh_entries(entries)
+        meshes += (mesh_mod.upload_mesh(
+            md_m, obj_row=entries[0][1], interp_normals=True,
+            world_space=True, group_rows=grow,
+            group_transp=gdef['transp'], group_refr=gdef['refr'],
+            group_ksub=gdef['ksub'], texture_overrides=tex_ov,
+            bilinear=any(o.bilinear for _, o in mesh_items),
+            cutout_rounds=max(int(o.cutout_rounds)
+                              for _, o in mesh_items)),)
 
     # analytic-object texture channels (sphere/plane UV sampling)
     from ..models import texture as tex_mod

@@ -31,7 +31,7 @@ import jax.numpy as jnp  # noqa: E402
 import pathtracer_tpu as pt  # noqa: E402
 from pathtracer_tpu.scene import scene as scn  # noqa: E402
 from pathtracer_tpu.parallel import sharding  # noqa: E402
-from pathtracer_tpu.core import qmc  # noqa: E402
+from pathtracer_tpu.core import rng_host  # noqa: E402
 
 W, H, SPP, BOUNCES = 256, 192, 4, 3
 
@@ -50,19 +50,19 @@ def main():
     sc, cam = build()
     cfg = pt.RenderConfig(width=W, height=H, nrays=SPP,
                           nb_bounces=BOUNCES, samples_per_wave=SPP)
-    cp = qmc.cp_table(W * H, seed=1)
+    cp = jnp.asarray(rng_host.random_per_pixel_fast(W, H))
     out = {'width': W, 'height': H, 'spp': SPP, 'bounces': BOUNCES,
            'host_cores': os.cpu_count(), 'results': []}
     t1 = None
     for dp in (1, 2, 4, 8):
         mesh = sharding.make_mesh(n_devices=dp, dp=dp, sp=1)
         render = sharding.make_sharded_render(mesh, cfg, film_ratio=1.0)
-        img = render(sc, cam, cp)
+        img, cnt = render(sc, cam, cp)
         jax.block_until_ready(img)
         best = 1e30
         for _ in range(3):
             t0 = time.perf_counter()
-            img = render(sc, cam, cp)
+            img, cnt = render(sc, cam, cp)
             jax.block_until_ready(img)
             best = min(best, time.perf_counter() - t0)
         if t1 is None:

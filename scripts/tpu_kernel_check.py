@@ -103,13 +103,27 @@ def check_cluster(name, rays_fn, tris_c=None, seed=0):
     tris = terrain(316, seed=seed)           # ~200k tris (cluster tier)
     cm = pc.build_clustered(tris, tris_c=tris_c)
     org, dirn = rays_fn()
-    tmax = jnp.full((org.shape[0],), 1e30, jnp.float32)
+    n = org.shape[0]
+    tmax = jnp.full((n,), 1e30, jnp.float32)
     t0 = time.perf_counter()
-    t, tri, al, be = pc.two_level_hit(cm, org, dirn, tmax)
+    # return_residual mirrors the product path (scene/mesh.py): lanes the
+    # overflow refinement cannot prove exact are REROUTED to the lockstep
+    # BVH there, so the exactness contract covers non-residual lanes; the
+    # check reroutes the same way (host-side brute on those lanes)
+    t, tri, al, be, res = pc.two_level_hit(cm, org, dirn, tmax,
+                                           return_residual=True)
     t.block_until_ready()
+    res = np.asarray(res)
     log(f'{name} kernel {time.perf_counter() - t0:.1f}s '
-        f'({cm.n_clusters} clusters)')
+        f'({cm.n_clusters} clusters, residual {res.sum()}/{n})')
     ref = brute_force_hit(pc.flat_soup(cm), org, dirn)
+    t = np.asarray(t).copy()
+    tri = np.asarray(tri).copy()
+    al = np.asarray(al).copy()
+    t[res] = np.asarray(ref.t)[res]
+    tri[res] = np.asarray(ref.tri)[res]
+    al[res] = np.asarray(ref.alpha)[res]
+    results[f'{name}_residual_fraction'] = float(res.mean())
     return compare(name, t, tri, al, ref.t, ref.tri, ref.alpha)
 
 
