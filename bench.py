@@ -77,6 +77,30 @@ def main():
     st = mr.stats(mdt)
     mesh_rays_per_s = (st['rays_traced'] * mdone / (mdone + 2)) / mdt
 
+    # fwd+bwd ms/frame (the BASELINE.md reported metric): gradient of the
+    # mean image wrt materials + light through the detached-sampling
+    # estimator at 1080p.  Measured at 4 spp (one backward holds the whole
+    # spp scan live); a 64-spp frame is 16 independent sample waves, so
+    # frame time = 16x the measured wave (waves share no state).
+    from pathtracer_tpu.core import rng_host
+    gcfg = pt.RenderConfig(width=W, height=H, nrays=4, nb_bounces=BOUNCES)
+    cp = jnp.asarray(rng_host.random_per_pixel_fast(W, H))
+
+    @jax.jit
+    def fwd_bwd(kd, li):
+        def loss(kd, li):
+            img, _ = rnd.render_unsplatted(
+                sc.replace(kd=kd, light_intensity=li), cam, cp, gcfg)
+            return jnp.mean(img)
+        return jax.grad(loss, argnums=(0, 1))(kd, li)
+
+    g = fwd_bwd(sc.kd, sc.light_intensity)
+    jax.block_until_ready(g)
+    t0 = time.perf_counter()
+    g = fwd_bwd(sc.kd, sc.light_intensity)
+    jax.block_until_ready(g)
+    fwd_bwd_wave_ms = (time.perf_counter() - t0) * 1e3
+
     per_chip_target = 1e9 / 16.0
     print(json.dumps({
         "metric": "rays_per_second_per_chip",
@@ -85,6 +109,8 @@ def main():
         "vs_baseline": rays_per_s / per_chip_target,
         "mesh_scene_rays_per_s": mesh_rays_per_s,
         "mesh_scene_tris": int(md.num_triangles),
+        "fwd_bwd_ms_per_frame_1080p64": fwd_bwd_wave_ms * 16.0,
+        "fwd_bwd_ms_measured_4spp": fwd_bwd_wave_ms,
     }))
 
 

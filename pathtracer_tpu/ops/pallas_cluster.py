@@ -95,6 +95,9 @@ from jax.experimental.pallas import tpu as pltpu
 from . import bvh as bvh_mod
 from .traverse import TriSoup, make_soup
 
+import os
+_SUBTILE_SKIP = os.environ.get('PT_NO_SUBTILE_SKIP') != '1'
+
 BIG_T = np.float32(1e30)
 BLOCK = 1024          # rays per packet (shared with pallas_bvh)
 TRIS_C = 512          # triangles per cluster (padded)
@@ -543,15 +546,20 @@ def _sweep_kernel(ids_ref, cnt_ref, keys_ref,
                 # subtile AABB from its lane-replicated block; skip the
                 # matmul+epilogue when no lane's slab entry beats its
                 # current best t (sound: the subtile's triangles all lie
-                # inside this AABB, so any hit would have t >= entry)
-                moff = pl.multiple_of(s * SUB_META, SUB_META)
-                sb = buf0[:, pl.ds(sub0 + moff, SUB_META)]   # (8, 128)
-                live_s = slab6(jnp.min(sb[0]), jnp.min(sb[1]),
-                               jnp.min(sb[2]), jnp.min(sb[3]),
-                               jnp.min(sb[4]), jnp.min(sb[5]))
+                # inside this AABB, so any hit would have t >= entry).
+                # PT_NO_SUBTILE_SKIP=1 bypasses the skip (bisection
+                # escape hatch for device-fault triage).
+                if _SUBTILE_SKIP:
+                    moff = pl.multiple_of(s * SUB_META, SUB_META)
+                    sb = buf0[:, pl.ds(sub0 + moff, SUB_META)]  # (8, 128)
+                    live_s = slab6(jnp.min(sb[0]), jnp.min(sb[1]),
+                                   jnp.min(sb[2]), jnp.min(sb[3]),
+                                   jnp.min(sb[4]), jnp.min(sb[5]))
 
-                @pl.when(jnp.any(live_s))
-                def _():
+                    @pl.when(jnp.any(live_s))
+                    def _():
+                        _sub_sweep(s)
+                else:
                     _sub_sweep(s)
                 return 0
 
