@@ -306,6 +306,66 @@ def bvh_hit(bvh: BVHArrays, soup: TriSoup, org, dirn, max_leaf: int,
     return MeshHit(t=best_t, tri=best_tri, alpha=al, beta=be, gamma=ga)
 
 
+def bvh_hit_sparse(bvh: BVHArrays, soup: TriSoup, org, dirn, active,
+                   max_leaf: int, t, tri, alpha, beta,
+                   chunk: int = 65536, t_min=None,
+                   stack_depth: int = 48):
+    """Exact lockstep traversal for a SPARSE set of active lanes.
+
+    Full-width bvh_hit at wavefront scale faults the TPU runtime (round-2
+    finding: the (stack_depth, N) per-lane stack scatter at N~2M lanes on a
+    multi-million-node BVH crashes the worker; N<=64k is stable).  This
+    variant argsorts active lanes to the front and traverses fixed-size
+    chunks under a while_loop that stops at the first chunk holding no
+    active lane — zero traversal cost when nothing is active, bounded
+    memory always.
+
+    (t, tri, alpha, beta) are the running best hit per lane; active lanes
+    whose traversal finds a closer hit are improved in place, all other
+    lanes pass through untouched.  Matches the reference's closest-hit
+    semantics (TriangleMesh.cpp:1133-1235) like bvh_hit.
+    """
+    n = org.shape[0]
+    chunk = int(min(chunk, n))
+    nchunks = -(-n // chunk)
+    pad = nchunks * chunk - n
+
+    # active lanes first (stable sort of the inactive flag)
+    order = jnp.argsort(active == False)  # noqa: E712  (jnp bool sort)
+    if pad:
+        order = jnp.concatenate([order, jnp.zeros((pad,), order.dtype)])
+    t_min_l = (None if t_min is None
+               else jnp.broadcast_to(t_min, (n,)))
+
+    def cond(state):
+        i = state[0]
+        idx = jax.lax.dynamic_slice_in_dim(
+            order, jnp.minimum(i, nchunks - 1) * chunk, chunk)
+        return (i < nchunks) & jnp.any(active[idx])
+
+    def body(state):
+        i, t, tri, al, be = state
+        idx = jax.lax.dynamic_slice_in_dim(order, i * chunk, chunk)
+        act_c = active[idx]
+        t_c = t[idx]
+        fh = bvh_hit(bvh, soup, org[idx], dirn[idx], max_leaf=max_leaf,
+                     stack_depth=stack_depth,
+                     t_init=jnp.where(act_c, t_c, 0.0),
+                     t_min=None if t_min_l is None else t_min_l[idx])
+        win = act_c & (fh.t < t_c)
+        # padded duplicate indices carry win=False or recompute the same
+        # ray -> scatter writes are consistent
+        t = t.at[idx].set(jnp.where(win, fh.t, t_c))
+        tri = tri.at[idx].set(jnp.where(win, fh.tri, tri[idx]))
+        al = al.at[idx].set(jnp.where(win, fh.alpha, al[idx]))
+        be = be.at[idx].set(jnp.where(win, fh.beta, be[idx]))
+        return (i + 1, t, tri, al, be)
+
+    state = (jnp.int32(0), t, tri, alpha, beta)
+    _, t, tri, alpha, beta = jax.lax.while_loop(cond, body, state)
+    return t, tri, alpha, beta
+
+
 def _tri_test_lane(soup: TriSoup, tri, org, dirn):
     """Per-lane single-triangle test with gathered triangle data."""
     ox, oy, oz = org[:, 0], org[:, 1], org[:, 2]

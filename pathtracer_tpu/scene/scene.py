@@ -585,38 +585,30 @@ def _mesh_closest_hit(mesh, org_l, dir_l, t_max, cutout_rounds=None,
             from ..ops import pallas_cluster
             cmesh = pallas_cluster.cluster_from_arrays(
                 mesh.clustered, mesh.n_clusters, mesh.cluster_top_max_leaf)
+            import os
+            rr = int(os.environ.get('PT_REFINE_ROUNDS', '1'))
             if getattr(mesh, 'use_routed', True):
                 from ..ops import routed_cluster
                 t, tri, al, be, res = routed_cluster.routed_hit(
                     cmesh, org_l, dir_l, t_max, tmin=t_min,
                     interpret=jax.default_backend() != 'tpu',
-                    return_residual=True)
+                    refine_rounds=rr, return_residual=True)
             else:
                 t, tri, al, be, res = pallas_cluster.two_level_hit(
                     cmesh, org_l, dir_l, t_max, tmin=t_min,
                     interpret=jax.default_backend() != 'tpu',
-                    return_residual=True)
+                    refine_rounds=rr, return_residual=True)
 
             # overflow soundness net: lanes the refinement could not prove
-            # exact re-traverse the lockstep BVH with their current best t
-            # (non-residual lanes carry t_init that prunes them at the
-            # root, so the while_loop runs only as deep as the few real
-            # residual lanes need)
-            def _fallback(args):
-                t, tri, al, be = args
-                fh = traverse.bvh_hit(
-                    mesh.bvh, mesh.soup, org_l, dir_l,
-                    max_leaf=mesh.max_leaf,
-                    t_init=jnp.where(res, t, 0.0), t_min=t_min)
-                win = res & (fh.t < t)
-                return (jnp.where(win, fh.t, t),
-                        jnp.where(win, fh.tri, tri),
-                        jnp.where(win, fh.alpha, al),
-                        jnp.where(win, fh.beta, be))
-
-            import jax.lax
-            t, tri, al, be = jax.lax.cond(
-                jnp.any(res), _fallback, lambda a: a, (t, tri, al, be))
+            # exact re-traverse the lockstep BVH with their current best t.
+            # MUST be the sparse/chunked variant — a full-wavefront-width
+            # bvh_hit on a multi-million-node BVH faults the TPU worker
+            # (round-2 root cause of the cluster end-to-end crash; see
+            # traverse.bvh_hit_sparse docstring)
+            t, tri, al, be = traverse.bvh_hit_sparse(
+                mesh.bvh, mesh.soup, org_l, dir_l, res,
+                max_leaf=mesh.max_leaf, t=t, tri=tri, alpha=al, beta=be,
+                t_min=t_min)
             return traverse.MeshHit(t=t, tri=tri, alpha=al, beta=be,
                                     gamma=1.0 - al - be)
         if mesh.use_packet:

@@ -86,3 +86,75 @@ def test_degenerate_and_axis_aligned_rays():
     trav = traverse.bvh_hit(bvh, soup, org, d, max_leaf=fb.max_leaf)
     np.testing.assert_allclose(np.asarray(trav.t), np.asarray(brute.t),
                                rtol=1e-5)
+
+
+def test_bvh_hit_sparse_matches_full():
+    """Sparse chunked fallback == full traversal on active lanes, identity
+    on inactive lanes (the cluster residual net; chunk < n exercises the
+    multi-chunk + pad path)."""
+    tri = _random_mesh(400, seed=5)
+    fb = bvh_mod.build_bvh(tri)
+    soup = traverse.make_soup(tri[fb.order])
+    bvh = traverse.upload_bvh(fb)
+    org, d = _random_rays(301, seed=7)
+    n = 301
+
+    rng = np.random.default_rng(9)
+    active = jnp.asarray(rng.random(n) < 0.3)
+
+    # running best: garbage on active lanes, sentinel elsewhere
+    t0 = jnp.full((n,), traverse.BIG_T)
+    tri0 = jnp.full((n,), -1, jnp.int32)
+    al0 = jnp.ones((n,))
+    be0 = jnp.zeros((n,))
+
+    t, trid, al, be = traverse.bvh_hit_sparse(
+        bvh, soup, org, d, active, max_leaf=fb.max_leaf,
+        t=t0, tri=tri0, alpha=al0, beta=be0, chunk=64)
+
+    full = traverse.bvh_hit(bvh, soup, org, d, max_leaf=fb.max_leaf)
+    act = np.asarray(active)
+    np.testing.assert_allclose(np.asarray(t)[act], np.asarray(full.t)[act],
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(trid)[act],
+                                  np.asarray(full.tri)[act])
+    # inactive lanes untouched
+    np.testing.assert_array_equal(np.asarray(t)[~act],
+                                  np.asarray(t0)[~act])
+    np.testing.assert_array_equal(np.asarray(trid)[~act],
+                                  np.asarray(tri0)[~act])
+
+
+def test_bvh_hit_sparse_no_active_is_identity():
+    tri = _random_mesh(64, seed=6)
+    fb = bvh_mod.build_bvh(tri)
+    soup = traverse.make_soup(tri[fb.order])
+    bvh = traverse.upload_bvh(fb)
+    org, d = _random_rays(50, seed=8)
+    t0 = jnp.linspace(1.0, 2.0, 50)
+    tri0 = jnp.arange(50, dtype=jnp.int32)
+    t, trid, _, _ = traverse.bvh_hit_sparse(
+        bvh, soup, org, d, jnp.zeros((50,), bool), max_leaf=fb.max_leaf,
+        t=t0, tri=tri0, alpha=jnp.ones((50,)), beta=jnp.zeros((50,)),
+        chunk=16)
+    np.testing.assert_array_equal(np.asarray(t), np.asarray(t0))
+    np.testing.assert_array_equal(np.asarray(trid), np.asarray(tri0))
+
+
+def test_bvh_hit_sparse_respects_prior_best():
+    """A closer prior best on an active lane must survive (strict <)."""
+    tri = _random_mesh(300, seed=11)
+    fb = bvh_mod.build_bvh(tri)
+    soup = traverse.make_soup(tri[fb.order])
+    bvh = traverse.upload_bvh(fb)
+    org, d = _random_rays(128, seed=12)
+    full = traverse.bvh_hit(bvh, soup, org, d, max_leaf=fb.max_leaf)
+    # prior best strictly closer than any real hit
+    t0 = jnp.where(full.t < 1e29, full.t * 0.5, jnp.full_like(full.t, 1e-3))
+    tri0 = jnp.full((128,), 777, jnp.int32)
+    t, trid, _, _ = traverse.bvh_hit_sparse(
+        bvh, soup, org, d, jnp.ones((128,), bool), max_leaf=fb.max_leaf,
+        t=t0, tri=tri0, alpha=jnp.ones((128,)), beta=jnp.zeros((128,)),
+        chunk=48)
+    np.testing.assert_array_equal(np.asarray(t), np.asarray(t0))
+    np.testing.assert_array_equal(np.asarray(trid), np.asarray(tri0))
