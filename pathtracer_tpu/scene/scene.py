@@ -603,12 +603,14 @@ def _mesh_closest_hit(mesh, org_l, dir_l, t_max, cutout_rounds=None,
             # exact re-traverse the lockstep BVH with their current best t.
             # MUST be the sparse/chunked variant — a full-wavefront-width
             # bvh_hit on a multi-million-node BVH faults the TPU worker
-            # (round-2 root cause of the cluster end-to-end crash; see
-            # traverse.bvh_hit_sparse docstring)
-            t, tri, al, be = traverse.bvh_hit_sparse(
-                mesh.bvh, mesh.soup, org_l, dir_l, res,
-                max_leaf=mesh.max_leaf, t=t, tri=tri, alpha=al, beta=be,
-                t_min=t_min)
+            # (see traverse.bvh_hit_sparse docstring).
+            # PT_NO_RESIDUAL_FALLBACK=1 skips the net entirely (device-
+            # fault triage escape hatch; hits may be silently dropped).
+            if os.environ.get('PT_NO_RESIDUAL_FALLBACK') != '1':
+                t, tri, al, be = traverse.bvh_hit_sparse(
+                    mesh.bvh, mesh.soup, org_l, dir_l, res,
+                    max_leaf=mesh.max_leaf, t=t, tri=tri, alpha=al,
+                    beta=be, t_min=t_min)
             return traverse.MeshHit(t=t, tri=tri, alpha=al, beta=be,
                                     gamma=1.0 - al - be)
         if mesh.use_packet:
