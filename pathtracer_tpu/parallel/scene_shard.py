@@ -247,6 +247,96 @@ def make_routed_hit(mesh: Mesh, max_leaf: int, axis: str = 'scene',
     return jax.jit(run)
 
 
+def make_ring_hit(mesh: Mesh, max_leaf: int, axis: str = 'scene'):
+    """Ring-pipelined scene traversal: rays AND geometry sharded 1/D.
+
+    The pipeline-parallel analogue for a path tracer (SURVEY §2.7 'bounce
+    pipelining'): instead of replicating the wavefront on every chip (the
+    broadcast/routed forms above), each chip holds 1/D of the rays and 1/D
+    of the triangles.  Ray blocks circulate around the ICI ring via
+    `ppermute`, carrying their running best (t, tri); each of the D steps a
+    chip intersects the visiting block against its LOCAL sub-BVH, pruned by
+    the carried best t (so later ring stages skip subtrees already beaten —
+    the pipelining win compounds with the pruning win).  After D shifts
+    every block is back home with its global closest hit.
+
+    Per-chip wavefront memory is N/D (the broadcast forms are N), and the
+    only communication is point-to-point neighbor shifts that XLA overlaps
+    with the traversal compute — the ring-attention schedule applied to
+    ray/scene intersection.  The reference's analogue is its contribution
+    queue + OpenMP pipeline (Raytracer.h:114-115); the mechanism here is
+    mesh-axis-native instead of thread-native.
+    """
+    ndev = mesh.shape[axis]
+    perm = [(i, (i + 1) % ndev) for i in range(ndev)]
+
+    def body(soup, valid, base, bvharr, plo, phi, org, dirn):
+        soup_l = traverse.TriSoup(*[x[0] for x in soup])
+        bvh_l = traverse.BVHArrays(*[x[0] for x in bvharr])
+        n = org.shape[0]
+        lo = plo[0][None, :]
+        hi = phi[0][None, :]
+
+        t = jnp.full((n,), BIG_T)
+        gtri = jnp.full((n,), -1, jnp.int32)
+
+        for _ in range(ndev):
+            # does the visiting block enter my partition AABB closer than
+            # its carried best?
+            inv = 1.0 / dirn
+            zero = dirn == 0.0
+            t1 = (lo - org) * inv
+            t2 = (hi - org) * inv
+            inside = (org >= lo) & (org <= hi)
+            lo_t = jnp.where(zero, jnp.where(inside, -BIG_T, BIG_T),
+                             jnp.minimum(t1, t2))
+            hi_t = jnp.where(zero, jnp.where(inside, BIG_T, -BIG_T),
+                             jnp.maximum(t1, t2))
+            t_enter = jnp.maximum(jnp.max(lo_t, -1), 0.0)
+            enters = (jnp.min(hi_t, -1) >= t_enter) & (t_enter < t)
+
+            # dead lanes traverse with best=0 -> immediate prune-out
+            mh = traverse.bvh_hit(bvh_l, soup_l, org, dirn,
+                                  max_leaf=max_leaf,
+                                  t_init=jnp.where(enters, t, 0.0))
+            tri_ok = (mh.tri >= 0) & jnp.take(valid[0],
+                                              jnp.maximum(mh.tri, 0))
+            win = enters & tri_ok & (mh.t < t)
+            t = jnp.where(win, mh.t, t)
+            gtri = jnp.where(win, mh.tri + base[0], gtri)
+
+            # shift the block (rays + carried best) to the next stage
+            org = jax.lax.ppermute(org, axis, perm)
+            dirn = jax.lax.ppermute(dirn, axis, perm)
+            t = jax.lax.ppermute(t, axis, perm)
+            gtri = jax.lax.ppermute(gtri, axis, perm)
+        # ndev shifts of +1 = identity: every block is home
+        return t, gtri
+
+    f = shard_map(
+        body, mesh=mesh,
+        in_specs=(traverse.TriSoup(*([P(axis)] * 16)), P(axis), P(axis),
+                  traverse.BVHArrays(*([P(axis)] * 9)), P(axis), P(axis),
+                  P(axis), P(axis)),
+        out_specs=(P(axis), P(axis)),
+        check_vma=False,
+    )
+
+    def run(sm: ShardedBVH, org, dirn):
+        n = org.shape[0]
+        npad = -(-n // ndev) * ndev
+        if npad != n:
+            org = jnp.concatenate(
+                [org, jnp.zeros((npad - n, 3), org.dtype)])
+            dirn = jnp.concatenate(
+                [dirn, jnp.ones((npad - n, 3), dirn.dtype)])
+        t, gtri = f(sm.soup, sm.valid, sm.tri_base, sm.bvh, sm.part_lo,
+                    sm.part_hi, org, dirn)
+        return t[:n], gtri[:n]
+
+    return jax.jit(run)
+
+
 def make_sharded_hit(mesh: Mesh, axis: str = 'scene'):
     """Jitted (sharded_mesh, org, dirn) -> (t, global_tri) closest hit.
 
