@@ -37,6 +37,10 @@ def main(argv=None):
     p.add_argument('--denoise', action='store_true',
                    help='also save exportEFiltered<frame>.jpg (a-trous '
                         'denoise of the aux buffers)')
+    p.add_argument('--checkpoint', metavar='PATH.npz', default=None,
+                   help='preemption-safe render: resume PATH if present, '
+                        'checkpoint there on SIGTERM/SIGINT and every '
+                        'wave; removed when the render completes')
     args = p.parse_args(argv)
 
     if args.cpu:
@@ -109,6 +113,15 @@ def main(argv=None):
             dt = time.perf_counter() - t0
             print(f'{r.samples_done}/{cfg.nrays} spp  '
                   f'{dt / max(r.samples_done, 1):.2f} s/spp', flush=True)
+    elif args.checkpoint:
+        from .parallel.distributed import PreemptionGuard
+        with PreemptionGuard() as guard:
+            r.render_resumable(args.checkpoint, guard=guard,
+                               save_every=cfg.samples_per_wave)
+        if r.samples_done < cfg.nrays:
+            print(f'preempted at {r.samples_done}/{cfg.nrays} spp; '
+                  f'state in {args.checkpoint}', flush=True)
+            return 75    # EX_TEMPFAIL: retry me
     else:
         r.render()
     dt = time.perf_counter() - t0

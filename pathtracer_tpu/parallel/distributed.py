@@ -105,3 +105,45 @@ def checkpoint_path(base: str) -> str:
         return base
     root, ext = os.path.splitext(base)
     return f"{root}.p{pid}{ext}"
+
+
+class PreemptionGuard:
+    """Preemption-aware render loops (SURVEY §5 failure recovery).
+
+    TPU pod slices are preemptible: the scheduler sends SIGTERM and gives
+    the job a grace window.  Used as a context manager, this arms a
+    handler that only FLAGS the request — the render loop finishes its
+    in-flight wave, checkpoints, and exits cleanly (the functional wave
+    step makes 'finish the wave then save' exactly resumable; see
+    Renderer.render_resumable).  Previous handlers are chained so outer
+    supervisors still observe the signal, and the original disposition is
+    restored on exit.
+
+    `requested` may also be set programmatically (tests, cooperative
+    shutdown from a coordinator thread).
+    """
+
+    def __init__(self, signals=None):
+        import signal as _signal
+        self._signal = _signal
+        self.signals = tuple(signals) if signals is not None else (
+            _signal.SIGTERM, _signal.SIGINT)
+        self.requested = False
+        self._prev = {}
+
+    def _handler(self, signum, frame):
+        self.requested = True
+        prev = self._prev.get(signum)
+        if callable(prev):
+            prev(signum, frame)
+
+    def __enter__(self):
+        for s in self.signals:
+            self._prev[s] = self._signal.signal(s, self._handler)
+        return self
+
+    def __exit__(self, *exc):
+        for s, prev in self._prev.items():
+            self._signal.signal(s, prev)
+        self._prev.clear()
+        return False

@@ -275,6 +275,44 @@ class Renderer:
         jax.block_until_ready(self.image)
         return self
 
+    def render_resumable(self, path: str, guard=None,
+                         save_every: Optional[int] = None):
+        """Preemption-safe render: resume `path` if present, checkpoint on
+        preemption (and every `save_every` samples), delete the checkpoint
+        on completion.
+
+        `guard` is a parallel.distributed.PreemptionGuard (or anything
+        with a `requested` flag); when it trips, the in-flight wave
+        finishes, the state is saved, and the loop returns early with
+        `samples_done < cfg.nrays`.  Re-running the same call later picks
+        up exactly where it left off — waves are keyed by absolute sample
+        index, so the resumed image is bit-identical to an uninterrupted
+        render (test_checkpoint.py).  SURVEY §5 failure recovery; the
+        reference has no analogue (a killed render loses everything).
+        """
+        import os as _os
+        assert path.endswith('.npz'), 'np.savez appends .npz; pass it'
+        if _os.path.exists(path):
+            self.load_checkpoint(path)
+        last_saved = self.samples_done
+        while self.samples_done < self.cfg.nrays:
+            n = min(self.cfg.samples_per_wave,
+                    self.cfg.nrays - self.samples_done)
+            self.step(n)
+            preempted = guard is not None and guard.requested
+            if preempted or (save_every is not None
+                             and self.samples_done - last_saved
+                             >= save_every):
+                jax.block_until_ready(self.image)
+                self.save_checkpoint(path)
+                last_saved = self.samples_done
+                if preempted:
+                    return self
+        jax.block_until_ready(self.image)
+        if _os.path.exists(path):
+            _os.remove(path)
+        return self
+
     def hdr(self):
         """Accumulated HDR image (pre-tonemap), divided by splat weights."""
         img = film_mod.crop(self.film, self.image)
