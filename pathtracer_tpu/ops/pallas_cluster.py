@@ -681,7 +681,7 @@ def _top_arrays(cm: ClusteredMesh):
 
 
 @functools.partial(jax.jit, static_argnames=('maxc',))
-def _dense_cull(cb, org, dirn, tmax, maxc: int = MAXC):
+def _dense_cull(cb, org, dirn, tmax, maxc: int = MAXC, exclude=None):
     """Pure-XLA phase 1: every packet x every cluster slab rectangle.
 
     The Pallas SMEM tree walk costs ~740us/packet — 98% serial-loop
@@ -689,6 +689,11 @@ def _dense_cull(cb, org, dirn, tmax, maxc: int = MAXC):
     For mesh-scale cluster counts the exact dense rectangle is ~30us a
     packet, entirely inside XLA's fused elementwise+reduce pipeline, and
     `lax.top_k` gives the near-first sorted slots directly.
+
+    `exclude` ((nb, C) bool, optional) drops clusters a previous windowed
+    round already swept — the exhaustive-overflow loop in _two_level_exec
+    walks each packet's near-sorted cluster list MAXC at a time through
+    it, so `count` then means 'live clusters NOT yet swept'.
 
     Also reused by the fluid particle-cluster tier (scene/pointset.py)
     with its own `maxc`."""
@@ -698,7 +703,7 @@ def _dense_cull(cb, org, dirn, tmax, maxc: int = MAXC):
     c = lox.shape[0]
 
     def per_packet(xs):
-        o, d, tm = xs                   # (BLOCK,3) (BLOCK,3) (BLOCK,)
+        o, d, tm, excl = xs             # (BLOCK,3) (BLOCK,3) (BLOCK,) (C,)
         ivx = 1.0 / d[:, 0:1]
         ivy = 1.0 / d[:, 1:2]
         ivz = 1.0 / d[:, 2:3]
@@ -716,12 +721,15 @@ def _dense_cull(cb, org, dirn, tmax, maxc: int = MAXC):
         tmx = jnp.minimum(tmx, jnp.maximum(t1, t2))
         entry = jnp.maximum(tmin, 0.0)
         live = (tmx >= entry) & (tmin < tm[:, None])       # (BLOCK, C)
+        live = live & ~excl[None, :]
         key = jnp.min(jnp.where(live, entry, BIG_T), axis=0)
         return key, jnp.any(live, axis=0)
 
+    if exclude is None:
+        exclude = jnp.zeros((nb, c), bool)
     keys_c, live_c = jax.lax.map(
         per_packet, (org.reshape(nb, BLOCK, 3), dirn.reshape(nb, BLOCK, 3),
-                     tmax.reshape(nb, BLOCK)))             # (nb, C)
+                     tmax.reshape(nb, BLOCK), exclude))    # (nb, C)
     count = jnp.sum(live_c, axis=1, dtype=jnp.int32)[:, None]
     k = min(maxc, c)
     negk, idx = jax.lax.top_k(-keys_c, k)                  # ascending key
@@ -816,6 +824,14 @@ def cluster_sweep(ids, counts, keys, packed, org, dirn, tmax,
             be.reshape(-1))
 
 
+def _mark_swept(swept, ids):
+    """OR the emitted cluster ids of one windowed round into the per-packet
+    exclusion mask ((nb, C) bool).  -1 slots write False at index 0: no-op."""
+    nb = ids.shape[0]
+    rows = jnp.arange(nb)[:, None]
+    return swept.at[rows, jnp.maximum(ids, 0)].max(ids >= 0)
+
+
 def _residual_lanes(counts, keys, t):
     """Lanes whose result could still be wrong after a cull+sweep round.
 
@@ -866,10 +882,10 @@ def root_exit_clamp(cm: ClusteredMesh, org, dirn, tmax):
 @functools.partial(
     jax.jit,
     static_argnames=('n_clusters', 'top_max_leaf', 'interpret',
-                     'refine_rounds'))
+                     'refine_rounds', 'exhaustive'))
 def _two_level_exec(arrays, org, dirn, tmax, tmin, *,
                     n_clusters: int, top_max_leaf: int, interpret: bool,
-                    refine_rounds: int):
+                    refine_rounds: int, exhaustive: bool):
     """Jitted body of two_level_hit.  Module-level jit is essential: the
     chunk lax.map / refine lax.cond close over per-call state, and an
     unjitted wrapper would re-trace + re-compile them on EVERY call
@@ -878,6 +894,7 @@ def _two_level_exec(arrays, org, dirn, tmax, tmin, *,
     n = org.shape[0]
     tmax_orig = tmax
     tmax = root_exit_clamp(cm, org, dirn, tmax)
+    dense = exhaustive and n_clusters <= DENSE_CULL_MAX
 
     def round_(o, d, tx, tn):
         ids, counts, keys = cluster_cull(cm, o, d, tx, interpret=interpret)
@@ -885,7 +902,62 @@ def _two_level_exec(arrays, org, dirn, tmax, tmin, *,
                                        o, d, tx, tn, interpret=interpret)
         return t, tri, al, be, _residual_lanes(counts, keys, t)
 
+    cb = (cm.cb_lox, cm.cb_loy, cm.cb_loz, cm.cb_hix, cm.cb_hiy, cm.cb_hiz)
+
+    def dense_chunk(o, d, tx, tn):
+        """Exhaustive windowed overflow handling (dense-cull tier).
+
+        Walks each overflowing packet's near-sorted cluster list MAXC at
+        a time: every window re-culls with the merged per-lane best t AND
+        an exclusion mask of already-swept clusters, so each round sweeps
+        the NEXT MAXC candidates.  Terminates in <= ceil(C/MAXC) rounds
+        (each looping packet retires MAXC live clusters per round) with
+        res identically False — no lane ever needs an external fallback.
+        This replaced the lockstep-BVH residual reroute, which both
+        faulted the TPU worker inside a chunked while_loop at multi-M-node
+        scale and measured ~3k rays/s on incoherent lanes (round-2 root
+        cause of the cluster end-to-end crash).
+
+        CONTROL-FLOW RULE (device fault, do not rediscover): the window
+        loop must be a STATIC-length lax.scan whose body is gated by
+        lax.cond — a data-dependent lax.while_loop around the Pallas
+        sweep kernel-faults the TPU worker (same signature as the
+        full-width lockstep-BVH fault; pallas-in-cond-in-map/scan is the
+        proven-good pattern everywhere else in this file).  Converged
+        iterations take the identity branch, so the fixed trip count
+        costs only carry copies."""
+        nb = o.shape[0] // BLOCK
+        ids, counts, keys = _dense_cull(cb, o, d, tx)
+        t, tri, al, be = cluster_sweep(ids, counts, keys, cm.packed,
+                                       o, d, tx, tn, interpret=interpret)
+        res = _residual_lanes(counts, keys, t)
+        swept = _mark_swept(jnp.zeros((nb, n_clusters), bool), ids)
+
+        def window(s):
+            t, tri, al, be, swept, _res = s
+            ids, counts, keys = _dense_cull(cb, o, d, t, exclude=swept)
+            t2, tri2, al2, be2 = cluster_sweep(
+                ids, counts, keys, cm.packed, o, d, t, tn,
+                interpret=interpret)
+            win = t2 < t
+            t = jnp.where(win, t2, t)
+            tri = jnp.where(win, tri2, tri)
+            al = jnp.where(win, al2, al)
+            be = jnp.where(win, be2, be)
+            return (t, tri, al, be, _mark_swept(swept, ids),
+                    _residual_lanes(counts, keys, t))
+
+        def body(s, _):
+            return jax.lax.cond(jnp.any(s[5]), window, lambda x: x, s), None
+
+        n_rounds = -(-n_clusters // MAXC)          # static worst case
+        (t, tri, al, be, _, res), _ = jax.lax.scan(
+            body, (t, tri, al, be, swept, res), None, length=n_rounds)
+        return t, tri, al, be, res
+
     def chunk(o, d, tx, tn):
+        if dense:
+            return dense_chunk(o, d, tx, tn)
         t, tri, al, be, res = round_(o, d, tx, tn)
 
         def refine(args):
@@ -925,20 +997,22 @@ def _two_level_exec(arrays, org, dirn, tmax, tmin, *,
 
 def two_level_hit(cm: ClusteredMesh, org, dirn, tmax, tmin=None,
                   interpret=False, refine_rounds: int = 1,
-                  return_residual: bool = False):
+                  return_residual: bool = False, exhaustive: bool = True):
     """Full two-level closest hit: (t, tri, alpha, beta) like packet_hit.
 
     tri indexes the BVH-ordered soup (map through cm.order for original
     ids).  Packets visiting > MAXC clusters keep only the MAXC
-    nearest-entry ones; lanes whose result could be affected (see
-    `_residual_lanes`) are re-culled with their tightened per-lane best t
-    for `refine_rounds` rounds (the cull honors per-lane tmax, so the
-    second pass emits only clusters still able to win — overflow collapses
-    in closed scenes).  With return_residual=True a fifth (N,) bool output
-    marks lanes STILL unresolved after refinement; callers must reroute
-    them to an exact fallback (scene/mesh.py uses the lockstep BVH) so no
-    hit is ever silently dropped (the reference never drops hits,
-    TriangleMesh.cpp:1133-1235).
+    nearest-entry ones per round; on the dense-cull tier (n_clusters <=
+    DENSE_CULL_MAX — every practical mesh: build_clustered sizes tris_c
+    to stay dense) a windowed loop then walks the remaining near-sorted
+    clusters MAXC at a time, excluding already-swept ones, until every
+    lane is exact — the result NEVER drops a hit and needs no external
+    fallback (the reference never drops hits, TriangleMesh.cpp:1133-1235).
+    On the SMEM-cull tier (huge cluster counts) residual lanes are instead
+    re-culled with their tightened best t for `refine_rounds` rounds.
+    With return_residual=True a fifth (N,) bool output marks lanes STILL
+    unresolved (identically False on the dense tier); callers must reroute
+    those to an exact fallback.
     """
     n_orig = org.shape[0]
     pad = (-n_orig) % BLOCK
@@ -949,7 +1023,8 @@ def two_level_hit(cm: ClusteredMesh, org, dirn, tmax, tmin=None,
     t, tri, al, be, res = _two_level_exec(
         cluster_arrays(cm), org, dirn, tmax, tmin,
         n_clusters=cm.n_clusters, top_max_leaf=cm.top_max_leaf,
-        interpret=interpret, refine_rounds=refine_rounds)
+        interpret=interpret, refine_rounds=refine_rounds,
+        exhaustive=exhaustive)
     out = (t[:n_orig], tri[:n_orig], al[:n_orig], be[:n_orig])
     if return_residual:
         return out + (res[:n_orig],)

@@ -633,27 +633,38 @@ def trace_paths(sc: scn.SceneArrays, origins, dirs, rng_state, cp_r12,
         """Run bounce() only over the leading segments that contain live
         lanes.  After the dead-last octant sort, alive lanes occupy a
         contiguous prefix; lanes are independent, so skipping all-dead
-        segments changes nothing but the work done."""
+        segments changes nothing but the work done.
+
+        CONTROL-FLOW RULE (device fault, do not rediscover): this must
+        be a STATIC-length lax.scan over segment indices with the bounce
+        gated by lax.cond — a data-dependent lax.while_loop around a
+        bounce containing the Pallas cluster sweep kernel-faults the TPU
+        worker after 0-2 waves at multi-M-tri scale (the round-2
+        end-to-end cluster crash).  Dead-tail segments take the identity
+        branch, preserving the compaction win."""
         seg = n // COMPACT_SEGMENTS
         nseg = (jnp.sum(state.alive.astype(jnp.int32)) + seg - 1) // seg
 
-        def body(carry):
-            i, st = carry
+        def body(st, i):
             off = i * seg
 
             def sl(x):
                 return jax.lax.dynamic_slice_in_dim(x, off, seg, 0)
 
-            st_new = bounce(depth, jax.tree.map(sl, st), sl(cp_r12),
-                            None if bg_pixel is None else sl(bg_pixel))
+            def run(st):
+                st_new = bounce(depth, jax.tree.map(sl, st), sl(cp_r12),
+                                None if bg_pixel is None else sl(bg_pixel))
 
-            def ups(full, s):
-                return jax.lax.dynamic_update_slice_in_dim(full, s, off, 0)
+                def ups(full, s):
+                    return jax.lax.dynamic_update_slice_in_dim(full, s,
+                                                               off, 0)
 
-            return i + 1, jax.tree.map(ups, st, st_new)
+                return jax.tree.map(ups, st, st_new)
 
-        _, state = jax.lax.while_loop(lambda c: c[0] < nseg, body,
-                                      (jnp.int32(0), state))
+            return jax.lax.cond(i < nseg, run, lambda st: st, st), None
+
+        state, _ = jax.lax.scan(
+            body, state, jnp.arange(COMPACT_SEGMENTS, dtype=jnp.int32))
         return state
 
     # bounce-major loop, unrolled (nb_bounces is small and static); the last

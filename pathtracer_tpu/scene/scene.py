@@ -587,26 +587,34 @@ def _mesh_closest_hit(mesh, org_l, dir_l, t_max, cutout_rounds=None,
                 mesh.clustered, mesh.n_clusters, mesh.cluster_top_max_leaf)
             import os
             rr = int(os.environ.get('PT_REFINE_ROUNDS', '1'))
-            if getattr(mesh, 'use_routed', True):
+            dense = mesh.n_clusters <= pallas_cluster.DENSE_CULL_MAX
+            routed = getattr(mesh, 'use_routed', False)
+            if routed:
                 from ..ops import routed_cluster
                 t, tri, al, be, res = routed_cluster.routed_hit(
                     cmesh, org_l, dir_l, t_max, tmin=t_min,
                     interpret=jax.default_backend() != 'tpu',
                     refine_rounds=rr, return_residual=True)
             else:
+                # dense tier (every practical mesh): the exhaustive
+                # windowed sweep inside two_level_hit guarantees res is
+                # identically False — no external fallback needed
                 t, tri, al, be, res = pallas_cluster.two_level_hit(
                     cmesh, org_l, dir_l, t_max, tmin=t_min,
                     interpret=jax.default_backend() != 'tpu',
                     refine_rounds=rr, return_residual=True)
 
-            # overflow soundness net: lanes the refinement could not prove
-            # exact re-traverse the lockstep BVH with their current best t.
-            # MUST be the sparse/chunked variant — a full-wavefront-width
-            # bvh_hit on a multi-million-node BVH faults the TPU worker
-            # (see traverse.bvh_hit_sparse docstring).
+            # overflow soundness net (SMEM-cull tier / routed path only):
+            # lanes the refinement could not prove exact re-traverse the
+            # lockstep BVH with their current best t.  MUST be the
+            # sparse/chunked variant — a full-wavefront-width bvh_hit on a
+            # multi-million-node BVH faults the TPU worker AND runs at
+            # ~3k rays/s on incoherent lanes (round-2 root cause of the
+            # cluster end-to-end crash; see bvh_hit_sparse docstring).
             # PT_NO_RESIDUAL_FALLBACK=1 skips the net entirely (device-
             # fault triage escape hatch; hits may be silently dropped).
-            if os.environ.get('PT_NO_RESIDUAL_FALLBACK') != '1':
+            if ((routed or not dense)
+                    and os.environ.get('PT_NO_RESIDUAL_FALLBACK') != '1'):
                 t, tri, al, be = traverse.bvh_hit_sparse(
                     mesh.bvh, mesh.soup, org_l, dir_l, res,
                     max_leaf=mesh.max_leaf, t=t, tri=tri, alpha=al,

@@ -81,7 +81,7 @@ def test_overflow_residual_detection_and_refinement():
 
     # without refinement: the far-slab lanes are wrong AND flagged residual
     t0, _, _, _, res0 = pc.two_level_hit(cm, org, dirn, tmax, interpret=True,
-                                         refine_rounds=0,
+                                         refine_rounds=0, exhaustive=False,
                                          return_residual=True)
     res0 = np.asarray(res0)
     assert res0[1000:].all(), 'overflowed far-slab lanes must be residual'
@@ -94,6 +94,7 @@ def test_overflow_residual_detection_and_refinement():
     # collapses the cull to the 2 clusters that can still win)
     t, tid, al, be, res = pc.two_level_hit(cm, org, dirn, tmax,
                                            interpret=True, refine_rounds=1,
+                                           exhaustive=False,
                                            return_residual=True)
     assert not np.asarray(res).any()
 
@@ -135,7 +136,8 @@ def test_overflow_mesh_fallback(monkeypatch, tmp_path):
     # force refine_rounds=0 so the residual reaches the fallback path
     # (the partial binds the original function before setattr replaces it)
     monkeypatch.setattr(pc, 'two_level_hit',
-                        functools.partial(pc.two_level_hit, refine_rounds=0))
+                        functools.partial(pc.two_level_hit, refine_rounds=0,
+                                          exhaustive=False))
 
     org, dirn = _rays()
     mh = scn._mesh_closest_hit(mesh, org, dirn,
@@ -146,3 +148,26 @@ def test_overflow_mesh_fallback(monkeypatch, tmp_path):
                                rtol=1e-6, atol=1e-6)
     # far-slab lanes specifically must now hit
     assert (np.asarray(mh.t)[1000:] < BIG_T).all()
+
+
+def test_exhaustive_windowed_sweep_is_exact_without_fallback():
+    """The dense-tier default: the windowed loop walks past the MAXC cap
+    until every lane is exact — residual identically False and hits match
+    brute force even with refine_rounds=0 (no reroute needed)."""
+    tri = _slab_stack()
+    cm = pc.build_clustered(tri)
+    org, dirn = _rays()
+    tmax = jnp.full((1024,), BIG_T)
+
+    t, tid, al, be, res = pc.two_level_hit(cm, org, dirn, tmax,
+                                           interpret=True, refine_rounds=0,
+                                           return_residual=True)
+    assert not np.asarray(res).any(), 'exhaustive mode must leave no residual'
+
+    ref = brute_force_hit(pc.flat_soup(cm), org, dirn)
+    np.testing.assert_allclose(np.asarray(t), np.asarray(ref.t),
+                               rtol=1e-6, atol=1e-6)
+    match = np.asarray(tid) == np.asarray(ref.tri)
+    assert match.mean() > 0.999
+    # the far-slab lanes (the ones the cap would have dropped) are right
+    assert (np.asarray(t)[1000:] < BIG_T).all()
