@@ -264,50 +264,28 @@ def _masked_update(mask, new, old):
     return jnp.where(mask, new, old)
 
 
-def _morton9(x, lo, hi):
-    """9-bit quantized coordinate with bits spread 3 apart (for a 27-bit
-    3D Morton code; 27+4 octant/alive bits fit a POSITIVE int32 — jax
-    x64 is off, so an int64 key would silently truncate).  Pure int32
-    shift/mask chain — XLA elementwise."""
-    span = jnp.maximum(hi - lo, 1e-6)
-    q = jnp.clip(((x - lo) / span * 511.0), 0.0, 511.0).astype(jnp.int32)
-    q = (q | (q << 16)) & 0x030000FF
-    q = (q | (q << 8)) & 0x0300F00F
-    q = (q | (q << 4)) & 0x030C30C3
-    q = (q | (q << 2)) & 0x09249249
-    return q
-
-
 def _sort_wavefront(state: PathState, cp_r12, bg_pixel, lane_id):
-    """Reorder lanes: alive first, grouped by direction octant, then by
-    the Morton code of the ray ORIGIN inside each octant.
+    """Reorder lanes: alive first, grouped by direction octant.
 
     The secondary-ray re-sorting of SURVEY §2.7 (the Embree coherent/
-    incoherent hint become explicit).  Direction octant alone leaves a
-    packet's rays scattered across the whole scene — and cluster-sweep
-    cost scales with the clusters a packet ENTERS, which is set by
-    origin locality; the Morton sub-key packs spatial neighbours into
-    the same 1024-ray packet so bounce packets stay as cheap as primary
-    tiles.  Dead lanes cluster at the tail (feeds the segmented
-    compaction skip).  A stable argsort on one fused int64 key keeps
-    determinism; the original order is restored through lane_id at the
-    end of the trace.
+    incoherent hint become explicit): packets of similar directions keep
+    the Pallas BVH traversal coherent after the first bounce, and dead
+    lanes cluster at the tail.  A stable argsort keeps determinism; the
+    original order is restored through lane_id at the end of the trace.
+
+    MEASURED, DO NOT REDO: adding a Morton-of-origin sub-key inside each
+    octant (27-bit, wave-local bounds) made the 2.4M-tri cluster e2e
+    SLOWER — 6.45 s/wave vs 4.85 baseline at 1080p (commit 12d7dc0,
+    reverted).  The STABLE sort already preserves pixel-tile order
+    within each octant, which on smooth surfaces carries position AND
+    direction locality; Morton re-shuffling by exact position destroys
+    the direction sub-locality packets also need.
     """
     d = state.dirn
-    o = state.org
     octant = ((d[:, 0] > 0).astype(jnp.int32) * 4
               + (d[:, 1] > 0).astype(jnp.int32) * 2
               + (d[:, 2] > 0).astype(jnp.int32))
-    # wave-local scene bounds: alive origins only (dead lanes park at inf)
-    big = jnp.float32(1e30)
-    masked = jnp.where(state.alive[:, None], o, big)
-    lo = jnp.min(masked, axis=0)
-    hi = jnp.max(jnp.where(state.alive[:, None], o, -big), axis=0)
-    morton = (_morton9(o[:, 0], lo[0], hi[0])
-              | (_morton9(o[:, 1], lo[1], hi[1]) << 1)
-              | (_morton9(o[:, 2], lo[2], hi[2]) << 2))
-    key = (octant << 27) | morton
-    key = jnp.where(state.alive, key, jnp.int32(9) << 27)
+    key = jnp.where(state.alive, octant, 8)
     perm = jnp.argsort(key, stable=True)
 
     def p(x):
