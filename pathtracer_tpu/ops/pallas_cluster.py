@@ -626,6 +626,178 @@ def _sweep_kernel(ids_ref, cnt_ref, keys_ref,
     jax.lax.while_loop(lambda k: k < cnt, loop, jnp.int32(0))
 
 
+def _sweep_any_kernel(ids_ref, cnt_ref, keys_ref,
+                      packed_hbm,
+                      ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                      tx_ref, tn_ref,
+                      occ_ref,
+                      buf0, sem):
+    """Occlusion (any-hit) variant of _sweep_kernel for shadow sweeps.
+
+    Differences from the closest-hit kernel (the wins):
+      * NO winner extraction — no min/iota/onehot reductions, no
+        beta/gamma materialization: the epilogue is just acceptance +
+        one any-reduce (the closest epilogue is the measured per-slot
+        bottleneck);
+      * first-hit semantics — a lane is DONE at its first accepted
+        triangle below its limit, so its cap drops to -1: it stops
+        contributing to slab tests and to the sorted-key early break,
+        which fires as soon as every live lane is occluded (shadow rays
+        from a lit surface mostly occlude in their first cluster).
+    The matmul stays Precision.HIGHEST: occlusion parity with the CPU
+    reference flips at bf16-rounded barycentric boundaries.
+    Reference: the any-hit shadow walk, Geometry.cpp:691-744 +
+    TriangleMesh.cpp:1299-1305 (alpha meshes keep the closest-hit path —
+    cutout texels must not occlude)."""
+    b = pl.program_id(0)
+    cnt = jnp.minimum(cnt_ref[b, 0], MAXC)
+    n_sub = (buf0.shape[1] - TAIL) // (6 * SUBT + SUB_META)
+    tail0 = n_sub * 6 * SUBT
+    sub0 = tail0 + TAIL
+
+    occ_ref[0, 0, :] = jnp.zeros((BLOCK,), jnp.float32)
+
+    ox = ox_ref[0, 0, :]
+    oy = oy_ref[0, 0, :]
+    oz = oz_ref[0, 0, :]
+    ix = 1.0 / dx_ref[0, 0, :]
+    iy = 1.0 / dy_ref[0, 0, :]
+    iz = 1.0 / dz_ref[0, 0, :]
+    tx = tx_ref[0, 0, :]
+    tn = tn_ref[0, 0, :]
+
+    def cap():
+        # occluded lanes are dead: cap -1 fails every entry test
+        return jnp.where(occ_ref[0, 0, :] > 0.0, -1.0, tx)
+
+    def dma(k):
+        cid = jnp.maximum(ids_ref[b, k], 0)
+        return pltpu.make_async_copy(packed_hbm.at[cid], buf0, sem)
+
+    def slab6(lox, loy, loz, hix, hiy, hiz):
+        t1 = (lox - ox) * ix
+        t2 = (hix - ox) * ix
+        tmin = jnp.minimum(t1, t2)
+        tmax = jnp.maximum(t1, t2)
+        t1 = (loy - oy) * iy
+        t2 = (hiy - oy) * iy
+        tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+        tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+        t1 = (loz - oz) * iz
+        t2 = (hiz - oz) * iz
+        tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+        tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+        entry = jnp.maximum(tmin, 0.0)
+        return (tmax >= entry) & (entry < cap())
+
+    def process(cid):
+        lo_x = jnp.min(buf0[0, tail0:tail0 + 128])
+        lo_y = jnp.min(buf0[1, tail0:tail0 + 128])
+        lo_z = jnp.min(buf0[2, tail0:tail0 + 128])
+        hi_x = jnp.min(buf0[3, tail0:tail0 + 128])
+        hi_y = jnp.min(buf0[4, tail0:tail0 + 128])
+        hi_z = jnp.min(buf0[5, tail0:tail0 + 128])
+        c_x = jnp.min(buf0[0, tail0 + 128:tail0 + 256])
+        c_y = jnp.min(buf0[1, tail0 + 128:tail0 + 256])
+        c_z = jnp.min(buf0[2, tail0 + 128:tail0 + 256])
+        live = slab6(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z)
+
+        @pl.when(jnp.any(live))
+        def _():
+            rt = jnp.concatenate(
+                [(ox - c_x)[None, :], (oy - c_y)[None, :],
+                 (oz - c_z)[None, :], jnp.ones((1, BLOCK), jnp.float32),
+                 dx_ref[0], dy_ref[0], dz_ref[0],
+                 jnp.zeros((1, BLOCK), jnp.float32)], axis=0)
+
+            def sub_body(s, _):
+                if _SUBTILE_SKIP:
+                    moff = pl.multiple_of(s * SUB_META, SUB_META)
+                    sb = buf0[:, pl.ds(sub0 + moff, SUB_META)]
+                    live_s = slab6(jnp.min(sb[0]), jnp.min(sb[1]),
+                                   jnp.min(sb[2]), jnp.min(sb[3]),
+                                   jnp.min(sb[4]), jnp.min(sb[5]))
+
+                    @pl.when(jnp.any(live_s))
+                    def _():
+                        _sub_sweep(s)
+                else:
+                    _sub_sweep(s)
+                return 0
+
+            def _sub_sweep(s):
+                off = pl.multiple_of(s * (6 * SUBT), 6 * SUBT)
+                amat = buf0[:, pl.ds(off, 6 * SUBT)]
+                prod = jax.lax.dot_general(
+                    rt, amat, (((0,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+                on = prod[:, 0 * SUBT:1 * SUBT]
+                oU = prod[:, 1 * SUBT:2 * SUBT]
+                oV = prod[:, 2 * SUBT:3 * SUBT]
+                dn = prod[:, 3 * SUBT:4 * SUBT]
+                dU = prod[:, 4 * SUBT:5 * SUBT]
+                dV = prod[:, 5 * SUBT:6 * SUBT]
+                t = -(on / dn)
+                beta = oU + t * dU
+                gamma = oV + t * dV
+                ok = ((t >= 0.0) & (t > tn[:, None]) & (t < cap()[:, None])
+                      & (beta >= 0.0) & (gamma >= 0.0)
+                      & (beta + gamma <= 1.0))
+                hit = jnp.any(ok, axis=-1).astype(jnp.float32)
+                occ_ref[0, 0, :] = jnp.maximum(occ_ref[0, 0, :], hit)
+                return 0
+
+            jax.lax.fori_loop(0, n_sub, sub_body, jnp.int32(0))
+
+    def loop(k):
+        copy = dma(k)
+        copy.start()
+        copy.wait()
+        process(ids_ref[b, k])
+        # break once every unoccluded lane's limit is below the next key
+        max_cap = jnp.max(cap())
+        kn = jnp.minimum(k + 1, keys_ref.shape[1] - 1)
+        cont = (k + 1 < cnt) & (keys_ref[b, kn] < max_cap)
+        return jnp.where(cont, k + 1, cnt)
+
+    jax.lax.while_loop(lambda k: k < cnt, loop, jnp.int32(0))
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def cluster_sweep_any(ids, counts, keys, packed, org, dirn, tmax,
+                      tmin, interpret: bool = False):
+    """Phase 2 occlusion: (N,) bool — any accepted hit in (tmin, tmax)."""
+    n = org.shape[0]
+    nb = n // BLOCK
+    width = packed.shape[2]
+
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+    row = pl.BlockSpec((1, 1, BLOCK), lambda b, ids, cnt, key: (b, 0, 0),
+                       memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nb,),
+        in_specs=[hbm] + [row] * 8,
+        out_specs=[row],
+        scratch_shapes=[
+            pltpu.VMEM((A_ROWS, width), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    plane = lambda x: x.reshape(nb, 1, BLOCK)
+    occ = pl.pallas_call(
+        _sweep_any_kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((nb, 1, BLOCK), jnp.float32)],
+        interpret=interpret,
+    )(ids, counts, keys, packed,
+      plane(org[:, 0]), plane(org[:, 1]), plane(org[:, 2]),
+      plane(dirn[:, 0]), plane(dirn[:, 1]), plane(dirn[:, 2]),
+      plane(tmax), plane(tmin))[0]
+    return occ.reshape(-1) > 0.0
+
+
 @functools.partial(jax.jit, static_argnames=('max_leaf', 'interpret'))
 def _cull_call(top_arrays, org, dirn, tmax, max_leaf: int,
                interpret: bool = False):
@@ -993,6 +1165,89 @@ def _two_level_exec(arrays, org, dirn, tmax, tmin, *,
     # `t < t_max` would misread as hits
     t = jnp.where(tri >= 0, t, tmax_orig)
     return t, tri, al, be, res
+
+
+def _occ_residual(counts, keys, occ, tmax):
+    """Occlusion analogue of _residual_lanes: a lane is EXACT iff it is
+    occluded, its packet did not overflow, or every dropped cluster
+    starts beyond its limit (dropped keys >= keys[MAXC-1])."""
+    nb = occ.shape[0] // BLOCK
+    over = counts[:, 0] > MAXC
+    klast = keys[:, MAXC - 1][:, None]
+    txp = tmax.reshape(nb, BLOCK)
+    return (over[:, None] & (klast < txp)).reshape(-1) & ~occ
+
+
+@functools.partial(
+    jax.jit, static_argnames=('n_clusters', 'top_max_leaf', 'interpret'))
+def _two_level_any_exec(arrays, org, dirn, tmax, tmin, *,
+                        n_clusters: int, top_max_leaf: int,
+                        interpret: bool):
+    cm = cluster_from_arrays(arrays, n_clusters, top_max_leaf)
+    n = org.shape[0]
+    tmax = root_exit_clamp(cm, org, dirn, tmax)
+    cb = (cm.cb_lox, cm.cb_loy, cm.cb_loz, cm.cb_hix, cm.cb_hiy, cm.cb_hiz)
+
+    def chunk(o, d, tx, tn):
+        nb = o.shape[0] // BLOCK
+        ids, counts, keys = _dense_cull(cb, o, d, tx)
+        occ = cluster_sweep_any(ids, counts, keys, cm.packed,
+                                o, d, tx, tn, interpret=interpret)
+        res = _occ_residual(counts, keys, occ, tx)
+        swept = _mark_swept(jnp.zeros((nb, n_clusters), bool), ids)
+
+        def window(s):
+            occ, swept, _res = s
+            live_tx = jnp.where(occ, -1.0, tx)
+            ids, counts, keys = _dense_cull(cb, o, d, live_tx,
+                                            exclude=swept)
+            occ2 = cluster_sweep_any(ids, counts, keys, cm.packed,
+                                     o, d, live_tx, tn,
+                                     interpret=interpret)
+            occ = occ | occ2
+            return (occ, _mark_swept(swept, ids),
+                    _occ_residual(counts, keys, occ, live_tx))
+
+        def body(s, _):
+            return jax.lax.cond(jnp.any(s[2]), window, lambda x: x, s), None
+
+        n_rounds = -(-n_clusters // MAXC)
+        (occ, _, _), _ = jax.lax.scan(
+            body, (occ, swept, res), None, length=n_rounds)
+        return occ
+
+    if n // BLOCK <= CHUNK_PACKETS:
+        return chunk(org, dirn, tmax, tmin)
+    k, n_pad = _chunk_packets(n)
+    org, dirn, tmax, tmin = _pad_rays(org, dirn, tmax, tmin, n_pad)
+    occ = jax.lax.map(
+        lambda xs: chunk(*xs),
+        (org.reshape(k, -1, 3), dirn.reshape(k, -1, 3),
+         tmax.reshape(k, -1), tmin.reshape(k, -1)))
+    return occ.reshape(-1)[:n]
+
+
+def two_level_any(cm: ClusteredMesh, org, dirn, tmax, tmin=None,
+                  interpret=False):
+    """Occlusion query: (N,) bool, True iff ANY triangle hit in
+    (tmin, tmax).  Exhaustive like two_level_hit (windowed overflow
+    rounds, no silent drop), but with the cheap any-hit sweep: no winner
+    extraction, per-lane early-out at the first hit.  Shadow-ray
+    counterpart of the reference's any-hit walk (Geometry.cpp:691-744).
+    NOT for alpha-cutout meshes — cutout texels must not occlude
+    (TriangleMesh.cpp:1299-1305); scene.intersect_shadow keeps those on
+    the closest-hit path."""
+    n_orig = org.shape[0]
+    pad = (-n_orig) % BLOCK
+    org, dirn, tmax, tmin = _pad_rays(org, dirn, tmax, tmin, n_orig + pad)
+    n = org.shape[0]
+    if tmin is None:
+        tmin = jnp.full((n,), -1.0, jnp.float32)
+    occ = _two_level_any_exec(
+        cluster_arrays(cm), org, dirn, tmax, tmin,
+        n_clusters=cm.n_clusters, top_max_leaf=cm.top_max_leaf,
+        interpret=interpret)
+    return occ[:n_orig]
 
 
 def two_level_hit(cm: ClusteredMesh, org, dirn, tmax, tmin=None,

@@ -1109,7 +1109,19 @@ def intersect_shadow(sc: SceneArrays, origins, dirs, dist_light,
         else:
             org_l, dir_l = _local_ray_row(sc, mesh.obj_row, origins, dirs)
         has_alpha = any(gt.alpha is not None for gt in mesh.textures)
-        if has_alpha or mesh.use_packet or mesh.use_cluster:
+        if mesh.use_cluster and not has_alpha:
+            # any-hit sweep: no winner extraction, per-lane first-hit
+            # early-out (pallas_cluster.two_level_any).  Alpha meshes
+            # stay on the closest-hit path below — cutout texels must
+            # not occlude (TriangleMesh.cpp:1299-1305).
+            from ..ops import pallas_cluster
+            import jax as _jax
+            cmesh = pallas_cluster.cluster_from_arrays(
+                mesh.clustered, mesh.n_clusters, mesh.cluster_top_max_leaf)
+            mb = pallas_cluster.two_level_any(
+                cmesh, org_l, dir_l, limit,
+                interpret=_jax.default_backend() != 'tpu')
+        elif has_alpha or mesh.use_packet or mesh.use_cluster:
             # alpha-cutout texels must not occlude (TriangleMesh.cpp:1299-1305);
             # the packet/cluster kernels also route through the closest-hit
             # path.  Bounding t_max at the light distance is sound (hits

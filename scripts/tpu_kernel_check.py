@@ -157,6 +157,29 @@ def main():
 
     ok &= check_cluster('subtile', grazing, tris_c=1024, seed=5)
 
+    # any-hit (occlusion) kernel vs brute: exact away from t==limit
+    # f32 boundaries (shadow-sweep product path, scene.intersect_shadow)
+    tris = terrain(316, seed=3)
+    cm = pc.build_clustered(tris)
+    org, dirn = incoherent()
+    rng = np.random.default_rng(11)
+    limit = jnp.asarray(rng.uniform(3.0, 60.0,
+                                    (org.shape[0],)).astype(np.float32))
+    t0 = time.perf_counter()
+    occ = pc.two_level_any(cm, org, dirn, limit)
+    occ = np.asarray(occ)
+    log(f'anyhit kernel {time.perf_counter() - t0:.1f}s')
+    ref = brute_force_hit(pc.flat_soup(cm), org, dirn)
+    expect = np.asarray(ref.t) < np.asarray(limit)
+    near = np.isclose(np.asarray(ref.t), np.asarray(limit), rtol=1e-5)
+    mism = float(((occ != expect) & ~near).mean())
+    a_ok = mism == 0.0
+    results['anyhit'] = {'occluded_fraction': float(occ.mean()),
+                         'mismatch_fraction': mism, 'ok': a_ok}
+    log(f'[anyhit] occluded {occ.mean():.3f} mismatch {mism:.2e} -> '
+        f'{"OK" if a_ok else "FAIL"}')
+    ok &= a_ok
+
     results['all_ok'] = bool(ok)
     results['device'] = str(jax.devices()[0])
     with open(OUT, 'w') as f:

@@ -171,3 +171,61 @@ def test_exhaustive_windowed_sweep_is_exact_without_fallback():
     assert match.mean() > 0.999
     # the far-slab lanes (the ones the cap would have dropped) are right
     assert (np.asarray(t)[1000:] < BIG_T).all()
+
+
+def test_any_hit_occlusion_exhaustive():
+    """two_level_any: exact occlusion incl. overflow windows.  Far-slab
+    lanes' only occluder lives in a cluster the first MAXC window drops;
+    bounded lanes whose limit stops short of every slab must stay
+    unoccluded."""
+    tri = _slab_stack()
+    cm = pc.build_clustered(tri)
+    org, dirn = _rays()
+
+    # limit beyond all slabs: every lane is occluded (all cross a slab)
+    occ = pc.two_level_any(cm, org, dirn,
+                           jnp.full((1024,), BIG_T), interpret=True)
+    ref = brute_force_hit(pc.flat_soup(cm), org, dirn)
+    np.testing.assert_array_equal(np.asarray(occ),
+                                  np.asarray(ref.t) < BIG_T)
+    assert np.asarray(occ).all()
+
+    # limit short of the first slab (slab 0 at z=0, org z=-50 -> t=50):
+    # nothing occludes
+    occ0 = pc.two_level_any(cm, org, dirn,
+                            jnp.full((1024,), 40.0), interpret=True)
+    assert not np.asarray(occ0).any()
+
+    # limit between slab 0 and 1: near lanes occluded by slab 0, far-x
+    # lanes (whose only occluder is the LAST slab, t=100*(N_SLABS-1)+50)
+    # unoccluded
+    occ1 = pc.two_level_any(cm, org, dirn,
+                            jnp.full((1024,), 100.0), interpret=True)
+    occ1 = np.asarray(occ1)
+    assert occ1[:1000].all()
+    assert not occ1[1000:].any()
+
+
+def test_any_hit_matches_brute_on_random_mesh():
+    rng = np.random.default_rng(3)
+    tri = rng.uniform(-10, 10, (4 * pc.TRIS_C, 3, 3)).astype(np.float32)
+    tri[:, 1] = tri[:, 0] + rng.uniform(-2, 2, tri[:, 1].shape)
+    tri[:, 2] = tri[:, 0] + rng.uniform(-2, 2, tri[:, 2].shape)
+    cm = pc.build_clustered(tri)
+
+    n = 2048
+    org = rng.uniform(-14, 14, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    limit = rng.uniform(2.0, 30.0, (n,)).astype(np.float32)
+
+    occ = pc.two_level_any(cm, jnp.asarray(org), jnp.asarray(d),
+                           jnp.asarray(limit), interpret=True)
+    ref = brute_force_hit(pc.flat_soup(cm), jnp.asarray(org),
+                          jnp.asarray(d))
+    expect = np.asarray(ref.t) < limit * (1.0 - 1e-6)
+    got = np.asarray(occ)
+    # f32 boundary flips allowed only where t ~= limit
+    diff = got != expect
+    near = np.isclose(np.asarray(ref.t), limit, rtol=1e-5)
+    assert (diff <= near).all()
