@@ -1004,18 +1004,7 @@ def _dense_cull(cb, org, dirn, tmax, maxc: int = MAXC, exclude=None):
     keys_c, live_c = jax.lax.map(
         per_packet, (org.reshape(nb, BLOCK, 3), dirn.reshape(nb, BLOCK, 3),
                      tmax.reshape(nb, BLOCK), exclude))    # (nb, C)
-    count = jnp.sum(live_c, axis=1, dtype=jnp.int32)[:, None]
-    k = min(maxc, c)
-    negk, idx = jax.lax.top_k(-keys_c, k)                  # ascending key
-    keys_sel = -negk
-    ids = jnp.where(keys_sel < BIG_T, idx.astype(jnp.int32), -1)
-    if k < maxc:
-        nb_ = ids.shape[0]
-        ids = jnp.concatenate(
-            [ids, jnp.full((nb_, maxc - k), -1, jnp.int32)], axis=1)
-        keys_sel = jnp.concatenate(
-            [keys_sel, jnp.full((nb_, maxc - k), BIG_T)], axis=1)
-    return ids, count, keys_sel
+    return _emit_from_keys(jnp.where(live_c, keys_c, BIG_T), live_c, maxc)
 
 
 def cluster_cull(cm: ClusteredMesh, org, dirn, tmax, interpret=False):
