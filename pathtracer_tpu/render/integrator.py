@@ -281,26 +281,50 @@ def _sort_wavefront(state: PathState, cp_r12, bg_pixel, lane_id):
     direction locality; Morton re-shuffling by exact position destroys
     the direction sub-locality packets also need.
     """
-    d = state.dirn
-    octant = ((d[:, 0] > 0).astype(jnp.int32) * 4
-              + (d[:, 1] > 0).astype(jnp.int32) * 2
-              + (d[:, 2] > 0).astype(jnp.int32))
-    key = jnp.where(state.alive, octant, 8)
-    perm = jnp.argsort(key, stable=True)
+    with jax.named_scope('octant_sort'):
+        d = state.dirn
+        octant = ((d[:, 0] > 0).astype(jnp.int32) * 4
+                  + (d[:, 1] > 0).astype(jnp.int32) * 2
+                  + (d[:, 2] > 0).astype(jnp.int32))
+        key = jnp.where(state.alive, octant, 8)
+        perm = jnp.argsort(key, stable=True)
 
-    def p(x):
-        return x[perm]
+        # Apply the permutation as ONE row gather of a packed (N, C)
+        # matrix instead of ~18 per-array gathers: (N, 3) arrays
+        # materialize lane-padded on TPU, so separate gathers each move
+        # a full padded tile row (measured 45ms per (N,3) gather in the
+        # e2e wave trace vs ~28ms for the whole packed gather).
+        f32 = [state.org, state.dirn, state.weight, state.color,
+               state.normal_aux, state.albedo_aux, cp_r12]
+        if bg_pixel is not None:
+            f32.append(bg_pixel)
+        u32 = list(state.rng) + [lane_id.view(jnp.uint32)]
+        bools = [state.alive, state.show_lights, state.show_env,
+                 state.had_ss]
+        packed = jnp.concatenate(
+            f32 + [x.view(jnp.float32)[:, None] for x in u32]
+            + [jnp.packbits(jnp.stack(bools, 1), axis=1, bitorder='little')
+               .astype(jnp.float32)], axis=1)
+        packed = packed[perm]
 
-    state = PathState(
-        org=p(state.org), dirn=p(state.dirn), weight=p(state.weight),
-        color=p(state.color), alive=p(state.alive),
-        show_lights=p(state.show_lights), show_env=p(state.show_env),
-        had_ss=p(state.had_ss), rng=tuple(p(x) for x in state.rng),
-        normal_aux=p(state.normal_aux), albedo_aux=p(state.albedo_aux))
-    cp_r12 = p(cp_r12)
-    if bg_pixel is not None:
-        bg_pixel = p(bg_pixel)
-    return state, cp_r12, bg_pixel, p(lane_id)
+        def col3(i):
+            return packed[:, 3 * i:3 * i + 3]
+
+        cp_r12 = packed[:, 18:20]
+        off = 20
+        if bg_pixel is not None:
+            bg_pixel = packed[:, off:off + 3]
+            off += 3
+        rng = tuple(packed[:, off + i].view(jnp.uint32) for i in range(4))
+        lane_id = packed[:, off + 4].view(jnp.int32)
+        flags = packed[:, off + 5].astype(jnp.uint8)
+        state = PathState(
+            org=col3(0), dirn=col3(1), weight=col3(2), color=col3(3),
+            alive=(flags & 1) != 0,
+            show_lights=(flags & 2) != 0, show_env=(flags & 4) != 0,
+            had_ss=(flags & 8) != 0, rng=rng,
+            normal_aux=col3(4), albedo_aux=col3(5))
+    return state, cp_r12, bg_pixel, lane_id
 
 
 COMPACT_SEGMENTS = 16   # dead-tail segment granularity (see _segmented)
@@ -360,7 +384,8 @@ def trace_paths(sc: scn.SceneArrays, origins, dirs, rng_state, cp_r12,
         alive = state.alive & (vec.norm2(state.weight) >= 1e-4)
 
         # ---- closest hit ----
-        hit = scn.intersect(sc, state.org, state.dirn)
+        with jax.named_scope('closest_hit'):
+            hit = scn.intersect(sc, state.org, state.dirn)
         p, nrm = hit.p, hit.n
         ray_dir = state.dirn
 
@@ -424,8 +449,16 @@ def trace_paths(sc: scn.SceneArrays, origins, dirs, rng_state, cp_r12,
         cos_surf = vec.dot(nrm, wi)
         shadow_org = p + 0.01 * wi
         dist = jnp.sqrt(d_light2) - 0.01
-        blocked = scn.intersect_shadow(sc, shadow_org, wi, dist,
-                                       avoid_ghosts=True)
+        # Only diffuse front-facing lanes consume the NEE visibility test
+        # (the reference casts the shadow ray inside the diffuse branch,
+        # Raytracer.cpp:492-556).  Zeroing the limit for every other lane
+        # lets the mesh any-hit cull drop them for free — miss/sky lanes
+        # otherwise sweep clusters from garbage argmin hit points.
+        nee_gate = is_diffuse & (cos_surf >= 0.0)
+        with jax.named_scope('shadow_nee'):
+            blocked = scn.intersect_shadow(sc, shadow_org, wi,
+                                           jnp.where(nee_gate, dist, 0.0),
+                                           avoid_ghosts=True)
         shadowed = (cos_surf < 0.0) | blocked
         f_brdf = _eval_brdf(sc, hit, wi, -ray_dir, nrm)
         # after a subsurface exit the BRDF is Ksub/pi (Raytracer.cpp:540-544)
@@ -690,9 +723,13 @@ def trace_paths(sc: scn.SceneArrays, origins, dirs, rng_state, cp_r12,
                 state, cp_r12, bg_pixel, lane_id)
 
     if sort_rays:
-        inv = jnp.argsort(lane_id)
-        out = (state.color[inv], state.normal_aux[inv],
-               state.albedo_aux[inv])
+        with jax.named_scope('unsort'):
+            # scatter-inverse + one packed gather (see _sort_wavefront)
+            inv = jnp.zeros((n,), jnp.int32).at[lane_id].set(
+                jnp.arange(n, dtype=jnp.int32))
+            packed = jnp.concatenate(
+                [state.color, state.normal_aux, state.albedo_aux], 1)[inv]
+            out = (packed[:, 0:3], packed[:, 3:6], packed[:, 6:9])
     else:
         out = (state.color, state.normal_aux, state.albedo_aux)
     if return_stats:

@@ -96,6 +96,14 @@ class MeshArrays:
     # object row (per-lane flags/transforms resolve by gather).
     group_rows: Optional[jnp.ndarray] = None     # (G,) int32 or None
     world_space: bool = flax.struct.field(pytree_node=False, default=False)
+    # packed per-triangle shading attributes: the material fetch does ONE
+    # (T, C) row gather instead of ~7 separate per-lane gathers (each
+    # separate (T,3) gather materializes a full lane-padded tile row per
+    # lane on TPU — they dominated the e2e wave's non-sweep time).
+    # shade_cols maps name -> (start, width) into the packed row; int32
+    # columns (group) are bitcast to f32 (gathers move bits, no math).
+    shade_pack: Optional[jnp.ndarray] = None     # (T, C) f32
+    shade_cols: tuple = flax.struct.field(pytree_node=False, default=())
 
     @property
     def num_triangles(self):
@@ -269,6 +277,46 @@ def upload_mesh(md: obj_io.MeshData, obj_row: int,
     else:
         fc = None
 
+    # ---- packed per-triangle shading fetch (scene._shade_fetch) ----
+    # Only the columns this mesh's feature set actually reads are packed;
+    # the fetch is one (T, C) row gather instead of one gather per table.
+    need_nm = (any(gt.normal is not None for gt in textures)
+               or (atlases and atlases[tex_mod.CHANNELS.index('normal')]
+                   is not None))
+    textured = bool(atlases) or any(gt.any_image for gt in textures)
+    parts, shade_cols, off = [], [], 0
+
+    def _add(name, arr):
+        nonlocal off
+        a = np.asarray(arr, np.float32)
+        if a.ndim == 1:
+            a = a[:, None]
+        parts.append(a)
+        shade_cols.append((name, off, a.shape[1]))
+        off += a.shape[1]
+
+    if interp_normals:
+        _add('n0', n0), _add('n1', n1), _add('n2', n2)
+    else:
+        _add('fn', np.stack([np.asarray(soup.nx), np.asarray(soup.ny),
+                             np.asarray(soup.nz)], axis=-1))
+    if g > 1 or group_rows is not None:
+        _add('grp', np.asarray(md.group[order], np.int32)
+             .view(np.float32))
+    if textured:
+        _add('uv0', uv0), _add('uv1', uv1), _add('uv2', uv2)
+    if need_nm:
+        _add('t0', t0), _add('t1', t1), _add('t2', t2)
+    if vc0 is not None:
+        _add('vc0', np.asarray(vc0)), _add('vc1', np.asarray(vc1))
+        _add('vc2', np.asarray(vc2))
+    if fc is not None:
+        _add('fc', np.asarray(fc))
+    if se is not None:
+        _add('se', np.asarray(se, np.float32))
+    shade_pack = (jnp.asarray(np.concatenate(parts, axis=1))
+                  if parts else None)
+
     return MeshArrays(
         soup=soup, bvh=bvh, packed=packed, use_packet=use_packet,
         atlases=atlases, bilinear=bool(bilinear),
@@ -300,6 +348,7 @@ def upload_mesh(md: obj_io.MeshData, obj_row: int,
         group_rows=(None if group_rows is None
                     else jnp.asarray(group_rows, jnp.int32)),
         world_space=bool(world_space),
+        shade_pack=shade_pack, shade_cols=tuple(shade_cols),
         obj_row=int(obj_row), max_leaf=int(fb.max_leaf),
         use_brute=bool(use_brute), interp_normals=bool(interp_normals),
     )

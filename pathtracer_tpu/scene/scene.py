@@ -528,11 +528,38 @@ def _local_ray_row(sc: SceneArrays, row: int, origins, dirs):
     return org_l, dir_l
 
 
-def _mesh_uv(mesh, tri, al, be, ga):
+def _shade_fetch(mesh, tri):
+    """Per-triangle shading attributes as ONE packed row gather.
+
+    Separate per-table gathers (n0[tri], uv0[tri], group[tri], ...) each
+    materialize a lane-padded tile row per lane on TPU; packing them into
+    one (T, C) matrix at upload makes the whole fetch a single gather
+    (the fusions dominated the e2e wave's non-sweep device time).
+    Returns {} when the mesh predates the pack (merged checkpoints)."""
+    if getattr(mesh, 'shade_pack', None) is None:
+        return {}
+    rows = mesh.shade_pack[tri]
+    return {name: rows[:, s:s + w] for name, s, w in mesh.shade_cols}
+
+
+def _mesh_uv(mesh, tri, al, be, ga, sf=None):
     """Interpolated texture coordinates (TriangleMesh.cpp:930-931)."""
-    uv = (mesh.uv0[tri] * al[:, None] + mesh.uv1[tri] * be[:, None]
-          + mesh.uv2[tri] * ga[:, None])
+    if sf is not None and 'uv0' in sf:
+        uv = (sf['uv0'] * al[:, None] + sf['uv1'] * be[:, None]
+              + sf['uv2'] * ga[:, None])
+    else:
+        uv = (mesh.uv0[tri] * al[:, None] + mesh.uv1[tri] * be[:, None]
+              + mesh.uv2[tri] * ga[:, None])
     return uv[:, 0], uv[:, 1]
+
+
+def _shade_grp(mesh, tri, sf):
+    """Winning triangle's material group (0 when the mesh has one group)."""
+    if 'grp' in sf:
+        return sf['grp'][:, 0].view(jnp.int32)
+    if getattr(mesh, 'shade_pack', None) is not None:
+        return jnp.zeros(tri.shape, jnp.int32)   # single-group mesh
+    return mesh.group[tri]
 
 
 def _mesh_alpha(mesh, mh):
@@ -541,8 +568,9 @@ def _mesh_alpha(mesh, mh):
 
     tri = jnp.maximum(mh.tri, 0)
     al, be, ga = mh.alpha, mh.beta, mh.gamma
-    u, v = _mesh_uv(mesh, tri, al, be, ga)
-    grp = mesh.group[tri]
+    sf = _shade_fetch(mesh, tri)
+    u, v = _mesh_uv(mesh, tri, al, be, ga, sf)
+    grp = _shade_grp(mesh, tri, sf)
     aval = jnp.ones_like(mh.t)
     atl = dict(zip(tex_mod.CHANNELS, mesh.atlases)) if mesh.atlases else {}
     if atl.get('alpha') is not None:
@@ -681,36 +709,54 @@ def _merge_mesh_hit(sc: SceneArrays, mesh, origins, dirs, cur: Hit,
     mh = _mesh_closest_hit(mesh, org_l, dir_l, cur.t)
 
     tri = jnp.maximum(mh.tri, 0)
+    sf = _shade_fetch(mesh, tri)
+    grp = _shade_grp(mesh, tri, sf)
     if mesh.group_rows is not None:
-        row_lane = mesh.group_rows[mesh.group[tri]]
+        row_lane = mesh.group_rows[grp]
     else:
         row_lane = jnp.full(tri.shape, jnp.int32(row))
 
+    def _obj(tbl):
+        # per-lane object-table value; constant row -> broadcast, no gather
+        if mesh.group_rows is None:
+            return jnp.broadcast_to(tbl[row], tri.shape + tbl.shape[1:])
+        return tbl[row_lane]
+
     win = mh.t < cur.t
     if avoid_ghosts:
-        win = win & ~sc.ghost[row_lane]
+        win = win & ~_obj(sc.ghost)
     al, be, ga = traverse_bary_cleanup(mh)
 
     # shading normal (TriangleMesh.cpp:940-948)
     if mesh.interp_normals:
-        n_l = (mesh.n0[tri] * al[:, None] + mesh.n1[tri] * be[:, None]
-               + mesh.n2[tri] * ga[:, None])
+        if 'n0' in sf:
+            n_l = (sf['n0'] * al[:, None] + sf['n1'] * be[:, None]
+                   + sf['n2'] * ga[:, None])
+        else:
+            n_l = (mesh.n0[tri] * al[:, None] + mesh.n1[tri] * be[:, None]
+                   + mesh.n2[tri] * ga[:, None])
+    elif 'fn' in sf:
+        n_l = sf['fn']
     else:
         n_l = jnp.stack([mesh.soup.nx[tri], mesh.soup.ny[tri],
                          mesh.soup.nz[tri]], axis=-1)
     n_l = vec.normalize(n_l)
 
-    grp = mesh.group[tri]
-    u, v = _mesh_uv(mesh, tri, al, be, ga)
+    u, v = _mesh_uv(mesh, tri, al, be, ga, sf)
 
     # tangent-space normal mapping (TriangleMesh.cpp:952-970)
     atl = dict(zip(tex_mod.CHANNELS, mesh.atlases)) if mesh.atlases else {}
     samp = (tex_mod.sample_bilinear if mesh.bilinear
             else tex_mod.sample_point)
     if any(gt.normal is not None for gt in mesh.textures):
-        tangent = vec.normalize(
-            mesh.t0[tri] * al[:, None] + mesh.t1[tri] * be[:, None]
-            + mesh.t2[tri] * ga[:, None])
+        if 't0' in sf:
+            tangent = vec.normalize(
+                sf['t0'] * al[:, None] + sf['t1'] * be[:, None]
+                + sf['t2'] * ga[:, None])
+        else:
+            tangent = vec.normalize(
+                mesh.t0[tri] * al[:, None] + mesh.t1[tri] * be[:, None]
+                + mesh.t2[tri] * ga[:, None])
         bitangent = vec.cross(n_l, tangent)
         if atl.get('normal') is not None:
             ns_loc, has_nm = tex_mod.sample_atlas(atl['normal'], grp, u, v,
@@ -732,7 +778,7 @@ def _merge_mesh_hit(sc: SceneArrays, mesh, origins, dirs, cur: Hit,
                                    vec.normalize(ns))
                     n_l = jnp.where((grp == g)[:, None], ns, n_l)
 
-    n_l = jnp.where(sc.flip_normals[row_lane][:, None], -n_l, n_l)
+    n_l = jnp.where(_obj(sc.flip_normals)[:, None], -n_l, n_l)
 
     # world-space point and normal through the object transform
     p_l = org_l + mh.t[:, None] * dir_l
@@ -750,12 +796,20 @@ def _merge_mesh_hit(sc: SceneArrays, mesh, origins, dirs, cur: Hit,
 
     # material: group constants x optional texture images (queryMaterial,
     # Geometry.h:399-445 — image value multiplied by the channel multiplier)
-    kd = mesh.g_kd[grp]
-    ks = mesh.g_ks[grp]
-    ne = mesh.g_ne[grp]
-    ksub = mesh.g_ksub[grp]
-    transp = mesh.g_transp[grp]
-    refr = mesh.g_refr[grp]
+    if mesh.g_kd.shape[0] == 1:
+        # single-group mesh: constants broadcast, no per-lane table gather
+        def _g1(tbl):
+            return jnp.broadcast_to(tbl[0], tri.shape + tbl.shape[1:])
+        kd, ks, ne, ksub = (_g1(mesh.g_kd), _g1(mesh.g_ks),
+                            _g1(mesh.g_ne), _g1(mesh.g_ksub))
+        transp, refr = _g1(mesh.g_transp), _g1(mesh.g_refr)
+    else:
+        kd = mesh.g_kd[grp]
+        ks = mesh.g_ks[grp]
+        ne = mesh.g_ne[grp]
+        ksub = mesh.g_ksub[grp]
+        transp = mesh.g_transp[grp]
+        refr = mesh.g_refr[grp]
     if atl:
         # atlas path: one gather per imaged channel, any group count
         def _atlas_mul(name, cur, gconst):
@@ -809,16 +863,18 @@ def _merge_mesh_hit(sc: SceneArrays, mesh, origins, dirs, cur: Hit,
                 refr = jnp.where(grp == g, rval, refr)
     if mesh.vc0 is not None:
         # vertex-color override (TriangleMesh.cpp:975-977)
-        kd = (mesh.vc0[tri] * al[:, None] + mesh.vc1[tri] * be[:, None]
-              + mesh.vc2[tri] * ga[:, None])
+        vc0 = sf['vc0'] if 'vc0' in sf else mesh.vc0[tri]
+        vc1 = sf['vc1'] if 'vc1' in sf else mesh.vc1[tri]
+        vc2 = sf['vc2'] if 'vc2' in sf else mesh.vc2[tri]
+        kd = (vc0 * al[:, None] + vc1 * be[:, None] + vc2 * ga[:, None])
     if mesh.facecolors is not None:
         # .seg/.lab overlay replaces Kd outright (TriangleMesh.cpp:988-990)
-        kd = mesh.facecolors[tri]
+        kd = sf['fc'] if 'fc' in sf else mesh.facecolors[tri]
     if mesh.display_edges and mesh.show_edges is not None:
         # wireframe: blacken near real polygon borders — bary < 0.05
         # against the opposite-corner edge flag (TriangleMesh.cpp:1015-1021;
         # alpha->showEdges[1], beta->showEdges[2], gamma->showEdges[0])
-        se = mesh.show_edges[tri]
+        se = (sf['se'] != 0.0) if 'se' in sf else mesh.show_edges[tri]
         edge = ((al < 0.05) & se[:, 1]) | ((be < 0.05) & se[:, 2]) \
             | ((ga < 0.05) & se[:, 0])
         kd = jnp.where(edge[:, None], 0.0, kd)
@@ -840,9 +896,9 @@ def _merge_mesh_hit(sc: SceneArrays, mesh, origins, dirs, cur: Hit,
         ksub=sel(ksub, cur.ksub),
         transp=jnp.where(win, transp, cur.transp),
         refr_index=jnp.where(win, refr, cur.refr_index),
-        miroir=jnp.where(win, sc.miroir[row_lane], cur.miroir),
-        ghost=jnp.where(win, sc.ghost[row_lane], cur.ghost),
-        brdf_type=jnp.where(win, sc.brdf_type[row_lane], cur.brdf_type),
+        miroir=jnp.where(win, _obj(sc.miroir), cur.miroir),
+        ghost=jnp.where(win, _obj(sc.ghost), cur.ghost),
+        brdf_type=jnp.where(win, _obj(sc.brdf_type), cur.brdf_type),
     )
 
 
