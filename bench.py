@@ -26,17 +26,25 @@ import jax
 import jax.numpy as jnp
 
 
-def _bench_renderer(r, warm_spp, bench_spp):
-    import pathtracer_tpu as pt  # noqa: F401  (jax symbols already live)
+def _bench_renderer(r, warm_spp, bench_spp, reps=3):
+    # device_sync, NOT jax.block_until_ready: the latter is a no-op on the
+    # axon remote-TPU backend (utils/profiling.device_sync docstring) and
+    # silently contaminated the round-1/2 numbers with async tails.
+    # Best-of-`reps`: the tunnel adds multi-100ms jitter per dispatch
+    # window, and the device clocks ramp over the first seconds.
+    from pathtracer_tpu.utils.profiling import device_sync
     r.step(warm_spp)
-    jax.block_until_ready(r.image)
-    t0 = time.perf_counter()
-    done = 0
-    while done < bench_spp:
-        r.step(warm_spp)
-        done += warm_spp
-    jax.block_until_ready(r.image)
-    return done, time.perf_counter() - t0
+    device_sync(r.image)
+    best = float('inf')
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        done = 0
+        while done < bench_spp:
+            r.step(warm_spp)
+            done += warm_spp
+        device_sync(r.image)
+        best = min(best, time.perf_counter() - t0)
+    return done, best
 
 
 def main():
@@ -94,11 +102,12 @@ def main():
             return jnp.mean(img)
         return jax.grad(loss, argnums=(0, 1))(kd, li)
 
+    from pathtracer_tpu.utils.profiling import device_sync
     g = fwd_bwd(sc.kd, sc.light_intensity)
-    jax.block_until_ready(g)
+    device_sync(g)
     t0 = time.perf_counter()
     g = fwd_bwd(sc.kd, sc.light_intensity)
-    jax.block_until_ready(g)
+    device_sync(g)
     fwd_bwd_wave_ms = (time.perf_counter() - t0) * 1e3
 
     per_chip_target = 1e9 / 16.0

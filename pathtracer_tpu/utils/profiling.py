@@ -14,6 +14,28 @@ import time
 import jax
 
 
+def device_sync(tree):
+    """TRUE device synchronization for timing.
+
+    `jax.block_until_ready` is a NO-OP on the axon remote-TPU backend: it
+    returns before remote execution finishes (measured 0.5 ms "waits" on
+    waves that take 0.7 s of real device time — every round-1/2 bench
+    number was contaminated by the async tail).  Forcing a device-side
+    scalar reduction and fetching it to the host is the only reliable
+    barrier: the 4-byte transfer cannot complete before every producer in
+    the dependency chain has run.  Works (and is cheap) on all backends.
+    """
+    for x in jax.tree.leaves(tree):
+        if isinstance(x, jax.Array):
+            # scalar slice on device -> 4-byte host fetch; rides the
+            # dependency chain, avoids transferring the full buffer
+            idx = tuple(0 for _ in range(x.ndim))
+            jax.device_get(x[idx])
+        else:
+            jax.block_until_ready(x)
+    return tree
+
+
 class PerfChrono:
     """Device-synchronized wall timer (the reference's PerfChrono)."""
 
@@ -25,7 +47,7 @@ class PerfChrono:
 
     def diff_ms(self, sync=None):
         if sync is not None:
-            jax.block_until_ready(sync)
+            device_sync(sync)
         return (time.perf_counter() - self._t0) * 1000.0
 
 

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from pathtracer_tpu.utils.profiling import device_sync
 from pathtracer_tpu.ops import pallas_cluster as pc
 from pathtracer_tpu.ops.pallas_cluster import (
     BLOCK, MAXC, TRIS_C, SUBT, A_ROWS, BIG_T, build_clustered, cluster_cull)
@@ -172,12 +173,12 @@ def run(variant):
             plane(dirn[:, 0]), plane(dirn[:, 1]), plane(dirn[:, 2]),
             plane(tmax), plane(tmin))
     out = f(*args)
-    jax.block_until_ready(out)
+    device_sync(out)
     best = 1e9
     for _ in range(4):
         t0 = time.perf_counter()
         out = f(*args)
-        jax.block_until_ready(out)
+        device_sync(out)
         best = min(best, time.perf_counter() - t0)
     dt = best
     slots = int(np.asarray(jnp.minimum(count, MAXC)).sum())
@@ -188,3 +189,4 @@ def run(variant):
 
 for v in ('no-epi', 'no-mxu', 'no-dma', 'full', 'no-dma', 'full'):
     run(v)
+

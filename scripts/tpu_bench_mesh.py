@@ -22,6 +22,7 @@ import jax.numpy as jnp
 sys.path.insert(0, '/root/repo')
 
 import pathtracer_tpu as pt
+from pathtracer_tpu.utils.profiling import device_sync
 from pathtracer_tpu.core import rng_host
 from pathtracer_tpu.render import renderer as rnd
 from pathtracer_tpu.scene import scene as scn
@@ -50,7 +51,7 @@ def bench_render(sc, label, spp_warm=2, spp_bench=4, bounces=3,
     log(f'[{label}] compile + warmup ({spp_warm} spp)...')
     t0 = time.perf_counter()
     r.step(spp_warm)
-    jax.block_until_ready(r.image)
+    device_sync(r.image)
     log(f'[{label}] warmup {time.perf_counter() - t0:.1f}s')
 
     t0 = time.perf_counter()
@@ -58,7 +59,7 @@ def bench_render(sc, label, spp_warm=2, spp_bench=4, bounces=3,
     while done < spp_bench:
         r.step(spp_warm)
         done += spp_warm
-    jax.block_until_ready(r.image)
+    device_sync(r.image)
     dt = time.perf_counter() - t0
     st = r.stats(dt)
     # rays from the bench waves only (subtract warmup share)
@@ -135,7 +136,7 @@ def stage_cluster():
             log(f'[{name}] tris {tri.shape[0]}')
             t0 = time.perf_counter()
             cm = pc.build_clustered(tri)
-            jax.block_until_ready(cm.packed)
+            device_sync(cm.packed)
             log(f'[{name}] build+upload {time.perf_counter() - t0:.1f}s, '
                 f'{cm.n_clusters} clusters')
 
@@ -154,7 +155,7 @@ def stage_cluster():
 
         t0 = time.perf_counter()
         t, tid, al, be = pc.two_level_hit(cm, org, dirn, tmax)
-        t.block_until_ready()
+        device_sync(t)
         log(f'[{name}] first hit call {time.perf_counter() - t0:.1f}s')
         hit = float((np.asarray(t) < 1e29).mean())
         log(f'[{name}] hit fraction {hit:.3f}')
@@ -163,7 +164,7 @@ def stage_cluster():
         for rep in range(3):
             t0 = time.perf_counter()
             t, tid, al, be = pc.two_level_hit(cm, org, dirn, tmax)
-            t.block_until_ready()
+            device_sync(t)
             dt = time.perf_counter() - t0
             log(f'[{name}] rep{rep}: {dt:.3f}s -> '
                 f'{org.shape[0] / dt / 1e6:.2f}M rays/s')
@@ -192,7 +193,7 @@ def stage_big():
     cm = pc.build_clustered(tri)
     log(f'host build {time.perf_counter() - t0:.1f}s, {cm.n_clusters} '
         f'clusters, packed {cm.packed.nbytes / 1e9:.2f} GB')
-    jax.block_until_ready(cm.packed)
+    device_sync(cm.packed)
     log(f'build+upload total {time.perf_counter() - t0:.1f}s')
 
     org, dirn = primary_rays()
@@ -200,7 +201,7 @@ def stage_big():
     tmax = jnp.full((org.shape[0],), 1e30, jnp.float32)
     t0 = time.perf_counter()
     t, tid, al, be = pc.two_level_hit(cm, org, dirn, tmax)
-    t.block_until_ready()
+    device_sync(t)
     log(f'first hit call {time.perf_counter() - t0:.1f}s')
     hit = float((np.asarray(t) < 1e29).mean())
     log(f'hit fraction {hit:.3f}')
@@ -208,7 +209,7 @@ def stage_big():
     for rep in range(3):
         t0 = time.perf_counter()
         t, tid, al, be = pc.two_level_hit(cm, org, dirn, tmax)
-        t.block_until_ready()
+        device_sync(t)
         dt = time.perf_counter() - t0
         log(f'rep{rep}: {dt:.3f}s -> {org.shape[0] / dt / 1e6:.2f}M rays/s')
 
@@ -228,7 +229,7 @@ def stage_office():
     cm = pc.build_clustered(tri)
     log(f'host build {time.perf_counter() - t0:.1f}s, {cm.n_clusters} '
         f'clusters, packed {cm.packed.nbytes / 1e9:.2f} GB')
-    jax.block_until_ready(cm.packed)
+    device_sync(cm.packed)
     log(f'build+upload total {time.perf_counter() - t0:.1f}s')
 
     org, dirn = primary_rays()
@@ -236,7 +237,7 @@ def stage_office():
     tmax = jnp.full((org.shape[0],), 1e30, jnp.float32)
     t0 = time.perf_counter()
     t, tid, al, be = pc.two_level_hit(cm, org, dirn, tmax)
-    t.block_until_ready()
+    device_sync(t)
     log(f'first hit call {time.perf_counter() - t0:.1f}s')
     hit = float((np.asarray(t) < 1e29).mean())
     log(f'hit fraction {hit:.3f}')
@@ -244,7 +245,7 @@ def stage_office():
     for rep in range(3):
         t0 = time.perf_counter()
         t, tid, al, be = pc.two_level_hit(cm, org, dirn, tmax)
-        t.block_until_ready()
+        device_sync(t)
         dt = time.perf_counter() - t0
         log(f'rep{rep}: {dt:.3f}s -> {org.shape[0] / dt / 1e6:.2f}M rays/s')
 
@@ -266,7 +267,7 @@ def stage_routed():
         tri = md.vertices[md.vtx_idx]
         log(f'[{name}] tris {tri.shape[0]}')
         cm = pc.build_clustered(tri)
-        jax.block_until_ready(cm.packed)
+        device_sync(cm.packed)
         org, dirn = primary_rays()
         org = org - jnp.asarray(tr)
         tmax = jnp.full((org.shape[0],), 1e30, jnp.float32)
@@ -274,13 +275,13 @@ def stage_routed():
         for label, fn in (('two_level', pc.two_level_hit),
                           ('routed', rc.routed_hit)):
             t, tid, al, be = fn(cm, org, dirn, tmax)
-            t.block_until_ready()
+            device_sync(t)
             hit = float((np.asarray(t) < 1e29).mean())
             best = 1e30
             for rep in range(3):
                 t0 = time.perf_counter()
                 t, tid, al, be = fn(cm, org, dirn, tmax)
-                t.block_until_ready()
+                device_sync(t)
                 best = min(best, time.perf_counter() - t0)
             log(f'[{name}] {label}: hit {hit:.3f} best {best:.3f}s -> '
                 f'{org.shape[0] / best / 1e6:.2f}M rays/s')

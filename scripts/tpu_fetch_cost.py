@@ -19,6 +19,7 @@ import jax.numpy as jnp
 sys.path.insert(0, '/root/repo')
 
 import pathtracer_tpu as pt
+from pathtracer_tpu.utils.profiling import device_sync
 from pathtracer_tpu.render import renderer as rnd
 from pathtracer_tpu.scene import scene as scn
 from pathtracer_tpu.ops import pallas_cluster
@@ -34,11 +35,11 @@ def log(*a):
 def bench(f, *args, reps=5, warm=1):
     for _ in range(warm):
         out = f(*args)
-    jax.block_until_ready(out)
+    device_sync(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = f(*args)
-    jax.block_until_ready(out)
+    device_sync(out)
     return (time.perf_counter() - t0) / reps
 
 
@@ -84,12 +85,12 @@ r = rnd.Renderer(sc, cam, cfg)
 log('wave compile...')
 t0 = time.perf_counter()
 r.step(1)
-jax.block_until_ready(r.image)
+device_sync(r.image)
 log(f'warmup {time.perf_counter() - t0:.1f}s')
 t0 = time.perf_counter()
 for _ in range(3):
     r.step(1)
-jax.block_until_ready(r.image)
+device_sync(r.image)
 wave = (time.perf_counter() - t0) / 3
 st = r.stats(1.0)
 rays_per_wave = st['rays_traced'] / 4

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 sys.path.insert(0, '/root/repo')
+from pathtracer_tpu.utils.profiling import device_sync  # noqa: E402
 
 from pathtracer_tpu.ops import bvh as bvh_mod
 from pathtracer_tpu.ops import pallas_bvh as pb
@@ -93,7 +94,7 @@ def check_packet():
     tmax = jnp.full((org.shape[0],), 1e30, jnp.float32)
     t0 = time.perf_counter()
     t, tri, al, be = pb.packet_hit_packed(pk, soup, org, dirn, tmax)
-    t.block_until_ready()
+    device_sync(t)
     log(f'packet kernel {time.perf_counter() - t0:.1f}s')
     ref = brute_force_hit(soup, org, dirn)
     return compare('packet', t, tri, al, ref.t, ref.tri, ref.alpha)
@@ -112,7 +113,7 @@ def check_cluster(name, rays_fn, tris_c=None, seed=0):
     # check reroutes the same way (host-side brute on those lanes)
     t, tri, al, be, res = pc.two_level_hit(cm, org, dirn, tmax,
                                            return_residual=True)
-    t.block_until_ready()
+    device_sync(t)
     res = np.asarray(res)
     log(f'{name} kernel {time.perf_counter() - t0:.1f}s '
         f'({cm.n_clusters} clusters, residual {res.sum()}/{n})')
@@ -190,3 +191,4 @@ def main():
 
 if __name__ == '__main__':
     main()
+
