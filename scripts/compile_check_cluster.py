@@ -4,6 +4,7 @@ Compiles (does NOT execute) cluster_cull + cluster_sweep through Mosaic —
 catches layout/alignment rejections without touching the device.
 """
 
+import sys; sys.path.insert(0, '/root/repo')  # noqa: E402
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -8,6 +8,7 @@ Variants (same specs as the real kernel, garbage results where ablated):
 Run on the 512-packet tiled-topdown slice with counts clamped to 8.
 """
 
+import sys; sys.path.insert(0, '/root/repo')  # noqa: E402
 import time
 import functools
 

@@ -7,6 +7,7 @@ Variants:
 Compares each against the brute-force oracle on the same device.
 """
 
+import sys; sys.path.insert(0, '/root/repo')  # noqa: E402
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -3,6 +3,7 @@
 1M-triangle terrain, 1080p-scale coherent primary rays.
 """
 
+import sys; sys.path.insert(0, '/root/repo')  # noqa: E402
 import time
 
 import numpy as np

@@ -8,6 +8,7 @@ Variants on the 1M-tri terrain:
 Reports med/max clusters-per-packet and rays/s for each.
 """
 
+import sys; sys.path.insert(0, '/root/repo')  # noqa: E402
 import time
 
 import numpy as np

@@ -7,6 +7,7 @@ Times, per (BLOCK x SUBT) subtile on the real chip:
 Each kernel runs REPS iterations of ONE subtile so dispatch amortizes.
 """
 
+import sys; sys.path.insert(0, '/root/repo')  # noqa: E402
 import time
 import functools
 

@@ -3,6 +3,7 @@ and beat the elementwise VPU formulation?  Times both variants of a dense
 ray x tri "sides" computation at the sweep kernel's shapes.
 """
 
+import sys; sys.path.insert(0, '/root/repo')  # noqa: E402
 import sys
 import time
 import functools

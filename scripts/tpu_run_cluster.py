@@ -5,6 +5,7 @@ Run under `timeout`; if it hangs, kill the exact PID and health-check
 with a matmul after 2-5 min (see CLAUDE.md wedge recovery).
 """
 
+import sys; sys.path.insert(0, '/root/repo')  # noqa: E402
 import time
 
 import numpy as np

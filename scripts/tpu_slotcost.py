@@ -4,6 +4,7 @@ Runs cluster_sweep on the 1M-tri terrain (tiled topdown view) with counts
 clamped to K = 0,1,2,4,8,16 — the time-vs-K line gives fixed + slope.
 """
 
+import sys; sys.path.insert(0, '/root/repo')  # noqa: E402
 import time
 
 import numpy as np

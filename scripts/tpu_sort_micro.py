@@ -8,6 +8,7 @@ Candidates measured here on the real chip at N = 1080p lanes:
   3. permutation apply: 18 separate gathers vs ONE packed (N,64) gather
 """
 
+import sys; sys.path.insert(0, '/root/repo')  # noqa: E402
 import sys
 import time
 
