@@ -852,14 +852,26 @@ def _top_arrays(cm: ClusteredMesh):
             cm.top_hiz, cm.top_a, cm.top_b, cm.top_leaf, cm.top_order)
 
 
+def _sort_topk(keys_c, k):
+    """K smallest keys per row + their column indices, ascending.
+
+    A variadic `lax.sort` then a static slice: XLA's `top_k` lowering is
+    ~5x SLOWER than sorting the whole row on TPU (measured 40ms vs 7ms a
+    sweep at (2025, 4727) -> 128), so never call lax.top_k on cull-sized
+    rectangles."""
+    c = keys_c.shape[-1]
+    iota = jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32), keys_c.shape)
+    keys_s, idx_s = jax.lax.sort((keys_c, iota), dimension=-1, num_keys=1)
+    return keys_s[..., :k], idx_s[..., :k]
+
+
 def _emit_from_keys(keys_c, live_c, maxc):
     """Shared cull tail: near-first top-k emission from per-(packet,
     cluster) keys + live mask."""
     count = jnp.sum(live_c, axis=1, dtype=jnp.int32)[:, None]
     c = keys_c.shape[1]
     k = min(maxc, c)
-    negk, idx = jax.lax.top_k(-keys_c, k)                  # ascending key
-    keys_sel = -negk
+    keys_sel, idx = _sort_topk(keys_c, k)                  # ascending key
     ids = jnp.where(keys_sel < BIG_T, idx.astype(jnp.int32), -1)
     if k < maxc:
         nb_ = ids.shape[0]
@@ -954,6 +966,207 @@ def _interval_cull(cb, org, dirn, tmax, maxc: int = MAXC, exclude=None):
     return _emit_from_keys(keys_c, live, maxc)
 
 
+HIER_MIN_CLUSTERS = 256   # below this the exact dense rectangle is cheap
+                          # and the two-stage cull's top_k overhead loses
+
+
+@functools.partial(jax.jit, static_argnames=('maxc',))
+def _hier_cull(cb, org, dirn, tmax, maxc: int = MAXC, exclude=None):
+    """Two-stage phase 1: interval prefilter -> exact rectangle on top-K.
+
+    The exact all-rays x all-clusters rectangle (`_dense_cull`) is VMEM-
+    bandwidth bound on (BLOCK, C) temporaries — measured 218 ms a sweep
+    at 2M rays x 4.7k clusters, ~55%% of a closed-scene primary frame.
+    This cull reproduces its per-lane EMISSION TIGHTNESS (the round-2
+    lesson: tightness, not cull cost, dominates) at ~C/K of the traffic:
+
+      stage A — the `_interval_cull` packet-frustum rectangle ((nb, C),
+        ~BLOCK x cheaper): conservative SUPERSET of the exact live set,
+        with per-cluster keys that LOWER-bound every member ray's true
+        slab entry; `lax.top_k` keeps the K = maxc nearest candidates.
+      stage B — the exact per-ray rectangle of `_dense_cull`, but only
+        over each packet's K gathered candidate AABBs: exact per-lane
+        live set and packet-min entry keys for everything emitted.
+
+    Soundness beyond the emitted slots (the overflow/windowed-round
+    contract shared with `_dense_cull`):
+      * count = exact-live-in-candidates + interval-live-beyond-K, an
+        UPPER bound on the true live count — `count > maxc` can only
+        over-fire, triggering (cheap, exclusion-masked) extra windowed
+        rounds, never missing one;
+      * every beyond-K cluster's true entry >= its interval key >= the
+        K-th candidate key, so when anything was dropped the LAST key
+        slot is clamped to that bound — `_residual_lanes` / the sweep's
+        sorted early break read keys as lower bounds, and lowering a
+        key is always conservative;
+      * the returned `cand` ids (exact-tested candidates, whether live
+        or not) are what the windowed loop must mark swept: an exactly-
+        dead candidate stays dead as per-lane t tightens (live sets
+        shrink monotonically in t), so excluding it is sound and
+        guarantees K-per-round progress.
+    """
+    lox, loy, loz, hix, hiy, hiz = cb
+    n = org.shape[0]
+    nb = n // BLOCK
+    c = lox.shape[0]
+    k = min(maxc, c)
+
+    # ---- stage A: packet-interval rectangle (see _interval_cull) ----
+    o = org.reshape(nb, BLOCK, 3)
+    d = dirn.reshape(nb, BLOCK, 3)
+    tm = tmax.reshape(nb, BLOCK)
+    alive = (tm > 0.0)[:, :, None]
+    olo = jnp.min(jnp.where(alive, o, BIG_T), axis=1)
+    ohi = jnp.max(jnp.where(alive, o, -BIG_T), axis=1)
+    dlo = jnp.min(jnp.where(alive, d, BIG_T), axis=1)
+    dhi = jnp.max(jnp.where(alive, d, -BIG_T), axis=1)
+    tmx = jnp.max(tm, axis=1)[:, None]
+
+    def axis(lo_c, hi_c, kk):
+        ol = olo[:, kk:kk + 1]
+        oh = ohi[:, kk:kk + 1]
+        dl = dlo[:, kk:kk + 1]
+        dh = dhi[:, kk:kk + 1]
+        onesign = (dl > 0.0) | (dh < 0.0)
+        il1 = 1.0 / jnp.where(onesign, dl, 1.0)
+        il2 = 1.0 / jnp.where(onesign, dh, 1.0)
+        a1 = lo_c[None, :] - oh
+        a2 = lo_c[None, :] - ol
+        b1 = hi_c[None, :] - oh
+        b2 = hi_c[None, :] - ol
+        t_lo = jnp.minimum(
+            jnp.minimum(jnp.minimum(a1 * il1, a1 * il2),
+                        jnp.minimum(a2 * il1, a2 * il2)),
+            jnp.minimum(jnp.minimum(b1 * il1, b1 * il2),
+                        jnp.minimum(b2 * il1, b2 * il2)))
+        t_hi = jnp.maximum(
+            jnp.maximum(jnp.maximum(a1 * il1, a1 * il2),
+                        jnp.maximum(a2 * il1, a2 * il2)),
+            jnp.maximum(jnp.maximum(b1 * il1, b1 * il2),
+                        jnp.maximum(b2 * il1, b2 * il2)))
+        t_lo = jnp.where(onesign, t_lo, -BIG_T)
+        t_hi = jnp.where(onesign, t_hi, BIG_T)
+        return t_lo, t_hi
+
+    tx_lo, tx_hi = axis(lox, hix, 0)
+    ty_lo, ty_hi = axis(loy, hiy, 1)
+    tz_lo, tz_hi = axis(loz, hiz, 2)
+    entry_lo = jnp.maximum(jnp.maximum(tx_lo, ty_lo), tz_lo)
+    exit_hi = jnp.minimum(jnp.minimum(tx_hi, ty_hi), tz_hi)
+    key_i = jnp.maximum(entry_lo, 0.0)
+    live_i = (exit_hi >= key_i) & (entry_lo < tmx)         # (nb, C)
+    if exclude is not None:
+        live_i = live_i & ~exclude
+    keys_i = jnp.where(live_i, key_i, BIG_T)
+
+    # K nearest candidates via ONE single-operand i32 sort: pack the key
+    # bits (positive f32s are monotone as i32) with the column index in
+    # the low 13 bits (C <= DENSE_CULL_MAX = 8192).  A variadic payload
+    # sort at (nb, C) costs ~5x a single-operand sort on TPU, and the
+    # 13-bit mantissa truncation only rounds keys DOWN — they stay valid
+    # LOWER bounds, which is all candidate selection and the dropped-
+    # cluster bound need.
+    assert c <= 8192, 'packed 13-bit candidate index needs C <= 8192'
+    kb = jax.lax.bitcast_convert_type(keys_i, jnp.int32)
+    iota_c = jnp.arange(c, dtype=jnp.int32)
+    packed_k = (kb & ~jnp.int32(0x1FFF)) | iota_c[None, :]
+    sorted_k = jnp.sort(packed_k, axis=-1)[:, :k]
+    cand = sorted_k & jnp.int32(0x1FFF)
+    cand_keys_i = jax.lax.bitcast_convert_type(
+        sorted_k & ~jnp.int32(0x1FFF), jnp.float32)
+    # truncated BIG_T shrinks by <= 2^-10 relative — compare against a
+    # margin (real scene entries are far below 9e29)
+    cand_live_i = cand_keys_i < np.float32(9e29)
+    cand_ids = jnp.where(cand_live_i, cand.astype(jnp.int32), -1)
+    n_live_i = jnp.sum(live_i, axis=1, dtype=jnp.int32)    # (nb,)
+    n_dropped = jnp.maximum(n_live_i - k, 0)
+    # every dropped interval key >= the K-th (largest kept) candidate key
+    dropped_lb = jnp.max(cand_keys_i, axis=1)              # (nb,)
+
+    # ---- stage B: exact per-ray rectangle over the candidates ----
+    # ONE row gather from a packed (C, 8) table: 6 separate scalar
+    # gathers serialize on TPU (measured 129ms at (2025,128)<-4727 —
+    # more than the whole dense rectangle), the row form is free
+    table = jnp.stack([lox, loy, loz, hix, hiy, hiz,
+                       jnp.zeros_like(lox), jnp.zeros_like(lox)], axis=1)
+    rowsg = table[cand]                                    # (nb, k, 8)
+    g = [rowsg[:, :, i] for i in range(6)]                 # 6 x (nb, k)
+
+    # batch packets per map step: a per-packet map pays ~30us/step of
+    # sequencing for ~5us of (BLOCK, K) rectangle work
+    PB = 8
+    nbp = -(-nb // PB) * PB
+    if nbp != nb:
+        padp = nbp - nb
+        o = jnp.concatenate([o, jnp.full((padp, BLOCK, 3), 1e6)], 0)
+        d = jnp.concatenate([d, jnp.broadcast_to(
+            jnp.asarray([1.0, 0.0, 0.0]), (padp, BLOCK, 3))], 0)
+        tm = jnp.concatenate([tm, jnp.full((padp, BLOCK), -1.0)], 0)
+        g = [jnp.concatenate([a, jnp.zeros((padp, k), a.dtype)], 0)
+             for a in g]
+
+    def per_batch(xs):
+        o, d, tm2, bl = xs    # (PB,BLOCK,3) (PB,BLOCK,3) (PB,BLOCK) 6x(PB,k)
+        glox, gloy, gloz, ghix, ghiy, ghiz = bl
+        ivx = 1.0 / d[:, :, 0:1]
+        ivy = 1.0 / d[:, :, 1:2]
+        ivz = 1.0 / d[:, :, 2:3]
+        t1 = (glox[:, None, :] - o[:, :, 0:1]) * ivx
+        t2 = (ghix[:, None, :] - o[:, :, 0:1]) * ivx
+        tmin = jnp.minimum(t1, t2)
+        tmx2 = jnp.maximum(t1, t2)
+        t1 = (gloy[:, None, :] - o[:, :, 1:2]) * ivy
+        t2 = (ghiy[:, None, :] - o[:, :, 1:2]) * ivy
+        tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+        tmx2 = jnp.minimum(tmx2, jnp.maximum(t1, t2))
+        t1 = (gloz[:, None, :] - o[:, :, 2:3]) * ivz
+        t2 = (ghiz[:, None, :] - o[:, :, 2:3]) * ivz
+        tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+        tmx2 = jnp.minimum(tmx2, jnp.maximum(t1, t2))
+        entry = jnp.maximum(tmin, 0.0)
+        live = (tmx2 >= entry) & (tmin < tm2[:, :, None])  # (PB, BLOCK, k)
+        key = jnp.min(jnp.where(live, entry, BIG_T), axis=1)
+        return key, jnp.any(live, axis=1)
+
+    keys_e, live_e = jax.lax.map(
+        per_batch, (o.reshape(-1, PB, BLOCK, 3), d.reshape(-1, PB, BLOCK, 3),
+                    tm.reshape(-1, PB, BLOCK),
+                    tuple(a.reshape(-1, PB, k) for a in g)))
+    keys_e = keys_e.reshape(nbp, k)[:nb]
+    live_e = live_e.reshape(nbp, k)[:nb]
+    live_e = live_e & cand_live_i
+    keys_ce = jnp.where(live_e, keys_e, BIG_T)
+
+    # ---- emission: exact keys, near-first.  The cluster ids ride the
+    # sort as a PAYLOAD operand — a post-sort (nb, k) take-along gather
+    # costs ~100ms on TPU (same pathology as the scalar AABB gathers)
+    keys_sel, ids_sorted = jax.lax.sort(
+        (keys_ce, cand_ids), dimension=-1, num_keys=1)
+    ids = jnp.where(keys_sel < BIG_T, ids_sorted, -1)
+    count = (jnp.sum(live_e, axis=1, dtype=jnp.int32)
+             + n_dropped)[:, None]
+    # the shared overflow contract is `count > maxc` <=> emission may be
+    # incomplete.  Here exact tests can kill most candidates (count small)
+    # while interval-live clusters were still dropped beyond K — clamp the
+    # count above maxc so `_residual_lanes`/`_occ_residual` keep firing
+    # (the round-3 dropped-hit bug: a windowed round with count 67 and 7
+    # dropped clusters declared every lane exact)
+    count = jnp.where(n_dropped[:, None] > 0,
+                      jnp.maximum(count, maxc + 1), count)
+    if k < maxc:
+        ids = jnp.concatenate(
+            [ids, jnp.full((nb, maxc - k), -1, jnp.int32)], axis=1)
+        keys_sel = jnp.concatenate(
+            [keys_sel, jnp.full((nb, maxc - k), BIG_T)], axis=1)
+    # overflow: clamp the last key to the dropped lower bound so the
+    # residual test / early break stay sound (lower = conservative)
+    last = jnp.where(n_dropped > 0,
+                     jnp.minimum(keys_sel[:, maxc - 1], dropped_lb),
+                     keys_sel[:, maxc - 1])
+    keys_sel = keys_sel.at[:, maxc - 1].set(last)
+    return ids, count, keys_sel, cand_ids
+
+
 @functools.partial(jax.jit, static_argnames=('maxc',))
 def _dense_cull(cb, org, dirn, tmax, maxc: int = MAXC, exclude=None):
     """Pure-XLA phase 1: every packet x every cluster slab rectangle.
@@ -1018,13 +1231,16 @@ def cluster_cull(cm: ClusteredMesh, org, dirn, tmax, interpret=False):
     run the Pallas path as a lax.map over CHUNK_PACKETS-packet chunks
     (one compile, one dispatch) to bound the SMEM output footprint."""
     if cm.n_clusters <= DENSE_CULL_MAX:
-        # EXACT per-ray rectangle here: the refine flow (exhaustive=False)
-        # and routed_cluster re-cull with per-LANE tightened t, which the
-        # packet-interval cull cannot honor (it prunes on the packet max).
-        # The exhaustive windowed flow uses _interval_cull instead.
-        return _dense_cull(
-            (cm.cb_lox, cm.cb_loy, cm.cb_loz,
-             cm.cb_hix, cm.cb_hiy, cm.cb_hiz), org, dirn, tmax)
+        # Per-lane-exact emission either way: the refine flow
+        # (exhaustive=False) and routed_cluster re-cull with per-LANE
+        # tightened t; the hierarchical cull's stage B honors that (its
+        # stage-A packet-max prune only selects candidates — a superset).
+        cb = (cm.cb_lox, cm.cb_loy, cm.cb_loz,
+              cm.cb_hix, cm.cb_hiy, cm.cb_hiz)
+        if cm.n_clusters > HIER_MIN_CLUSTERS:
+            ids, count, keys, _cand = _hier_cull(cb, org, dirn, tmax)
+            return ids, count, keys
+        return _dense_cull(cb, org, dirn, tmax)
     n = org.shape[0]
     nb = n // BLOCK
     if nb <= CHUNK_PACKETS:
@@ -1171,6 +1387,16 @@ def _two_level_exec(arrays, org, dirn, tmax, tmin, *,
 
     cb = (cm.cb_lox, cm.cb_loy, cm.cb_loz, cm.cb_hix, cm.cb_hiy, cm.cb_hiz)
 
+    def cull(o, d, tx, exclude=None):
+        """Dense-tier cull round: hierarchical above HIER_MIN_CLUSTERS
+        (same emission tightness, ~C/MAXC of the rectangle traffic),
+        exact dense rectangle below.  4th output = the ids the windowed
+        loop must mark swept (hier: all exact-tested candidates)."""
+        if n_clusters > HIER_MIN_CLUSTERS:
+            return _hier_cull(cb, o, d, tx, exclude=exclude)
+        ids, counts, keys = _dense_cull(cb, o, d, tx, exclude=exclude)
+        return ids, counts, keys, ids
+
     def dense_chunk(o, d, tx, tn):
         """Exhaustive windowed overflow handling (dense-cull tier).
 
@@ -1194,15 +1420,15 @@ def _two_level_exec(arrays, org, dirn, tmax, tmin, *,
         iterations take the identity branch, so the fixed trip count
         costs only carry copies."""
         nb = o.shape[0] // BLOCK
-        ids, counts, keys = _dense_cull(cb, o, d, tx)
+        ids, counts, keys, cand = cull(o, d, tx)
         t, tri, al, be = cluster_sweep(ids, counts, keys, cm.packed,
                                        o, d, tx, tn, interpret=interpret)
         res = _residual_lanes(counts, keys, t)
-        swept = _mark_swept(jnp.zeros((nb, n_clusters), bool), ids)
+        swept = _mark_swept(jnp.zeros((nb, n_clusters), bool), cand)
 
         def window(s):
             t, tri, al, be, swept, _res = s
-            ids, counts, keys = _dense_cull(cb, o, d, t, exclude=swept)
+            ids, counts, keys, cand = cull(o, d, t, exclude=swept)
             t2, tri2, al2, be2 = cluster_sweep(
                 ids, counts, keys, cm.packed, o, d, t, tn,
                 interpret=interpret)
@@ -1211,7 +1437,7 @@ def _two_level_exec(arrays, org, dirn, tmax, tmin, *,
             tri = jnp.where(win, tri2, tri)
             al = jnp.where(win, al2, al)
             be = jnp.where(win, be2, be)
-            return (t, tri, al, be, _mark_swept(swept, ids),
+            return (t, tri, al, be, _mark_swept(swept, cand),
                     _residual_lanes(counts, keys, t))
 
         def body(s, _):
@@ -1283,24 +1509,29 @@ def _two_level_any_exec(arrays, org, dirn, tmax, tmin, *,
     tmax = root_exit_clamp(cm, org, dirn, tmax)
     cb = (cm.cb_lox, cm.cb_loy, cm.cb_loz, cm.cb_hix, cm.cb_hiy, cm.cb_hiz)
 
+    def cull(o, d, tx, exclude=None):
+        if n_clusters > HIER_MIN_CLUSTERS:
+            return _hier_cull(cb, o, d, tx, exclude=exclude)
+        ids, counts, keys = _dense_cull(cb, o, d, tx, exclude=exclude)
+        return ids, counts, keys, ids
+
     def chunk(o, d, tx, tn):
         nb = o.shape[0] // BLOCK
-        ids, counts, keys = _dense_cull(cb, o, d, tx)
+        ids, counts, keys, cand = cull(o, d, tx)
         occ = cluster_sweep_any(ids, counts, keys, cm.packed,
                                 o, d, tx, tn, interpret=interpret)
         res = _occ_residual(counts, keys, occ, tx)
-        swept = _mark_swept(jnp.zeros((nb, n_clusters), bool), ids)
+        swept = _mark_swept(jnp.zeros((nb, n_clusters), bool), cand)
 
         def window(s):
             occ, swept, _res = s
             live_tx = jnp.where(occ, -1.0, tx)
-            ids, counts, keys = _dense_cull(cb, o, d, live_tx,
-                                            exclude=swept)
+            ids, counts, keys, cand = cull(o, d, live_tx, exclude=swept)
             occ2 = cluster_sweep_any(ids, counts, keys, cm.packed,
                                      o, d, live_tx, tn,
                                      interpret=interpret)
             occ = occ | occ2
-            return (occ, _mark_swept(swept, ids),
+            return (occ, _mark_swept(swept, cand),
                     _occ_residual(counts, keys, occ, live_tx))
 
         def body(s, _):

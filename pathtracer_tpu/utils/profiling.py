@@ -25,14 +25,24 @@ def device_sync(tree):
     barrier: the 4-byte transfer cannot complete before every producer in
     the dependency chain has run.  Works (and is cheap) on all backends.
     """
+    import jax.numpy as jnp
+    acc = None
     for x in jax.tree.leaves(tree):
         if isinstance(x, jax.Array):
-            # scalar slice on device -> 4-byte host fetch; rides the
-            # dependency chain, avoids transferring the full buffer
-            idx = tuple(0 for _ in range(x.ndim))
-            jax.device_get(x[idx])
+            # scalar slice on device; all probes are SUMMED into one
+            # scalar so the host pays exactly ONE ~30ms tunnel round
+            # trip — a device_get per leaf costs ~30ms EACH (this very
+            # bug masqueraded as an '82ms pallas dispatch overhead'
+            # during round-3 profiling: 4-output kernels timed 3 round
+            # trips slower than 1-output ones)
+            v = x[tuple(0 for _ in range(x.ndim))]
+            v = jnp.real(v) if jnp.iscomplexobj(v) else v
+            v = v.astype(jnp.float32)
+            acc = v if acc is None else acc + v
         else:
             jax.block_until_ready(x)
+    if acc is not None:
+        jax.device_get(acc)
     return tree
 
 

@@ -167,3 +167,128 @@ def test_auto_tris_c_keeps_dense_cull():
             tris_c *= 2
         assert -(-t // tris_c) <= pc.DENSE_CULL_MAX
         assert tris_c % pc.SUBT == 0
+
+
+def _coherent_rays(n, seed=11):
+    """Tile-like rays: one origin, small direction cone (packet frustums
+    stay tight, so the hierarchical cull's stage A has no overflow)."""
+    rng = np.random.default_rng(seed)
+    org = np.broadcast_to(np.array([0.0, 0.0, 30.0], np.float32),
+                          (n, 3)).copy()
+    d = np.stack([rng.uniform(-0.25, 0.25, n),
+                  rng.uniform(-0.25, 0.25, n),
+                  -np.ones(n)], -1).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(org), jnp.asarray(d)
+
+
+def test_hier_cull_matches_dense_cull():
+    """_hier_cull (interval prefilter -> exact top-K rectangle) must
+    reproduce _dense_cull's emission exactly whenever no candidate was
+    dropped: same live sets, same sorted exact keys; counts may only
+    OVER-estimate (conservative)."""
+    tri = _random_mesh(9000, seed=13)
+    cm = pc.build_clustered(tri)          # 18 clusters
+    cb = (cm.cb_lox, cm.cb_loy, cm.cb_loz,
+          cm.cb_hix, cm.cb_hiy, cm.cb_hiz)
+    n = 2 * pc.BLOCK
+    org, dirn = _coherent_rays(n)
+    tmax = jnp.full((n,), BIG_T)
+
+    ids_d, cnt_d, keys_d = pc._dense_cull(cb, org, dirn, tmax)
+    ids_h, cnt_h, keys_h, cand = pc._hier_cull(cb, org, dirn, tmax)
+
+    cnt_d, cnt_h = np.asarray(cnt_d), np.asarray(cnt_h)
+    assert (cnt_h >= cnt_d).all()         # conservative only
+    for b in range(n // pc.BLOCK):
+        c = min(int(cnt_d[b, 0]), pc.MAXC)
+        # exact live set must be preserved (candidates are a superset of
+        # the interval-live set which supersets the exact live set)
+        assert set(np.asarray(ids_d)[b, :c]) == set(np.asarray(ids_h)[b, :c])
+        np.testing.assert_allclose(np.asarray(keys_d)[b, :c],
+                                   np.asarray(keys_h)[b, :c],
+                                   rtol=1e-6, atol=1e-6)
+        # every exact-tested candidate is recorded for swept-marking
+        assert set(np.asarray(ids_h)[b, :c]) <= set(
+            np.asarray(cand)[b][np.asarray(cand)[b] >= 0].tolist())
+
+
+def test_hier_two_level_matches_brute_force():
+    """End-to-end through the hierarchical cull tier (n_clusters >
+    HIER_MIN_CLUSTERS forces _hier_cull inside _two_level_exec),
+    including overflow windows: random incoherent packets make stage A
+    emit everything, so count > MAXC and the windowed exclusion rounds
+    must still converge to the exact closest hit."""
+    tri = _random_mesh(80_000, seed=17, spread=14.0)
+    cm = pc.build_clustered(tri, tris_c=pc.SUBT)
+    assert cm.n_clusters > pc.HIER_MIN_CLUSTERS
+
+    n = pc.BLOCK
+    org, dirn = _rays(n, seed=18)         # incoherent: overflow stress
+    tmax = jnp.full((n,), BIG_T)
+    t, tid, al, be = pc.two_level_hit(cm, org, dirn, tmax, interpret=True)
+    ref = brute_force_hit(pc.flat_soup(cm), org, dirn)
+    # plane-matmul vs edge-matrix op-order drift grows with soup size:
+    # 1/1024 lanes at 1.3e-5 rel on this 80k soup
+    np.testing.assert_allclose(np.asarray(t), np.asarray(ref.t),
+                               rtol=3e-5, atol=1e-6)
+    match = (np.asarray(tid) == np.asarray(ref.tri))
+    assert match.mean() > 0.999
+
+    # coherent packets (the real wavefront shape): no overflow windows
+    org2, dir2 = _coherent_rays(n, seed=19)
+    t2, tid2, _, _ = pc.two_level_hit(cm, org2, dir2, tmax, interpret=True)
+    ref2 = brute_force_hit(pc.flat_soup(cm), org2, dir2)
+    np.testing.assert_allclose(np.asarray(t2), np.asarray(ref2.t),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_hier_two_level_any_matches_closest():
+    """Occlusion through the hierarchical cull: any-hit must be True
+    exactly where the closest-hit path finds t < tmax."""
+    tri = _random_mesh(80_000, seed=23, spread=14.0)
+    cm = pc.build_clustered(tri, tris_c=pc.SUBT)
+    assert cm.n_clusters > pc.HIER_MIN_CLUSTERS
+    n = pc.BLOCK
+    org, dirn = _coherent_rays(n, seed=24)
+    tmax = jnp.full((n,), 40.0)
+    occ = pc.two_level_any(cm, org, dirn, tmax, interpret=True)
+    t, _, _, _ = pc.two_level_hit(cm, org, dirn, tmax, interpret=True)
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(t) < 40.0)
+
+
+def test_hier_cull_overflow_contract():
+    """Round-3 regression (dropped-hit bug): whenever stage A drops
+    interval-live clusters beyond the K candidates, _hier_cull must
+    report count > MAXC — exact tests killing most candidates must NOT
+    mask the drop, or the windowed rounds stop before sweeping the
+    dropped clusters."""
+    rng = np.random.default_rng(31)
+    c = 3 * pc.MAXC
+    # clusters scattered in a thick slab; a wide-frustum packet keeps
+    # them ALL interval-live, while each ray exactly enters only a few
+    lo = rng.uniform(-30, 30, (c, 3)).astype(np.float32)
+    hi = lo + rng.uniform(15.0, 40.0, (c, 3)).astype(np.float32)
+    cb = tuple(jnp.asarray(a) for a in
+               (lo[:, 0], lo[:, 1], lo[:, 2], hi[:, 0], hi[:, 1], hi[:, 2]))
+    n = pc.BLOCK
+    org = jnp.asarray(rng.uniform(-30, 30, (n, 3)).astype(np.float32))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    dirn = jnp.asarray(d)
+    tmax = jnp.full((n,), BIG_T)
+
+    ids_h, cnt_h, keys_h, cand = pc._hier_cull(cb, org, dirn, tmax)
+    ids_d, cnt_d, keys_d = pc._dense_cull(cb, org, dirn, tmax)
+    # the exact live count exceeds MAXC here (incoherent packet)
+    assert int(cnt_d[0, 0]) > pc.MAXC
+    # so the hierarchical count must keep reporting overflow even though
+    # at most MAXC candidates were exactly tested
+    assert int(cnt_h[0, 0]) > pc.MAXC
+    # and the last key must lower-bound every non-candidate live cluster
+    cand_set = set(np.asarray(cand)[0][np.asarray(cand)[0] >= 0].tolist())
+    kd = np.asarray(keys_d)[0]
+    idd = np.asarray(ids_d)[0]
+    for slot in range(min(int(cnt_d[0, 0]), pc.MAXC)):
+        if int(idd[slot]) not in cand_set:
+            assert kd[slot] >= np.asarray(keys_h)[0, pc.MAXC - 1] - 1e-5
