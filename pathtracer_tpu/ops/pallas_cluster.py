@@ -112,6 +112,7 @@ CHUNK_PACKETS = 256   # packets per kernel launch: SMEM outputs and the
                       # (nb, 128) i32 and double-buffered — chunking keeps
                       # them inside the 1MB SMEM budget at any ray count
 A_ROWS = 8            # sweep A-matrix rows (R = [o-c, 1, d, 0] K dim)
+assert SUBT <= 256, 'packed-key winner stores the subtile index in 8 bits'
 TAIL = 256            # packed tail lanes: [AABB | centroid] scalar blocks
 SUB_META = 128        # packed lanes per SUBTILE AABB block (after TAIL):
                       # rows 0-5 = subtile lo/hi xyz replicated across the
@@ -583,27 +584,37 @@ def _sweep_kernel(ids_ref, cnt_ref, keys_ref,
                 t = -(on / dn)
                 beta = oU + t * dU
                 gamma = oV + t * dV
-                # positive acceptance rejects NaN (pad/degenerate planes)
-                ok = ((t >= 0.0) & (t > tn[:, None]) & (beta >= 0.0)
-                      & (gamma >= 0.0) & (beta + gamma <= 1.0))
+                # positive acceptance rejects NaN (pad/degenerate
+                # planes); bary-min merge halves the compare passes —
+                # every elementwise op here is a full VMEM round trip
+                # (Mosaic does not fuse them), so op count IS the cost
+                bary = jnp.minimum(jnp.minimum(beta, gamma),
+                                   1.0 - (beta + gamma))
+                ok = (t >= 0.0) & (t > tn[:, None]) & (bary >= 0.0)
                 t = jnp.where(ok, t, BIG_T)
-                # winner by min-reductions (no gathers / argmin)
-                tj = jnp.min(t, axis=-1)              # (BLOCK,)
+                # packed-key winner: ONE min-reduce picks (t-truncated-
+                # to-24-bits, subtile index) — t >= 0 so the f32 bit
+                # pattern is order-preserving as i32, and SUBT = 256
+                # fits 8 bits.  Exact t recovered by a onehot sum;
+                # beta/gamma are NOT extracted here at all — callers
+                # recompute them per RAY from the soup (recompute_bary),
+                # which is O(rays) instead of O(slots) and matches the
+                # edge-matrix oracle bit-for-bit.  Winner ties within
+                # 2^-16 relative t may pick a different (still valid,
+                # lower-index) triangle than an exact argmin — measured
+                # 49 -> 40us/slot for the whole lean epilogue.
                 lane_iota = jax.lax.broadcasted_iota(
                     jnp.int32, (BLOCK, SUBT), 1)
-                is_win = t <= tj[:, None]
-                j = jnp.min(jnp.where(is_win, lane_iota, SUBT), axis=-1)
+                key = ((jax.lax.bitcast_convert_type(t, jnp.int32)
+                        & ~jnp.int32(0xFF)) | lane_iota)
+                kmin = jnp.min(key, axis=-1)          # (BLOCK,)
+                j = kmin & jnp.int32(0xFF)
                 onehot = lane_iota == j[:, None]
-                be_j = jnp.sum(jnp.where(onehot, beta, 0.0), axis=-1)
-                ga_j = jnp.sum(jnp.where(onehot, gamma, 0.0), axis=-1)
+                tj = jnp.sum(jnp.where(onehot, t, 0.0), axis=-1)
                 win = tj < tout_ref[0, 0, :]
                 tout_ref[0, 0, :] = jnp.where(win, tj, tout_ref[0, 0, :])
                 triout_ref[0, 0, :] = jnp.where(
                     win, cid * tris_c + s * SUBT + j, triout_ref[0, 0, :])
-                alout_ref[0, 0, :] = jnp.where(win, 1.0 - be_j - ga_j,
-                                               alout_ref[0, 0, :])
-                beout_ref[0, 0, :] = jnp.where(win, be_j,
-                                               beout_ref[0, 0, :])
                 return 0
 
             jax.lax.fori_loop(0, n_sub, sub_body, jnp.int32(0))
@@ -1011,50 +1022,77 @@ def _hier_cull(cb, org, dirn, tmax, maxc: int = MAXC, exclude=None):
     c = lox.shape[0]
     k = min(maxc, c)
 
-    # ---- stage A: packet-interval rectangle (see _interval_cull) ----
+    # ---- stage A: packet-interval rectangle, PER DIRECTION OCTANT ----
+    # A single packet interval degrades to an infinite slab on any axis
+    # whose direction signs straddle zero (possible at octant-sort
+    # boundaries and at the camera axis in tile order) — keys collapse
+    # to 0, candidate order degrades to index order, and the windowed
+    # rounds crawl index-by-index through every live cluster (~20 full
+    # rounds on a 2.4M-tri frame, measured ~150ms).  Splitting each
+    # packet's lanes by direction octant gives up to 8 FINITE interval
+    # families; min-combining their per-cluster bounds stays sound and
+    # keeps keys tight for every packet shape.
     o = org.reshape(nb, BLOCK, 3)
     d = dirn.reshape(nb, BLOCK, 3)
     tm = tmax.reshape(nb, BLOCK)
-    alive = (tm > 0.0)[:, :, None]
-    olo = jnp.min(jnp.where(alive, o, BIG_T), axis=1)
-    ohi = jnp.max(jnp.where(alive, o, -BIG_T), axis=1)
-    dlo = jnp.min(jnp.where(alive, d, BIG_T), axis=1)
-    dhi = jnp.max(jnp.where(alive, d, -BIG_T), axis=1)
+    alive_l = tm > 0.0                                     # (nb, BLOCK)
+    oct_l = ((d[:, :, 0] > 0).astype(jnp.int32) * 4
+             + (d[:, :, 1] > 0).astype(jnp.int32) * 2
+             + (d[:, :, 2] > 0).astype(jnp.int32))
     tmx = jnp.max(tm, axis=1)[:, None]
 
-    def axis(lo_c, hi_c, kk):
-        ol = olo[:, kk:kk + 1]
-        oh = ohi[:, kk:kk + 1]
-        dl = dlo[:, kk:kk + 1]
-        dh = dhi[:, kk:kk + 1]
-        onesign = (dl > 0.0) | (dh < 0.0)
-        il1 = 1.0 / jnp.where(onesign, dl, 1.0)
-        il2 = 1.0 / jnp.where(onesign, dh, 1.0)
-        a1 = lo_c[None, :] - oh
-        a2 = lo_c[None, :] - ol
-        b1 = hi_c[None, :] - oh
-        b2 = hi_c[None, :] - ol
-        t_lo = jnp.minimum(
-            jnp.minimum(jnp.minimum(a1 * il1, a1 * il2),
-                        jnp.minimum(a2 * il1, a2 * il2)),
-            jnp.minimum(jnp.minimum(b1 * il1, b1 * il2),
-                        jnp.minimum(b2 * il1, b2 * il2)))
-        t_hi = jnp.maximum(
-            jnp.maximum(jnp.maximum(a1 * il1, a1 * il2),
-                        jnp.maximum(a2 * il1, a2 * il2)),
-            jnp.maximum(jnp.maximum(b1 * il1, b1 * il2),
-                        jnp.maximum(b2 * il1, b2 * il2)))
-        t_lo = jnp.where(onesign, t_lo, -BIG_T)
-        t_hi = jnp.where(onesign, t_hi, BIG_T)
-        return t_lo, t_hi
+    entry_lo = jnp.full((nb, c), BIG_T)
+    exit_hi = jnp.full((nb, c), -BIG_T)
+    any_grp = jnp.zeros((nb, 1), bool)
+    for og in range(8):
+        grp = (alive_l & (oct_l == og))[:, :, None]        # (nb, BLOCK, 1)
+        olo = jnp.min(jnp.where(grp, o, BIG_T), axis=1)
+        ohi = jnp.max(jnp.where(grp, o, -BIG_T), axis=1)
+        dlo = jnp.min(jnp.where(grp, d, BIG_T), axis=1)
+        dhi = jnp.max(jnp.where(grp, d, -BIG_T), axis=1)
+        nonempty = jnp.any(grp[:, :, 0], axis=1)[:, None]  # (nb, 1)
+        any_grp = any_grp | nonempty
 
-    tx_lo, tx_hi = axis(lox, hix, 0)
-    ty_lo, ty_hi = axis(loy, hiy, 1)
-    tz_lo, tz_hi = axis(loz, hiz, 2)
-    entry_lo = jnp.maximum(jnp.maximum(tx_lo, ty_lo), tz_lo)
-    exit_hi = jnp.minimum(jnp.minimum(tx_hi, ty_hi), tz_hi)
+        def axis(lo_c, hi_c, kk):
+            ol = olo[:, kk:kk + 1]
+            oh = ohi[:, kk:kk + 1]
+            dl = dlo[:, kk:kk + 1]
+            dh = dhi[:, kk:kk + 1]
+            # within one octant both dl/dh share a sign; guard exact
+            # zeros (degenerate axis) with the infinite slab
+            onesign = (dl > 0.0) | (dh < 0.0)
+            il1 = 1.0 / jnp.where(onesign, dl, 1.0)
+            il2 = 1.0 / jnp.where(onesign, dh, 1.0)
+            a1 = lo_c[None, :] - oh
+            a2 = lo_c[None, :] - ol
+            b1 = hi_c[None, :] - oh
+            b2 = hi_c[None, :] - ol
+            t_lo = jnp.minimum(
+                jnp.minimum(jnp.minimum(a1 * il1, a1 * il2),
+                            jnp.minimum(a2 * il1, a2 * il2)),
+                jnp.minimum(jnp.minimum(b1 * il1, b1 * il2),
+                            jnp.minimum(b2 * il1, b2 * il2)))
+            t_hi = jnp.maximum(
+                jnp.maximum(jnp.maximum(a1 * il1, a1 * il2),
+                            jnp.maximum(a2 * il1, a2 * il2)),
+                jnp.maximum(jnp.maximum(b1 * il1, b1 * il2),
+                            jnp.maximum(b2 * il1, b2 * il2)))
+            t_lo = jnp.where(onesign, t_lo, -BIG_T)
+            t_hi = jnp.where(onesign, t_hi, BIG_T)
+            return t_lo, t_hi
+
+        tx_lo, tx_hi = axis(lox, hix, 0)
+        ty_lo, ty_hi = axis(loy, hiy, 1)
+        tz_lo, tz_hi = axis(loz, hiz, 2)
+        e_lo = jnp.maximum(jnp.maximum(tx_lo, ty_lo), tz_lo)
+        e_hi = jnp.minimum(jnp.minimum(tx_hi, ty_hi), tz_hi)
+        e_lo = jnp.where(nonempty, e_lo, BIG_T)
+        e_hi = jnp.where(nonempty, e_hi, -BIG_T)
+        entry_lo = jnp.minimum(entry_lo, e_lo)             # union of groups
+        exit_hi = jnp.maximum(exit_hi, e_hi)
+
     key_i = jnp.maximum(entry_lo, 0.0)
-    live_i = (exit_hi >= key_i) & (entry_lo < tmx)         # (nb, C)
+    live_i = (exit_hi >= key_i) & (entry_lo < tmx) & any_grp
     if exclude is not None:
         live_i = live_i & ~exclude
     keys_i = jnp.where(live_i, key_i, BIG_T)
@@ -1305,6 +1343,49 @@ def cluster_sweep(ids, counts, keys, packed, org, dirn, tmax,
       plane(tmax), plane(tmin))
     return (t.reshape(-1), tri.reshape(-1), al.reshape(-1),
             be.reshape(-1))
+
+
+def recompute_bary(soup: TriSoup, org, dirn, t, tri):
+    """Per-ray barycentrics of known (t, tri) winners.
+
+    The lean sweep kernel no longer extracts beta/gamma per slot (the
+    onehot sums were ~20%% of the measured slot cost); instead the
+    winner's barycentrics are recomputed here with the SAME edge-matrix
+    formula as `traverse._tri_test_block` — O(rays) work and bit-matched
+    to the brute-force oracle.  One row gather from a packed (T, 16)
+    table (per-field scalar gathers serialize on TPU; rows are free).
+    Miss lanes (tri < 0) return the (1, 0, 0) defaults."""
+    i = jnp.maximum(tri, 0)
+    z = jnp.zeros_like(soup.ax)
+    table = jnp.stack(
+        [soup.ax, soup.ay, soup.az, soup.ux, soup.uy, soup.uz,
+         soup.vx, soup.vy, soup.vz, soup.m11, soup.m12, soup.m22,
+         soup.invdetm, z, z, z], axis=1)                    # (T, 16)
+    r = table[i]                                            # (N, 16)
+    px = org[:, 0] + t * dirn[:, 0] - r[:, 0]
+    py = org[:, 1] + t * dirn[:, 1] - r[:, 1]
+    pz = org[:, 2] + t * dirn[:, 2] - r[:, 2]
+    b11 = px * r[:, 3] + py * r[:, 4] + pz * r[:, 5]
+    b21 = px * r[:, 6] + py * r[:, 7] + pz * r[:, 8]
+    beta = (b11 * r[:, 11] - b21 * r[:, 10]) * r[:, 12]
+    gamma = (b21 * r[:, 9] - b11 * r[:, 10]) * r[:, 12]
+    hit = tri >= 0
+    al = jnp.where(hit, 1.0 - beta - gamma, 1.0)
+    be = jnp.where(hit, beta, 0.0)
+    return al, be
+
+
+_flat_soup_cache = {}   # id(cm.packed) -> device TriSoup (tests/scripts
+                        # convenience; the scene path passes its own soup)
+
+
+def _soup_for(cm: ClusteredMesh):
+    key = id(cm.packed)
+    s = _flat_soup_cache.get(key)
+    if s is None:
+        s = flat_soup(cm)
+        _flat_soup_cache[key] = s
+    return s
 
 
 def _mark_swept(swept, ids):
@@ -1578,7 +1659,8 @@ def two_level_any(cm: ClusteredMesh, org, dirn, tmax, tmin=None,
 
 def two_level_hit(cm: ClusteredMesh, org, dirn, tmax, tmin=None,
                   interpret=False, refine_rounds: int = 1,
-                  return_residual: bool = False, exhaustive: bool = True):
+                  return_residual: bool = False, exhaustive: bool = True,
+                  soup: Optional[TriSoup] = None):
     """Full two-level closest hit: (t, tri, alpha, beta) like packet_hit.
 
     tri indexes the BVH-ordered soup (map through cm.order for original
@@ -1606,6 +1688,11 @@ def two_level_hit(cm: ClusteredMesh, org, dirn, tmax, tmin=None,
         n_clusters=cm.n_clusters, top_max_leaf=cm.top_max_leaf,
         interpret=interpret, refine_rounds=refine_rounds,
         exhaustive=exhaustive)
+    # the lean sweep kernel returns (t, tri) winners only — barycentrics
+    # are recomputed per ray (callers with a resident soup pass it in;
+    # valid winners always index real, unpadded triangles)
+    al, be = recompute_bary(soup if soup is not None else _soup_for(cm),
+                            org, dirn, t, tri)
     out = (t[:n_orig], tri[:n_orig], al[:n_orig], be[:n_orig])
     if return_residual:
         return out + (res[:n_orig],)

@@ -622,15 +622,19 @@ def _mesh_closest_hit(mesh, org_l, dir_l, t_max, cutout_rounds=None,
                 t, tri, al, be, res = routed_cluster.routed_hit(
                     cmesh, org_l, dir_l, t_max, tmin=t_min,
                     interpret=jax.default_backend() != 'tpu',
-                    refine_rounds=rr, return_residual=True)
+                    refine_rounds=rr, return_residual=True,
+                    soup=mesh.soup)
             else:
                 # dense tier (every practical mesh): the exhaustive
                 # windowed sweep inside two_level_hit guarantees res is
-                # identically False — no external fallback needed
+                # identically False — no external fallback needed.
+                # mesh.soup feeds the per-ray barycentric recompute
+                # (cluster order == BVH order for real triangles)
                 t, tri, al, be, res = pallas_cluster.two_level_hit(
                     cmesh, org_l, dir_l, t_max, tmin=t_min,
                     interpret=jax.default_backend() != 'tpu',
-                    refine_rounds=rr, return_residual=True)
+                    refine_rounds=rr, return_residual=True,
+                    soup=mesh.soup)
 
             # overflow soundness net (SMEM-cull tier / routed path only):
             # lanes the refinement could not prove exact re-traverse the

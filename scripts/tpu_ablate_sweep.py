@@ -105,12 +105,39 @@ def make_kernel(variant):
                     prod = jnp.broadcast_to(
                         amat[0:1, :] + amat[1:2, :], (BLOCK, 6 * SUBT))
                 else:
+                    prec = (jax.lax.Precision.HIGH if 'high' in variant
+                            else jax.lax.Precision.HIGHEST)
                     prod = jax.lax.dot_general(
                         rt, amat, (((0,), (0,)), ((), ())),
-                        precision=jax.lax.Precision.HIGHEST,
+                        precision=prec,
                         preferred_element_type=jnp.float32)
                 if variant == 'no-epi':
                     tj = jnp.min(prod[:, 0:SUBT], axis=-1)
+                    win = tj < tout_ref[0, 0, :]
+                    tout_ref[0, 0, :] = jnp.where(win, tj,
+                                                  tout_ref[0, 0, :])
+                    return 0
+                if variant == 'tonly':
+                    t = -(prod[:, 0:SUBT] / prod[:, 3*SUBT:4*SUBT])
+                    tj = jnp.min(t, axis=-1)
+                    win = tj < tout_ref[0, 0, :]
+                    tout_ref[0, 0, :] = jnp.where(win, tj,
+                                                  tout_ref[0, 0, :])
+                    return 0
+                if variant == 'acc-only':
+                    on = prod[:, 0 * SUBT:1 * SUBT]
+                    oU = prod[:, 1 * SUBT:2 * SUBT]
+                    oV = prod[:, 2 * SUBT:3 * SUBT]
+                    dn = prod[:, 3 * SUBT:4 * SUBT]
+                    dU = prod[:, 4 * SUBT:5 * SUBT]
+                    dV = prod[:, 5 * SUBT:6 * SUBT]
+                    t = -(on / dn)
+                    beta = oU + t * dU
+                    gamma = oV + t * dV
+                    ok = ((t >= 0.0) & (t > tn[:, None]) & (beta >= 0.0)
+                          & (gamma >= 0.0) & (beta + gamma <= 1.0))
+                    t = jnp.where(ok, t, BIG_T)
+                    tj = jnp.min(t, axis=-1)
                     win = tj < tout_ref[0, 0, :]
                     tout_ref[0, 0, :] = jnp.where(win, tj,
                                                   tout_ref[0, 0, :])
@@ -124,15 +151,62 @@ def make_kernel(variant):
                 t = -(on / dn)
                 beta = oU + t * dU
                 gamma = oV + t * dV
-                ok = ((t >= 0.0) & (t > tn[:, None]) & (beta >= 0.0)
-                      & (gamma >= 0.0) & (beta + gamma <= 1.0))
+                if variant == 'lean':
+                    bary = jnp.minimum(jnp.minimum(beta, gamma),
+                                       1.0 - (beta + gamma))
+                    ok = (t >= 0.0) & (t > tn[:, None]) & (bary >= 0.0)
+                else:
+                    ok = ((t >= 0.0) & (t > tn[:, None]) & (beta >= 0.0)
+                          & (gamma >= 0.0) & (beta + gamma <= 1.0))
                 t = jnp.where(ok, t, BIG_T)
-                tj = jnp.min(t, axis=-1)
                 lane_iota = jax.lax.broadcasted_iota(
                     jnp.int32, (BLOCK, SUBT), 1)
-                is_win = t <= tj[:, None]
-                j = jnp.min(jnp.where(is_win, lane_iota, SUBT), axis=-1)
-                onehot = lane_iota == j[:, None]
+                if variant == 'lean':
+                    # packed-key winner + exact-t onehot on the already
+                    # masked t; beta/gamma sums dropped (recomputed
+                    # outside the kernel per-ray)
+                    tl = t
+                    key = ((jax.lax.bitcast_convert_type(tl, jnp.int32)
+                            & ~jnp.int32(0xFF)) | lane_iota)
+                    kmin = jnp.min(key, axis=-1)
+                    j = kmin & jnp.int32(0xFF)
+                    onehot = lane_iota == j[:, None]
+                    tj = jnp.sum(jnp.where(onehot, tl, 0.0), axis=-1)
+                    win = tj < tout_ref[0, 0, :]
+                    tout_ref[0, 0, :] = jnp.where(win, tj, tout_ref[0, 0, :])
+                    triout_ref[0, 0, :] = jnp.where(
+                        win, cid * TRIS_C + s * SUBT + j,
+                        triout_ref[0, 0, :])
+                    return 0
+                if variant == 'notb':
+                    # winner (t, tri) only: packed-key single reduction,
+                    # beta/gamma recomputed per-RAY outside the kernel
+                    key = ((jax.lax.bitcast_convert_type(t, jnp.int32)
+                            & ~jnp.int32(0xFF)) | lane_iota)
+                    kmin = jnp.min(key, axis=-1)
+                    tj = jax.lax.bitcast_convert_type(
+                        kmin & ~jnp.int32(0xFF), jnp.float32)
+                    win = tj < tout_ref[0, 0, :]
+                    j = kmin & jnp.int32(0xFF)
+                    tout_ref[0, 0, :] = jnp.where(win, tj, tout_ref[0, 0, :])
+                    triout_ref[0, 0, :] = jnp.where(
+                        win, cid * TRIS_C + s * SUBT + j,
+                        triout_ref[0, 0, :])
+                    return 0
+                if 'pk' in variant:
+                    # packed-key winner: ONE min-reduce picks (truncated
+                    # t, index); exact t/beta/gamma via onehot sums
+                    key = ((jax.lax.bitcast_convert_type(t, jnp.int32)
+                            & ~jnp.int32(0xFF)) | lane_iota)
+                    kmin = jnp.min(key, axis=-1)
+                    j = kmin & jnp.int32(0xFF)
+                    onehot = lane_iota == j[:, None]
+                    tj = jnp.sum(jnp.where(onehot, t, 0.0), axis=-1)
+                else:
+                    tj = jnp.min(t, axis=-1)
+                    is_win = t <= tj[:, None]
+                    j = jnp.min(jnp.where(is_win, lane_iota, SUBT), axis=-1)
+                    onehot = lane_iota == j[:, None]
                 be_j = jnp.sum(jnp.where(onehot, beta, 0.0), axis=-1)
                 ga_j = jnp.sum(jnp.where(onehot, gamma, 0.0), axis=-1)
                 win = tj < tout_ref[0, 0, :]
@@ -188,6 +262,6 @@ def run(variant):
           f'incl. fixed)  hitfrac={hits:.3f}', flush=True)
 
 
-for v in ('no-epi', 'no-mxu', 'no-dma', 'full', 'no-dma', 'full'):
+for v in ('full', 'lean', 'full', 'lean'):
     run(v)
 
