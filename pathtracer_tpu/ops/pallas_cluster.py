@@ -40,27 +40,24 @@ design that avoids every dynamic-indexing restriction:
   after a handful of sorted slots, and a whole-cluster slab skip prunes
   never-entered slots.
 
-  Measured on v5e (1M-tri terrain, all-hit 32x32-tile packets, 8
-  slots/packet median): ~80us fixed per packet + ~49us per slot, split
-  ~33us VPU epilogue (VMEM-bandwidth-bound), ~14us matmul (HIGHEST, 2
-  subtiles), ~0.6us DMA -> 2.8M rays/s closest-hit at 1M triangles.
+  Measured on v5e, ROUND-3 HONEST TIMING (utils/profiling.device_sync —
+  every earlier number carried async tails and per-leaf sync round
+  trips; see CLAUDE.md): per slot ~40us with the lean epilogue, split
+  ~16us matmul+DMA+min (HIGHEST, 2 subtiles) + ~24us VPU epilogue —
+  every elementwise op in a Mosaic kernel is a FULL VMEM round trip
+  (nothing fuses), so epilogue op count is the cost model.  tris_c 256
+  vs 512 A/B: 512 wins (267 vs 253ms on the 1M terrain).
 
-  1080p closest-hit after the root-exit clamp + tile ordering (round 2):
-  closed 2.4M-tri sphere 3.8M rays/s (med slots/packet 0 — sky packets
-  cull to nothing), terrain all-hit 2.5M, open-sky grazing worst case
-  4.4M (was 0.25M).  CEILING ANALYSIS: cost is now ~purely slot sweeps —
-  packets_covering_mesh x slots x 49us.  An all-hit 1080p view at ~9
-  slots/packet costs ~0.9s/2M rays => ~2.2M rays/s; reaching the 62.5M
-  rays/s per-chip share needs ~27x, which this formulation cannot reach
-  by tuning: the epilogue's (BLOCK, 6*SUBT) f32 traffic is VMEM-bandwidth
-  bound (33us/slot ~= 15MB at ~1.3TB/s x several passes) and shrinking
-  SUBT trades it for fixed overhead.  The structural paths are (a)
-  smaller packets with tighter frusta (fewer tris tested per ray), (b) a
-  bf16 prefilter pass with exact re-test of candidates, (c) per-lane
-  cluster assignment (sorting rays to clusters, not clusters to packets)
-  — all future work; the SMEM packet tier (<=8k tris) already reaches
-  19.3M live rays/s END-TO-END at 1080p, so the gap is specific to
-  multi-M-triangle scenes.
+  1080p closest-hit, round 3 (hierarchical octant cull + lean sweep):
+  closed 2.4M-tri sphere 7.3M rays/s (284ms: cull 20ms + sweep ~180ms +
+  windows/recompute ~80ms), 1M terrain all-hit 8.2M, 2k-tri mesh 22.4M
+  (the cluster tier now beats the SMEM packet kernel at EVERY size and
+  is the universal TPU tier, scene/mesh.py).  Reaching the 62.5M/chip
+  share still needs ~8x on multi-M scenes; remaining structural paths:
+  (a) smaller packets with tighter frusta, (b) a bf16 prefilter with
+  exact re-test (hard: per-lane gating is impossible and any-lane
+  subtile gating fires ~always at BLOCK=1024), (c) fewer slots/packet
+  via cluster shapes with less AABB overlap.
   Hard-won rules embedded here (violations measured, do not rediscover):
     * jit the WHOLE pipeline (`_two_level_exec`): per-call closures under
       lax.map/cond re-trace + re-compile every call (~6s/call constant);
@@ -752,9 +749,12 @@ def _sweep_any_kernel(ids_ref, cnt_ref, keys_ref,
                 t = -(on / dn)
                 beta = oU + t * dU
                 gamma = oV + t * dV
+                # bary-min merge (same as the lean closest-hit epilogue:
+                # each elementwise op is a full VMEM round trip)
+                bary = jnp.minimum(jnp.minimum(beta, gamma),
+                                   1.0 - (beta + gamma))
                 ok = ((t >= 0.0) & (t > tn[:, None]) & (t < cap()[:, None])
-                      & (beta >= 0.0) & (gamma >= 0.0)
-                      & (beta + gamma <= 1.0))
+                      & (bary >= 0.0))
                 hit = jnp.any(ok, axis=-1).astype(jnp.float32)
                 occ_ref[0, 0, :] = jnp.maximum(occ_ref[0, 0, :], hit)
                 return 0
@@ -1059,8 +1059,17 @@ def _hier_cull(cb, org, dirn, tmax, maxc: int = MAXC, exclude=None):
             dl = dlo[:, kk:kk + 1]
             dh = dhi[:, kk:kk + 1]
             # within one octant both dl/dh share a sign; guard exact
-            # zeros (degenerate axis) with the infinite slab
+            # zeros (degenerate axis).  An all-zero axis still culls by
+            # POSITION: no ray can ever enter a cluster whose slab does
+            # not overlap the packet's origin interval (top-down terrain
+            # rays have d == 0 on x/z — without this the interval tells
+            # nothing, candidates degrade to index order, and the
+            # windowed rounds crawl through every cluster: measured
+            # 0.6 -> 2.25s on the 1M-terrain all-hit view)
             onesign = (dl > 0.0) | (dh < 0.0)
+            allzero = (dl == 0.0) & (dh == 0.0)
+            no_overlap = allzero & ((hi_c[None, :] < ol)
+                                    | (lo_c[None, :] > oh))
             il1 = 1.0 / jnp.where(onesign, dl, 1.0)
             il2 = 1.0 / jnp.where(onesign, dh, 1.0)
             a1 = lo_c[None, :] - oh
@@ -1079,6 +1088,8 @@ def _hier_cull(cb, org, dirn, tmax, maxc: int = MAXC, exclude=None):
                             jnp.maximum(b2 * il1, b2 * il2)))
             t_lo = jnp.where(onesign, t_lo, -BIG_T)
             t_hi = jnp.where(onesign, t_hi, BIG_T)
+            t_lo = jnp.where(no_overlap, BIG_T, t_lo)    # empty interval
+            t_hi = jnp.where(no_overlap, -BIG_T, t_hi)
             return t_lo, t_hi
 
         tx_lo, tx_hi = axis(lox, hix, 0)
@@ -1660,7 +1671,7 @@ def two_level_any(cm: ClusteredMesh, org, dirn, tmax, tmin=None,
 def two_level_hit(cm: ClusteredMesh, org, dirn, tmax, tmin=None,
                   interpret=False, refine_rounds: int = 1,
                   return_residual: bool = False, exhaustive: bool = True,
-                  soup: Optional[TriSoup] = None):
+                  soup: Optional[TriSoup] = None, with_bary: bool = True):
     """Full two-level closest hit: (t, tri, alpha, beta) like packet_hit.
 
     tri indexes the BVH-ordered soup (map through cm.order for original
@@ -1690,9 +1701,13 @@ def two_level_hit(cm: ClusteredMesh, org, dirn, tmax, tmin=None,
         exhaustive=exhaustive)
     # the lean sweep kernel returns (t, tri) winners only — barycentrics
     # are recomputed per ray (callers with a resident soup pass it in;
-    # valid winners always index real, unpadded triangles)
-    al, be = recompute_bary(soup if soup is not None else _soup_for(cm),
-                            org, dirn, t, tri)
+    # valid winners always index real, unpadded triangles).  A gather
+    # costs per ROW on TPU, so callers that already gather a per-winner
+    # shading row (scene._merge_mesh_hit) pass with_bary=False and fold
+    # the recompute into that single gather instead.
+    if with_bary:
+        al, be = recompute_bary(
+            soup if soup is not None else _soup_for(cm), org, dirn, t, tri)
     out = (t[:n_orig], tri[:n_orig], al[:n_orig], be[:n_orig])
     if return_residual:
         return out + (res[:n_orig],)

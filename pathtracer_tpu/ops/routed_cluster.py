@@ -269,7 +269,7 @@ def _routed_exec(arrays, org, dirn, tmax, tmin, *, n_clusters: int,
 def routed_hit(cm: pc.ClusteredMesh, org, dirn, tmax, tmin=None,
                interpret: bool = False, rounds: int = 1, ks: int = 8,
                refine_rounds: int = 1, return_residual: bool = False,
-               soup=None):
+               soup=None, with_bary: bool = True):
     """Closest hit via routed per-lane sweeps + packet seal.
 
     Same contract as two_level_hit: (t, tri, alpha, beta), tri in
@@ -289,8 +289,11 @@ def routed_hit(cm: pc.ClusteredMesh, org, dirn, tmax, tmin=None,
         interpret=interpret, rounds=rounds, ks=ks,
         refine_rounds=refine_rounds)
     # lean sweep kernel: winners only — recompute barycentrics per ray
-    al, be = pc.recompute_bary(
-        soup if soup is not None else pc._soup_for(cm), org, dirn, t, tri)
+    # (with_bary=False callers fold it into their own shading gather)
+    if with_bary:
+        al, be = pc.recompute_bary(
+            soup if soup is not None else pc._soup_for(cm), org, dirn,
+            t, tri)
     out = (t[:n_orig], tri[:n_orig], al[:n_orig], be[:n_orig])
     if return_residual:
         return out + (res[:n_orig],)

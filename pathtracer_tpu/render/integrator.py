@@ -722,7 +722,10 @@ def trace_paths(sc: scn.SceneArrays, origins, dirs, rng_state, cp_r12,
             state, cp_r12, bg_pixel, lane_id = _sort_wavefront(
                 state, cp_r12, bg_pixel, lane_id)
 
-    if sort_rays:
+    # at 1 bounce no sort ever ran (the loop sorts between bounces), so
+    # skip the unsort: it is a no-op AND its identity-permutation scatter
+    # check-fails the XLA:TPU scatter emitter (measured on v5e)
+    if sort_rays and nb_bounces > 1:
         with jax.named_scope('unsort'):
             # scatter-inverse + one packed gather (see _sort_wavefront)
             inv = jnp.zeros((n,), jnp.int32).at[lane_id].set(

@@ -253,11 +253,14 @@ def upload_mesh(md: obj_io.MeshData, obj_row: int,
     else:
         packed = ()
 
-    # beyond the SMEM tier, the two-level cluster kernel takes over on
-    # TPU (ops/pallas_cluster.py); CPU keeps the XLA lockstep bvh_hit
+    # the two-level cluster kernel is the TPU tier for EVERY mesh size
+    # (round 3): with the hierarchical cull + lean sweep it measures
+    # 22.4M rays/s on 1080p primaries at 2k tris vs 8.9M through the
+    # SMEM packet kernel (and shadows get the cheap any-hit sweep).
+    # CPU keeps the XLA lockstep bvh_hit.  The packet arrays are still
+    # built below (explicit use_cluster=False keeps that tier testable).
     if use_cluster is None:
-        use_cluster = (len(order) > PACKET_MAX_TRIS
-                       and jax.default_backend() == 'tpu')
+        use_cluster = jax.default_backend() == 'tpu'
     if use_cluster:
         from ..ops import pallas_cluster
         cmesh = pallas_cluster.build_clustered(tri_verts, fb=fb)
@@ -314,6 +317,25 @@ def upload_mesh(md: obj_io.MeshData, obj_row: int,
         _add('fc', np.asarray(fc))
     if se is not None:
         _add('se', np.asarray(se, np.float32))
+    if use_cluster:
+        # edge-matrix rows for the per-ray barycentric recompute (the
+        # lean cluster sweep returns (t, tri) winners only): packing them
+        # HERE makes the whole bary+shading fetch ONE row gather — a
+        # gather costs per ROW on TPU (~80ms per 2M-lane gather at 1080p
+        # regardless of width), so a second per-bounce gather for the
+        # bary table alone was as expensive as the whole shading fetch.
+        ov = tri_verts[order].astype(np.float64)
+        av_ = ov[:, 0]
+        uv_ = ov[:, 1] - av_
+        vv_ = ov[:, 2] - av_
+        m11_ = (uv_ * uv_).sum(-1)
+        m12_ = (uv_ * vv_).sum(-1)
+        m22_ = (vv_ * vv_).sum(-1)
+        det_ = m11_ * m22_ - m12_ * m12_
+        inv_ = 1.0 / np.where(det_ != 0, det_, 1.0)
+        _add('bary', np.concatenate(
+            [av_, uv_, vv_, m11_[:, None], m12_[:, None], m22_[:, None],
+             inv_[:, None]], axis=1).astype(np.float32))
     shade_pack = (jnp.asarray(np.concatenate(parts, axis=1))
                   if parts else None)
 

@@ -587,7 +587,7 @@ def _mesh_alpha(mesh, mh):
 
 
 def _mesh_closest_hit(mesh, org_l, dir_l, t_max, cutout_rounds=None,
-                      t_min=None):
+                      t_min=None, need_bary: bool = True):
     """Closest hit honoring alpha cutouts: re-intersect past texels with
     alpha < 0.5, up to cutout_rounds skips (the reference skips them inside
     the leaf loop, TriangleMesh.cpp:1199-1205; the wavefront equivalent is
@@ -604,6 +604,11 @@ def _mesh_closest_hit(mesh, org_l, dir_l, t_max, cutout_rounds=None,
     if cutout_rounds is None:
         cutout_rounds = getattr(mesh, 'cutout_rounds', 4)
     has_alpha = any(gt.alpha is not None for gt in mesh.textures)
+    # alpha-cutout rounds need real barycentrics per round; otherwise
+    # callers that fold the recompute into their own shading gather
+    # (scene._merge_mesh_hit) or never read them (shadow path) pass
+    # need_bary=False — a per-ray gather is ~80ms per 2M lanes on TPU
+    with_bary = has_alpha or need_bary
 
     def one_hit(t_min):
         if mesh.use_cluster:
@@ -623,7 +628,7 @@ def _mesh_closest_hit(mesh, org_l, dir_l, t_max, cutout_rounds=None,
                     cmesh, org_l, dir_l, t_max, tmin=t_min,
                     interpret=jax.default_backend() != 'tpu',
                     refine_rounds=rr, return_residual=True,
-                    soup=mesh.soup)
+                    soup=mesh.soup, with_bary=with_bary)
             else:
                 # dense tier (every practical mesh): the exhaustive
                 # windowed sweep inside two_level_hit guarantees res is
@@ -634,7 +639,7 @@ def _mesh_closest_hit(mesh, org_l, dir_l, t_max, cutout_rounds=None,
                     cmesh, org_l, dir_l, t_max, tmin=t_min,
                     interpret=jax.default_backend() != 'tpu',
                     refine_rounds=rr, return_residual=True,
-                    soup=mesh.soup)
+                    soup=mesh.soup, with_bary=with_bary)
 
             # overflow soundness net (SMEM-cull tier / routed path only):
             # lanes the refinement could not prove exact re-traverse the
@@ -710,7 +715,9 @@ def _merge_mesh_hit(sc: SceneArrays, mesh, origins, dirs, cur: Hit,
         org_l, dir_l = origins, dirs
     else:
         org_l, dir_l = _local_ray_row(sc, row, origins, dirs)
-    mh = _mesh_closest_hit(mesh, org_l, dir_l, cur.t)
+    has_bary_col = any(n == 'bary' for n, _, _ in mesh.shade_cols)
+    mh = _mesh_closest_hit(mesh, org_l, dir_l, cur.t,
+                           need_bary=not has_bary_col)
 
     tri = jnp.maximum(mh.tri, 0)
     sf = _shade_fetch(mesh, tri)
@@ -729,7 +736,26 @@ def _merge_mesh_hit(sc: SceneArrays, mesh, origins, dirs, cur: Hit,
     win = mh.t < cur.t
     if avoid_ghosts:
         win = win & ~_obj(sc.ghost)
-    al, be, ga = traverse_bary_cleanup(mh)
+    if has_bary_col and 'bary' in sf and not any(
+            gt.alpha is not None for gt in mesh.textures):
+        # lean cluster tier: (t, tri) winners only — recompute the
+        # barycentrics from the SAME shading row gather (edge-matrix
+        # formula of traverse._tri_test_block; a separate per-ray bary
+        # gather costs as much as the whole shading fetch)
+        from ..ops import traverse
+        bb = sf['bary']                      # a(3) u(3) v(3) m11 m12 m22 inv
+        p_b = org_l + mh.t[:, None] * dir_l
+        pxv = p_b - bb[:, 0:3]
+        b11 = jnp.sum(pxv * bb[:, 3:6], axis=-1)
+        b21 = jnp.sum(pxv * bb[:, 6:9], axis=-1)
+        be = (b11 * bb[:, 11] - b21 * bb[:, 10]) * bb[:, 12]
+        ga = (b21 * bb[:, 9] - b11 * bb[:, 10]) * bb[:, 12]
+        hitl = mh.tri >= 0
+        be = jnp.where(hitl, be, 0.0)
+        ga = jnp.where(hitl, ga, 0.0)
+        al, be, ga = traverse.bary_cleanup(1.0 - be - ga, be, ga)
+    else:
+        al, be, ga = traverse_bary_cleanup(mh)
 
     # shading normal (TriangleMesh.cpp:940-948)
     if mesh.interp_normals:
@@ -1189,7 +1215,10 @@ def intersect_shadow(sc: SceneArrays, origins, dirs, dist_light,
             # fewer slots + fire the early break: t is transform-invariant
             # because _local_ray_row keeps dir_l unnormalized (the same
             # convention _merge_mesh_hit's cur.t pruning relies on).
-            mh = _mesh_closest_hit(mesh, org_l, dir_l, limit)
+            # occlusion only needs t (alpha meshes force their own
+            # barycentrics internally for the cutout rounds)
+            mh = _mesh_closest_hit(mesh, org_l, dir_l, limit,
+                                   need_bary=False)
             mb = mh.t < limit
         elif mesh.use_brute:
             mb = traverse.brute_force_any(mesh.soup, org_l, dir_l, limit)
