@@ -87,11 +87,12 @@ def main():
 
     # fwd+bwd ms/frame (the BASELINE.md reported metric): gradient of the
     # mean image wrt materials + light through the detached-sampling
-    # estimator at 1080p.  Measured at 4 spp (one backward holds the whole
-    # spp scan live); a 64-spp frame is 16 independent sample waves, so
-    # frame time = 16x the measured wave (waves share no state).
+    # estimator at 1080p.  remat_samples makes the FULL 64-spp frame fit
+    # one backward (each sample wave recomputed during bwd), so this is a
+    # MEASURED frame time, not a 16x extrapolation of a 4-spp wave.
     from pathtracer_tpu.core import rng_host
-    gcfg = pt.RenderConfig(width=W, height=H, nrays=4, nb_bounces=BOUNCES)
+    gcfg = pt.RenderConfig(width=W, height=H, nrays=64, nb_bounces=BOUNCES,
+                           remat_samples=True)
     cp = jnp.asarray(rng_host.random_per_pixel_fast(W, H))
 
     @jax.jit
@@ -105,10 +106,13 @@ def main():
     from pathtracer_tpu.utils.profiling import device_sync
     g = fwd_bwd(sc.kd, sc.light_intensity)
     device_sync(g)
-    t0 = time.perf_counter()
-    g = fwd_bwd(sc.kd, sc.light_intensity)
-    device_sync(g)
-    fwd_bwd_wave_ms = (time.perf_counter() - t0) * 1e3
+    fwd_bwd_frame_ms = float('inf')
+    for _ in range(2):
+        t0 = time.perf_counter()
+        g = fwd_bwd(sc.kd, sc.light_intensity)
+        device_sync(g)
+        fwd_bwd_frame_ms = min(fwd_bwd_frame_ms,
+                               (time.perf_counter() - t0) * 1e3)
 
     per_chip_target = 1e9 / 16.0
     print(json.dumps({
@@ -118,8 +122,7 @@ def main():
         "vs_baseline": rays_per_s / per_chip_target,
         "mesh_scene_rays_per_s": mesh_rays_per_s,
         "mesh_scene_tris": int(md.num_triangles),
-        "fwd_bwd_ms_per_frame_1080p64": fwd_bwd_wave_ms * 16.0,
-        "fwd_bwd_ms_measured_4spp": fwd_bwd_wave_ms,
+        "fwd_bwd_ms_per_frame_1080p64": fwd_bwd_frame_ms,
     }))
 
 

@@ -51,6 +51,12 @@ class RenderConfig(NamedTuple):
     compact_rays: bool = False  # stream compaction: skip all-dead lane
                                 # segments after each bounce (implies the
                                 # octant sort; SURVEY §2.7 wavefront queue)
+    remat_samples: bool = False  # jax.checkpoint the per-sample scan body
+                                # in render_unsplatted: the backward pass
+                                # recomputes each sample wave instead of
+                                # holding every iterate live — a FULL
+                                # 1080p x 64spp fwd+bwd fits one call
+                                # (2.9s on v5e; without it >4 spp OOMs)
 
 
 
@@ -219,7 +225,8 @@ def render_unsplatted(sc: scn.SceneArrays, cam: cam_mod.Camera, cp_table,
             compact_rays=cfg.compact_rays)
         return acc + color, color
 
-    acc, samples = jax.lax.scan(per_sample, jnp.zeros((h * w, 3), jnp.float32),
+    body = jax.checkpoint(per_sample) if cfg.remat_samples else per_sample
+    acc, samples = jax.lax.scan(body, jnp.zeros((h * w, 3), jnp.float32),
                                 jnp.arange(nspp, dtype=jnp.int32))
     # samples: (nspp, N, 3) -> (h, w, nspp, 3)
     samples = jnp.moveaxis(samples, 0, 1).reshape(h, w, nspp, 3)
