@@ -188,6 +188,10 @@ class PathState(NamedTuple):
     # denoiser aux captured at the primary hit (Raytracer.cpp:254-257)
     normal_aux: jnp.ndarray   # (N,3)
     albedo_aux: jnp.ndarray   # (N,3)
+    # surface-locality key of this bounce's hit (scene.Hit.lkey): the
+    # octant sort's secondary key.  NOT preserved across the sort — the
+    # next bounce recomputes it from its own hit before any use.
+    lkey: jnp.ndarray = None  # (N,) int32
 
 
 SS_SIGMA = np.float32(1.5)                       # Raytracer.cpp:330
@@ -286,7 +290,12 @@ def _sort_wavefront(state: PathState, cp_r12, bg_pixel, lane_id):
         octant = ((d[:, 0] > 0).astype(jnp.int32) * 4
                   + (d[:, 1] > 0).astype(jnp.int32) * 2
                   + (d[:, 2] > 0).astype(jnp.int32))
-        key = jnp.where(state.alive, octant, 8)
+        # direction-major, surface-patch-minor: within an octant, lanes
+        # group by the cluster their ray STARTS on (hit.lkey) — measured
+        # 12% off the bounce-2 cluster sweep; cluster-major ordering
+        # measured 2x SLOWER (direction locality dominates)
+        lk = jnp.clip(state.lkey, 0, 8191)
+        key = jnp.where(state.alive, (octant << 13) | lk, 8 << 13)
         perm = jnp.argsort(key, stable=True)
 
         # Apply the permutation as ONE row gather of a packed (N, C)
@@ -323,7 +332,8 @@ def _sort_wavefront(state: PathState, cp_r12, bg_pixel, lane_id):
             alive=(flags & 1) != 0,
             show_lights=(flags & 2) != 0, show_env=(flags & 4) != 0,
             had_ss=(flags & 8) != 0, rng=rng,
-            normal_aux=col3(4), albedo_aux=col3(5))
+            normal_aux=col3(4), albedo_aux=col3(5),
+            lkey=jnp.zeros_like(state.lkey))  # recomputed next bounce
     return state, cp_r12, bg_pixel, lane_id
 
 
@@ -370,6 +380,7 @@ def trace_paths(sc: scn.SceneArrays, origins, dirs, rng_state, cp_r12,
         had_ss=jnp.zeros((n,), bool),
         rng=rng_state,
         normal_aux=zeros3, albedo_aux=zeros3,
+        lkey=jnp.zeros((n,), jnp.int32),
     )
     ss_enabled = sc.ss_enabled
 
@@ -668,6 +679,8 @@ def trace_paths(sc: scn.SceneArrays, origins, dirs, rng_state, cp_r12,
             show_env=new_show_env,
             had_ss=new_had_ss,
             rng=rng_st,
+            lkey=(jnp.where(hit.hit, hit.lkey, 0)
+                  if hit.lkey is not None else state.lkey),
         )
 
     def segmented(depth, state, cp_r12, bg_pixel):

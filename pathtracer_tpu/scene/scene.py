@@ -147,6 +147,14 @@ class Hit(NamedTuple):
     miroir: jnp.ndarray     # (N,) bool
     ghost: jnp.ndarray      # (N,) bool
     brdf_type: jnp.ndarray  # (N,) int32: 0=Phong, k+1=measured table k
+    # surface-locality key for the wavefront's secondary-ray sort: mesh
+    # hits carry their CLUSTER id (the sweep kernel's working-set
+    # granularity), analytic hits their object row.  Sorting bounce rays
+    # by (direction octant, lkey) keeps packets on one surface patch —
+    # measured 12% off the bounce-2 cluster sweep (a finer 27-bit Morton
+    # sub-key measured SLOWER in round 2: too fine, destroyed the
+    # direction sub-locality packets also need).
+    lkey: jnp.ndarray = None   # (N,) int32 in [0, 8191]
 
 
 def _local_ray(sc: SceneArrays, origins, dirs):
@@ -329,6 +337,7 @@ def intersect(sc: SceneArrays, origins, dirs, avoid_ghosts=False) -> Hit:
         refr_index=row(sc.refr_index),
         miroir=row(sc.miroir) & hit, ghost=row(sc.ghost) & hit,
         brdf_type=row(sc.brdf_type),
+        lkey=obj_id,
     )
 
     # analytic-object texture channels: constant material x image, sphere
@@ -429,6 +438,7 @@ def _merge_yarn_hit(sc: SceneArrays, ya, origins, dirs, cur: Hit,
         miroir=jnp.where(win, sc.miroir[row], cur.miroir),
         ghost=jnp.where(win, sc.ghost[row], cur.ghost),
         brdf_type=jnp.where(win, sc.brdf_type[row], cur.brdf_type),
+        lkey=jnp.where(win, jnp.int32(row), cur.lkey),
     )
 
 
@@ -513,6 +523,7 @@ def _merge_pointset_hit(sc: SceneArrays, ps, origins, dirs, cur: Hit,
         miroir=jnp.where(win, sc.miroir[row], cur.miroir),
         ghost=jnp.where(win, sc.ghost[row], cur.ghost),
         brdf_type=jnp.where(win, sc.brdf_type[row], cur.brdf_type),
+        lkey=jnp.where(win, jnp.int32(row), cur.lkey),
     )
 
 
@@ -540,6 +551,27 @@ def _shade_fetch(mesh, tri):
         return {}
     rows = mesh.shade_pack[tri]
     return {name: rows[:, s:s + w] for name, s, w in mesh.shade_cols}
+
+
+def _bary_from_pack(mesh, org_l, dir_l, t, tri, sf=None):
+    """Winner barycentrics from the shade_pack 'bary' columns (the lean
+    cluster tier returns (t, tri) only; see ops/pallas_cluster
+    recompute_bary).  Edge-matrix formula of traverse._tri_test_block —
+    bit-matched to the brute oracle.  Pass an existing _shade_fetch
+    result to reuse its gather."""
+    if sf is None:
+        sf = _shade_fetch(mesh, jnp.maximum(tri, 0))
+    bb = sf['bary']                  # a(3) u(3) v(3) m11 m12 m22 inv
+    p_b = org_l + t[:, None] * dir_l
+    pxv = p_b - bb[:, 0:3]
+    b11 = jnp.sum(pxv * bb[:, 3:6], axis=-1)
+    b21 = jnp.sum(pxv * bb[:, 6:9], axis=-1)
+    be = (b11 * bb[:, 11] - b21 * bb[:, 10]) * bb[:, 12]
+    ga = (b21 * bb[:, 9] - b11 * bb[:, 10]) * bb[:, 12]
+    hitl = tri >= 0
+    be = jnp.where(hitl, be, 0.0)
+    ga = jnp.where(hitl, ga, 0.0)
+    return 1.0 - be - ga, be, ga
 
 
 def _mesh_uv(mesh, tri, al, be, ga, sf=None):
@@ -622,13 +654,18 @@ def _mesh_closest_hit(mesh, org_l, dir_l, t_max, cutout_rounds=None,
             rr = int(os.environ.get('PT_REFINE_ROUNDS', '1'))
             dense = mesh.n_clusters <= pallas_cluster.DENSE_CULL_MAX
             routed = getattr(mesh, 'use_routed', False)
+            # barycentrics come from the shade_pack 'bary' columns
+            # when packed (one row gather; no soup dependency), else
+            # from the soup inside the kernel wrapper
+            has_pack = any(nm == 'bary' for nm, _, _ in mesh.shade_cols)
+            wb = with_bary and not has_pack
             if routed:
                 from ..ops import routed_cluster
                 t, tri, al, be, res = routed_cluster.routed_hit(
                     cmesh, org_l, dir_l, t_max, tmin=t_min,
                     interpret=jax.default_backend() != 'tpu',
                     refine_rounds=rr, return_residual=True,
-                    soup=mesh.soup, with_bary=with_bary)
+                    soup=mesh.soup if wb else None, with_bary=wb)
             else:
                 # dense tier (every practical mesh): the exhaustive
                 # windowed sweep inside two_level_hit guarantees res is
@@ -639,7 +676,7 @@ def _mesh_closest_hit(mesh, org_l, dir_l, t_max, cutout_rounds=None,
                     cmesh, org_l, dir_l, t_max, tmin=t_min,
                     interpret=jax.default_backend() != 'tpu',
                     refine_rounds=rr, return_residual=True,
-                    soup=mesh.soup, with_bary=with_bary)
+                    soup=mesh.soup if wb else None, with_bary=wb)
 
             # overflow soundness net (SMEM-cull tier / routed path only):
             # lanes the refinement could not prove exact re-traverse the
@@ -656,6 +693,8 @@ def _mesh_closest_hit(mesh, org_l, dir_l, t_max, cutout_rounds=None,
                     mesh.bvh, mesh.soup, org_l, dir_l, res,
                     max_leaf=mesh.max_leaf, t=t, tri=tri, alpha=al,
                     beta=be, t_min=t_min)
+            if with_bary and has_pack:
+                al, be, _ga = _bary_from_pack(mesh, org_l, dir_l, t, tri)
             return traverse.MeshHit(t=t, tri=tri, alpha=al, beta=be,
                                     gamma=1.0 - al - be)
         if mesh.use_packet:
@@ -739,21 +778,12 @@ def _merge_mesh_hit(sc: SceneArrays, mesh, origins, dirs, cur: Hit,
     if has_bary_col and 'bary' in sf and not any(
             gt.alpha is not None for gt in mesh.textures):
         # lean cluster tier: (t, tri) winners only — recompute the
-        # barycentrics from the SAME shading row gather (edge-matrix
-        # formula of traverse._tri_test_block; a separate per-ray bary
-        # gather costs as much as the whole shading fetch)
+        # barycentrics from the SAME shading row gather (a separate
+        # per-ray bary gather costs as much as the whole shading fetch)
         from ..ops import traverse
-        bb = sf['bary']                      # a(3) u(3) v(3) m11 m12 m22 inv
-        p_b = org_l + mh.t[:, None] * dir_l
-        pxv = p_b - bb[:, 0:3]
-        b11 = jnp.sum(pxv * bb[:, 3:6], axis=-1)
-        b21 = jnp.sum(pxv * bb[:, 6:9], axis=-1)
-        be = (b11 * bb[:, 11] - b21 * bb[:, 10]) * bb[:, 12]
-        ga = (b21 * bb[:, 9] - b11 * bb[:, 10]) * bb[:, 12]
-        hitl = mh.tri >= 0
-        be = jnp.where(hitl, be, 0.0)
-        ga = jnp.where(hitl, ga, 0.0)
-        al, be, ga = traverse.bary_cleanup(1.0 - be - ga, be, ga)
+        al, be, ga = _bary_from_pack(mesh, org_l, dir_l, mh.t, mh.tri,
+                                     sf=sf)
+        al, be, ga = traverse.bary_cleanup(al, be, ga)
     else:
         al, be, ga = traverse_bary_cleanup(mh)
 
@@ -929,6 +959,15 @@ def _merge_mesh_hit(sc: SceneArrays, mesh, origins, dirs, cur: Hit,
         miroir=jnp.where(win, _obj(sc.miroir), cur.miroir),
         ghost=jnp.where(win, _obj(sc.ghost), cur.ghost),
         brdf_type=jnp.where(win, _obj(sc.brdf_type), cur.brdf_type),
+        # surface-locality sort key: the winner's CLUSTER id (the sweep
+        # working set; clusters are contiguous tris_c chunks of the BVH
+        # order), clamped to the 13-bit key budget
+        lkey=jnp.where(
+            win,
+            jnp.minimum(tri // max(1, -(-mesh.num_triangles
+                                        // max(mesh.n_clusters, 1))),
+                        8191).astype(jnp.int32),
+            cur.lkey),
     )
 
 
@@ -1111,8 +1150,14 @@ def reservoir_same_object(sc: SceneArrays, origins, dirs, tmax, obj_id, u):
             lane_on_mesh = obj_id == row
             found_m, mt, mtri, a3, b3, g3 = _mesh_reservoir_march(
                 mesh, org_m, dir_m, tmax_, u)
-            n_m = (mesh.n0[mtri] * a3[:, None] + mesh.n1[mtri] * b3[:, None]
-                   + mesh.n2[mtri] * g3[:, None])
+            sfm = _shade_fetch(mesh, jnp.maximum(mtri, 0))
+            if 'n0' in sfm:
+                n_m = (sfm['n0'] * a3[:, None] + sfm['n1'] * b3[:, None]
+                       + sfm['n2'] * g3[:, None])
+            else:
+                n_m = (mesh.n0[mtri] * a3[:, None]
+                       + mesh.n1[mtri] * b3[:, None]
+                       + mesh.n2[mtri] * g3[:, None])
             m_found = lane_on_mesh & found_m
             found = jnp.where(lane_on_mesh, m_found, found)
             t_sel = jnp.where(m_found, mt, t_sel)

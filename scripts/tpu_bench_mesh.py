@@ -291,9 +291,25 @@ def stage_routed():
         log(f'[{name}] max|dt| {np.abs(t_a - t_b).max():.2e}')
 
 
+def stage_office_e2e():
+    """Config-5 capability: 23.7M triangles END-TO-END through the full
+    renderer (closest + NEE shadow per bounce, compaction + sort) at
+    1080p.  Memory: packed A-matrices ~5GB + shade_pack (normals + bary
+    rows) ~2.1GB + soup/attribute arrays ~4GB of the 16GB HBM."""
+    md = procgen.sphere_mesh(3445, 3445, radius=14.0, displace_amp=0.25)
+    log('office-scale mesh tris:', md.num_triangles)
+    t0 = time.perf_counter()
+    sc = build_mesh_scene(md)
+    m = sc.meshes[0]
+    log(f'upload {time.perf_counter() - t0:.1f}s use_cluster={m.use_cluster} '
+        f'n_clusters={m.n_clusters}')
+    bench_render(sc, 'office-23.7M', spp_warm=1, spp_bench=2)
+
+
 if __name__ == '__main__':
     stage = sys.argv[1] if len(sys.argv) > 1 else 'packet'
     log('devices:', jax.devices())
     {'packet': stage_packet, 'cluster': stage_cluster,
      'render': stage_render, 'big': stage_big,
-     'office': stage_office, 'routed': stage_routed}[stage]()
+     'office': stage_office, 'office-e2e': stage_office_e2e,
+     'routed': stage_routed}[stage]()
