@@ -3,7 +3,7 @@ item: the multichip dryrun proves wiring, not scaling).
 
 Renders a fixed analytic scene at dp = 1, 2, 4, 8 over
 xla_force_host_platform_device_count=8 virtual CPU devices and records
-wall time + speedup into SCALING_r02.json.  Virtual devices share the
+wall time + speedup into SCALING_r03.json.  Virtual devices share the
 host's physical cores, so the curve demonstrates sharding mechanics and
 near-flat *work* scaling (the per-device shard shrinks 1/dp), not real
 chip speedup — that needs a pod.  The honest metric here is
@@ -70,9 +70,9 @@ def main():
         out['results'].append({'dp': dp, 'wall_s': round(best, 4),
                                'speedup_vs_dp1': round(t1 / best, 3)})
         print(out['results'][-1], flush=True)
-    with open('/root/repo/SCALING_r02.json', 'w') as f:
+    with open('/root/repo/SCALING_r03.json', 'w') as f:
         json.dump(out, f, indent=1)
-    print('wrote SCALING_r02.json')
+    print('wrote SCALING_r03.json')
 
 
 if __name__ == '__main__':
