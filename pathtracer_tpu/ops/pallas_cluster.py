@@ -96,7 +96,7 @@ import os
 _SUBTILE_SKIP = os.environ.get('PT_NO_SUBTILE_SKIP') != '1'
 
 BIG_T = np.float32(1e30)
-BLOCK = 1024          # rays per packet (shared with pallas_bvh)
+BLOCK = 512           # rays per packet (cluster tier; pallas_bvh keeps 1024)
 TRIS_C = 512          # triangles per cluster (padded)
 SUBT = 256            # phase-2 triangle subtile (128-multiple): bounds the
                       # live (BLOCK, 6*SUBT) matmul output + epilogue temps

@@ -228,10 +228,11 @@ def test_hier_two_level_matches_brute_force():
     tmax = jnp.full((n,), BIG_T)
     t, tid, al, be = pc.two_level_hit(cm, org, dirn, tmax, interpret=True)
     ref = brute_force_hit(pc.flat_soup(cm), org, dirn)
-    # plane-matmul vs edge-matrix op-order drift grows with soup size:
-    # 1/1024 lanes at 1.3e-5 rel on this 80k soup
+    # plane-matmul vs edge-matrix op-order drift + the packed-key winner
+    # truncation (near-coincident soup triangles can tie within 2^-16):
+    # ~1/512 lanes at ~1e-5 abs on this random 80k soup
     np.testing.assert_allclose(np.asarray(t), np.asarray(ref.t),
-                               rtol=3e-5, atol=1e-6)
+                               rtol=3e-5, atol=2e-5)
     match = (np.asarray(tid) == np.asarray(ref.tri))
     assert match.mean() > 0.999
 
