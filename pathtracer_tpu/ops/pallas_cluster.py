@@ -130,6 +130,9 @@ class ClusteredMesh(NamedTuple):
     cb_lox: jnp.ndarray; cb_loy: jnp.ndarray; cb_loz: jnp.ndarray
     cb_hix: jnp.ndarray; cb_hiy: jnp.ndarray; cb_hiz: jnp.ndarray
     # per-cluster sweep A-matrices, ONE (C, A_ROWS, W) f32 array where
+    # (tail also carries each cluster's BVH-order START as two exact
+    # f32 scalars — rows 3/4 of the centroid lane block — so the sweep
+    # kernel emits GLOBAL BVH positions for variable-size clusters)
     # W = n_sub*6*SUBT + TAIL + n_sub*SUB_META.  Per subtile s, columns
     # [s*6S, (s+1)*6S) hold the six plane blocks [n | U' | V' | n | U' |
     # V'] with rows grouped by the R = [o-c, 1, d, 0] component they
@@ -148,13 +151,113 @@ class ClusteredMesh(NamedTuple):
     n_clusters: int
     order: np.ndarray                # (T,) global BVH order (host):
                                      # sweep tri index -> original tri
-    host_tris: Optional[np.ndarray] = None   # (C*TRIS_C, 3, 3) padded,
-                                             # BVH order (tests/oracles)
+    host_tris: Optional[np.ndarray] = None   # (T, 3, 3) in BVH order,
+                                             # UNPADDED (tests/oracles —
+                                             # kernel tri indexes this)
+    starts: Optional[np.ndarray] = None      # (C,) int64 host: cluster ->
+                                             # first BVH position (None
+                                             # for device-rebuilt views)
+
+
+def _node_ranges(fb):
+    """Per-node contiguous triangle ranges [start, end) in BVH order.
+
+    Both builders append children AFTER their parent, so inner nodes are
+    resolved bottom-up in <= depth vectorized passes (leaves store their
+    range directly as (node_a, node_b))."""
+    a = fb.node_a.astype(np.int64)
+    b = fb.node_b.astype(np.int64)
+    leaf = fb.node_leaf
+    m = len(a)
+    start = np.where(leaf, a, -1)
+    end = np.where(leaf, b, -1)
+    # leaf a/b are TRIANGLE offsets, not node ids — mask them out of the
+    # child-index gathers
+    ac = np.where(leaf, 0, a)
+    bc = np.where(leaf, 0, b)
+    unresolved = ~leaf
+    while unresolved.any():
+        can = unresolved & (start[ac] >= 0) & (end[bc] >= 0)
+        if not can.any():
+            raise RuntimeError('BVH child-after-parent invariant broken')
+        start[can] = start[ac[can]]
+        end[can] = end[bc[can]]
+        unresolved &= ~can
+    return start, end
+
+
+def _box_area(lo, hi):
+    d = np.maximum(hi - lo, 0.0)
+    return 2.0 * (d[..., 0] * d[..., 1] + d[..., 0] * d[..., 2]
+                  + d[..., 1] * d[..., 2])
+
+
+def _subtree_ranges(fb, tris_c: int, merge_factor=1.25):
+    """Cluster ranges cut at maximal BVH subtrees of <= tris_c triangles.
+
+    Fixed contiguous tris_c-chunks of the BVH order span subtree
+    boundaries, so their AABBs overlap heavily and every nearby packet
+    sweeps them (VERDICT r03 #1b: 'cluster shapes with less AABB
+    overlap').  Subtree-aligned cuts inherit the tree's tight bounds;
+    the occupancy loss (clusters pad to tris_c) is cheap because pad
+    planes reject via NaN and all-pad subtiles skip via their AABB.
+
+    A greedy pass then merges CONSECUTIVE ranges (spatial siblings in
+    BVH order) while the merged count fits and the SAH-style expected
+    sweep cost does not grow: area(union)*(n1+n2) <=
+    merge_factor*(area1*n1 + area2*n2).  merge_factor=None merges
+    whenever the count fits (max occupancy).
+    """
+    ns, ne = _node_ranges(fb)
+    a, b, leaf = fb.node_a, fb.node_b, fb.node_leaf
+    ranges = []
+    stack = [0]
+    while stack:
+        n = stack.pop()
+        if leaf[n] or ne[n] - ns[n] <= tris_c:
+            ranges.append((int(ns[n]), int(ne[n]), int(n)))
+        else:
+            stack.append(int(b[n]))
+            stack.append(int(a[n]))
+    ranges.sort()
+    if merge_factor == 0:
+        return [(s, e - s) for s, e, _ in ranges]
+    lo_n = fb.node_lo
+    hi_n = fb.node_hi
+    out = []
+    cs, ce, clo, chi = None, None, None, None
+    for s, e, n in ranges:
+        rlo, rhi = lo_n[n], hi_n[n]
+        if cs is None:
+            cs, ce, clo, chi = s, e, rlo, rhi
+            continue
+        if (ce - cs) + (e - s) <= tris_c:
+            ulo = np.minimum(clo, rlo)
+            uhi = np.maximum(chi, rhi)
+            ok = (merge_factor is None
+                  or _box_area(ulo, uhi) * (e - cs)
+                  <= merge_factor * (_box_area(clo, chi) * (ce - cs)
+                                     + _box_area(rlo, rhi) * (e - s)))
+            if ok:
+                ce, clo, chi = e, ulo, uhi
+                continue
+        out.append((cs, ce - cs))
+        cs, ce, clo, chi = s, e, rlo, rhi
+    out.append((cs, ce - cs))
+    return out
+
+
+# cluster layout: 'subtree' (BVH-subtree-aligned cuts; the default) or
+# 'uniform' (fixed contiguous tris_c chunks — the round-1..3 layout).
+# PT_CLUSTER_LAYOUT overrides for A/B runs.
+DEFAULT_LAYOUT = os.environ.get('PT_CLUSTER_LAYOUT', 'subtree')
 
 
 def build_clustered(tri_verts: np.ndarray, fb=None,
-                    tris_c: Optional[int] = None) -> ClusteredMesh:
-    """Partition by global BVH order; top BVH over cluster bounds.
+                    tris_c: Optional[int] = None,
+                    layout: Optional[str] = None,
+                    merge_factor=1.25) -> ClusteredMesh:
+    """Partition the BVH order into clusters; top BVH over cluster bounds.
 
     fb: optional precomputed FlatBVH over tri_verts (scene/mesh.py passes
     its own so the tree is built once).
@@ -163,23 +266,45 @@ def build_clustered(tri_verts: np.ndarray, fb=None,
     auto-doubled until the cluster count fits the exact dense cull
     (<= DENSE_CULL_MAX) — e.g. 23.7M tris pack 4096/cluster into ~5.8k
     clusters.  The sweep kernel reads the width from the packed shape,
-    so no kernel change is needed per size."""
+    so no kernel change is needed per size.
+
+    layout: 'subtree' cuts at maximal BVH subtrees <= tris_c (+ greedy
+    SAH merge; see _subtree_ranges) — tighter, lower-overlap AABBs;
+    'uniform' keeps fixed contiguous chunks.  Either way the kernel's
+    tri output is the GLOBAL BVH position (cluster starts ride the
+    packed tail)."""
     t = tri_verts.shape[0]
-    if tris_c is None:
-        tris_c = TRIS_C
-        while -(-t // tris_c) > DENSE_CULL_MAX:
-            tris_c *= 2
-    assert tris_c % SUBT == 0, f'tris_c {tris_c} not a SUBT multiple'
+    if layout is None:
+        layout = DEFAULT_LAYOUT
     if fb is None:
         fb = bvh_mod.build_bvh(tri_verts)
-    ordered = tri_verts[fb.order]
-    c = -(-t // tris_c)
-    pad = c * tris_c - t
-    if pad:
-        ordered = np.concatenate(
-            [ordered, np.zeros((pad, 3, 3), np.float32)], axis=0)
-    grouped = ordered.reshape(c, tris_c, 3, 3).astype(np.float32)
-    valid = (np.arange(c * tris_c) < t).reshape(c, tris_c)
+
+    def cut(tc):
+        if layout == 'subtree':
+            return _subtree_ranges(fb, tc, merge_factor=merge_factor)
+        c_ = -(-t // tc)
+        return [(i * tc, min(tc, t - i * tc)) for i in range(c_)]
+
+    if tris_c is None:
+        tris_c = TRIS_C
+        ranges = cut(tris_c)
+        while len(ranges) > DENSE_CULL_MAX:
+            tris_c *= 2
+            ranges = cut(tris_c)
+    else:
+        ranges = cut(tris_c)
+    assert tris_c % SUBT == 0, f'tris_c {tris_c} not a SUBT multiple'
+    ordered = tri_verts[fb.order].astype(np.float32)
+    c = len(ranges)
+    starts = np.asarray([s for s, _ in ranges], np.int64)
+    counts = np.asarray([n for _, n in ranges], np.int64)
+    assert counts.sum() == t and (counts >= 1).all() \
+        and (counts <= tris_c).all()
+    # gather the (possibly variable-occupancy) ranges into padded blocks
+    gidx = starts[:, None] + np.arange(tris_c)[None, :]     # (c, tris_c)
+    valid = gidx < (starts + counts)[:, None]
+    grouped = np.where(valid[..., None, None],
+                       ordered[np.minimum(gidx, t - 1)], 0.0)
     # cluster bounds over VALID triangles only (pad tris sit at origin)
     pts = grouped.reshape(c, tris_c * 3, 3)
     vmask = np.repeat(valid, 3, axis=1)[:, :, None]
@@ -237,6 +362,11 @@ def build_clustered(tri_verts: np.ndarray, fb=None,
         packed[:, k, tail0:tail0 + 128] = arr[:, None]
     for k in range(3):
         packed[:, k, tail0 + 128:tail0 + 256] = centers[:, k][:, None]
+    # cluster start as two exact-in-f32 scalars (hi*4096 + lo; each
+    # < 2^24, recombined in int32 in-kernel) — the sweep's tri output is
+    # start + subtile*SUBT + lane, a GLOBAL BVH position
+    packed[:, 3, tail0 + 128:tail0 + 256] = (starts // 4096)[:, None]
+    packed[:, 4, tail0 + 128:tail0 + 256] = (starts % 4096)[:, None]
 
     # per-subtile AABBs over VALID triangles (empty subtiles collapse to
     # the cluster-lo point: a degenerate box the slab test almost never
@@ -286,13 +416,14 @@ def build_clustered(tri_verts: np.ndarray, fb=None,
         cb_lox=f32s(6), cb_loy=f32s(7), cb_loz=f32s(8),
         cb_hix=f32s(9), cb_hiy=f32s(10), cb_hiz=f32s(11),
         packed=jnp.asarray(packed),
-        n_clusters=c, order=fb.order, host_tris=ordered,
+        n_clusters=c, order=fb.order, host_tris=ordered, starts=starts,
     )
 
 
 def flat_soup(cm: ClusteredMesh) -> TriSoup:
-    """The clustered triangles as a flat (C*TRIS_C,) TriSoup in BVH order
-    (tests / brute-force oracles; pad triangles reject via NaN)."""
+    """The mesh triangles as a flat (T,) TriSoup in BVH order (tests /
+    brute-force oracles) — the kernel's tri output indexes this
+    directly (global BVH positions, any cluster layout)."""
     return make_soup(cm.host_tris)
 
 
@@ -525,6 +656,12 @@ def _sweep_kernel(ids_ref, cnt_ref, keys_ref,
         c_x = jnp.min(buf0[0, tail0 + 128:tail0 + 256])
         c_y = jnp.min(buf0[1, tail0 + 128:tail0 + 256])
         c_z = jnp.min(buf0[2, tail0 + 128:tail0 + 256])
+        # cluster start (global BVH position of its first triangle),
+        # recombined exactly in int32 from the two f32 tail scalars
+        start_i = (jnp.min(buf0[3, tail0 + 128:tail0 + 256])
+                   .astype(jnp.int32) * 4096
+                   + jnp.min(buf0[4, tail0 + 128:tail0 + 256])
+                   .astype(jnp.int32))
         live = slab6(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z)
 
         @pl.when(jnp.any(live))
@@ -611,7 +748,7 @@ def _sweep_kernel(ids_ref, cnt_ref, keys_ref,
                 win = tj < tout_ref[0, 0, :]
                 tout_ref[0, 0, :] = jnp.where(win, tj, tout_ref[0, 0, :])
                 triout_ref[0, 0, :] = jnp.where(
-                    win, cid * tris_c + s * SUBT + j, triout_ref[0, 0, :])
+                    win, start_i + s * SUBT + j, triout_ref[0, 0, :])
                 return 0
 
             jax.lax.fori_loop(0, n_sub, sub_body, jnp.int32(0))

@@ -34,7 +34,10 @@ def _rays(n, seed=1):
 def test_two_level_matches_brute_force():
     tri = _random_mesh(5000)
     cm = pc.build_clustered(tri)
-    assert cm.n_clusters == -(-5000 // pc.TRIS_C)
+    # subtree layout: clusters partition the BVH order, counts <= TRIS_C
+    st = np.asarray(cm.starts)
+    assert st[0] == 0 and (np.diff(st) >= 1).all()
+    assert cm.n_clusters >= -(-5000 // pc.TRIS_C)
 
     n = 1024
     org, dirn = _rays(n)
@@ -69,7 +72,7 @@ def test_two_level_matches_brute_force():
 def test_cull_counts_and_padding():
     tri = _random_mesh(9000, seed=3)
     cm = pc.build_clustered(tri)
-    assert cm.n_clusters == -(-9000 // pc.TRIS_C)
+    assert cm.n_clusters >= -(-9000 // pc.TRIS_C)
 
     n = 1500                      # not a multiple of BLOCK -> padding path
     org, dirn = _rays(n, seed=4)
@@ -142,7 +145,7 @@ def test_two_level_big_cluster_size():
     and return identical hits."""
     tri = _random_mesh(5000, seed=3)
     cm = pc.build_clustered(tri, tris_c=1024)
-    assert cm.n_clusters == -(-5000 // 1024)
+    assert cm.n_clusters >= -(-5000 // 1024)
     n_sub = 1024 // pc.SUBT
     assert cm.packed.shape[2] == n_sub * (6 * pc.SUBT + pc.SUB_META) + pc.TAIL
 
