@@ -96,7 +96,11 @@ import os
 _SUBTILE_SKIP = os.environ.get('PT_NO_SUBTILE_SKIP') != '1'
 
 BIG_T = np.float32(1e30)
-BLOCK = 512           # rays per packet (cluster tier; pallas_bvh keeps 1024)
+# rays per packet (cluster tier; pallas_bvh keeps 1024).  512 won the
+# round-3 A/B for primaries; PT_BLOCK overrides for packet-size studies
+# (incoherent bounce packets sweep the UNION of their lanes' clusters,
+# so smaller packets cut redundant slot sweeps).
+BLOCK = int(os.environ.get('PT_BLOCK', '512'))
 TRIS_C = 512          # triangles per cluster (padded)
 SUBT = 256            # phase-2 triangle subtile (128-multiple): bounds the
                       # live (BLOCK, 6*SUBT) matmul output + epilogue temps
@@ -1117,6 +1121,16 @@ def _interval_cull(cb, org, dirn, tmax, maxc: int = MAXC, exclude=None):
 HIER_MIN_CLUSTERS = 256   # below this the exact dense rectangle is cheap
                           # and the two-stage cull's top_k overhead loses
 
+# stage B exact-tests CAND_FACTOR*maxc interval candidates (not just the
+# maxc it can emit): the interval frustum over-counts incoherent bounce
+# packets ~7x (measured: median 503 interval-live vs 72 exact at 2.4M
+# tris), and an interval-based `count` then fires the windowed overflow
+# rounds on ~89% of live packets — each round re-culls the whole chunk.
+# Exact counts over a 4x candidate window cost one wider (BLOCK, K)
+# rectangle and kill most windows (and each fired window retires 4x the
+# candidates).  PT_CAND_FACTOR overrides for A/B.
+CAND_FACTOR = int(os.environ.get('PT_CAND_FACTOR', '4'))
+
 
 @functools.partial(jax.jit, static_argnames=('maxc',))
 def _hier_cull(cb, org, dirn, tmax, maxc: int = MAXC, exclude=None):
@@ -1157,7 +1171,8 @@ def _hier_cull(cb, org, dirn, tmax, maxc: int = MAXC, exclude=None):
     n = org.shape[0]
     nb = n // BLOCK
     c = lox.shape[0]
-    k = min(maxc, c)
+    k = min(CAND_FACTOR * maxc, c)     # exact-tested candidate window
+    k_emit = min(maxc, c)              # slots the sweep table can carry
 
     # ---- stage A: packet-interval rectangle, PER DIRECTION OCTANT ----
     # A single packet interval degrades to an infinite slab on any axis
@@ -1325,10 +1340,14 @@ def _hier_cull(cb, org, dirn, tmax, maxc: int = MAXC, exclude=None):
 
     # ---- emission: exact keys, near-first.  The cluster ids ride the
     # sort as a PAYLOAD operand — a post-sort (nb, k) take-along gather
-    # costs ~100ms on TPU (same pathology as the scalar AABB gathers)
+    # costs ~100ms on TPU (same pathology as the scalar AABB gathers).
+    # Only the maxc nearest of the k exact-tested candidates fit the
+    # sweep's slot table; `count` counts ALL exact-live candidates (plus
+    # interval drops beyond k), so overflowing packets keep windowing.
     keys_sel, ids_sorted = jax.lax.sort(
         (keys_ce, cand_ids), dimension=-1, num_keys=1)
-    ids = jnp.where(keys_sel < BIG_T, ids_sorted, -1)
+    keys_sel = keys_sel[:, :min(k, maxc)]
+    ids = jnp.where(keys_sel < BIG_T, ids_sorted[:, :min(k, maxc)], -1)
     count = (jnp.sum(live_e, axis=1, dtype=jnp.int32)
              + n_dropped)[:, None]
     # the shared overflow contract is `count > maxc` <=> emission may be
@@ -1350,7 +1369,14 @@ def _hier_cull(cb, org, dirn, tmax, maxc: int = MAXC, exclude=None):
                      jnp.minimum(keys_sel[:, maxc - 1], dropped_lb),
                      keys_sel[:, maxc - 1])
     keys_sel = keys_sel.at[:, maxc - 1].set(last)
-    return ids, count, keys_sel, cand_ids
+    # what the windowed loop may mark swept: exactly-DEAD tested
+    # candidates (dead stays dead as t tightens) plus the EMITTED slots.
+    # A live candidate beyond the maxc emitted must NOT be marked — it
+    # was never swept (k > maxc since CAND_FACTOR: marking all tested
+    # candidates silently dropped its hits)
+    swept_ok = jnp.concatenate([jnp.where(live_e, -1, cand_ids), ids],
+                               axis=1)
+    return ids, count, keys_sel, swept_ok
 
 
 @functools.partial(jax.jit, static_argnames=('maxc',))

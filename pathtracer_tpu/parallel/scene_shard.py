@@ -337,6 +337,114 @@ def make_ring_hit(mesh: Mesh, max_leaf: int, axis: str = 'scene'):
     return jax.jit(run)
 
 
+def shard_clustered_mesh(mesh_arrays, n_shards: int, axis: str = 'scene'):
+    """v3 — the INTEGRATED config-5 path: partition a cluster-tier mesh's
+    CLUSTERS (not raw triangles) over the scene axis.
+
+    Returns a MeshArrays whose cluster arrays + shade_pack carry a
+    leading (D,) device axis; scene.intersect / intersect_shadow /
+    _shade_fetch combine across `axis` when `scene_axis` is set (see
+    scene/mesh.py field docs).  Each shard:
+      * holds a CONTIGUOUS cluster range (contiguous = contiguous BVH
+        order = spatially coherent), padded to a common count with
+        inert clusters (inverted AABBs — never culled in, never swept);
+      * routes rays for free via root_exit_clamp over its LOCAL bounds
+        (rays missing the partition AABB go dead before any sweep);
+      * owns the shade_pack rows of its triangle range (one in-range
+        gather + psum assembles shading rows).
+    Cluster tri ids are global BVH positions (starts ride the packed
+    tail), so per-shard winners combine with a plain argmin.
+
+    Reference counterpart: Scene::intersection over one top-level Embree
+    structure (Geometry.cpp:589-688) — here the structure is split
+    across chips because config 5 (23.7M tris, README.md:70) outgrows
+    one chip's HBM."""
+    from ..ops import pallas_cluster as pc
+
+    m = mesh_arrays
+    assert m.use_cluster and m.clustered, 'scene axis needs the cluster tier'
+    assert m.shade_pack is not None and any(
+        nm == 'bary' for nm, _, _ in m.shade_cols), \
+        'scene axis needs the packed bary columns'
+    arrs = [np.asarray(a) for a in m.clustered]
+    c = m.n_clusters
+    packed = arrs[16]
+    width = packed.shape[2]
+    n_sub = (width - pc.TAIL) // (6 * pc.SUBT + pc.SUB_META)
+    tail0 = n_sub * 6 * pc.SUBT
+    starts = (packed[:, 3, tail0 + 128].astype(np.int64) * 4096
+              + packed[:, 4, tail0 + 128].astype(np.int64))
+    t_total = int(m.shade_pack.shape[0])
+
+    bounds = np.linspace(0, c, n_shards + 1).round().astype(int)
+    c_pad = int(np.max(np.diff(bounds)))
+    row_b = np.concatenate([starts[bounds[:-1]], [t_total]]).astype(np.int64)
+    r_pad = int(np.max(np.diff(row_b)))
+
+    def pad_c(a, fill):
+        out = np.full((n_shards, c_pad) + a.shape[1:], fill, a.dtype)
+        for d in range(n_shards):
+            seg = a[bounds[d]:bounds[d + 1]]
+            out[d, :len(seg)] = seg
+        return jnp.asarray(out)
+
+    cb = [pad_c(arrs[10 + k], BIG_T if k < 3 else -BIG_T)
+          for k in range(6)]
+    packed_sh = pad_c(packed, 0.0)
+    # top-BVH arrays are unused on the dense-cull tier (c_pad <=
+    # DENSE_CULL_MAX by construction) — ship 1-node dummies
+    assert c_pad <= pc.DENSE_CULL_MAX
+    zf = jnp.zeros((n_shards, 1), jnp.float32)
+    zi = jnp.zeros((n_shards, 1), jnp.int32)
+    clustered = (zf, zf, zf, zf, zf, zf, zi, zi, zi, zi,
+                 cb[0], cb[1], cb[2], cb[3], cb[4], cb[5], packed_sh)
+
+    sp = np.asarray(m.shade_pack)
+    sp_sh = np.zeros((n_shards, r_pad, sp.shape[1]), sp.dtype)
+    for d in range(n_shards):
+        seg = sp[row_b[d]:row_b[d + 1]]
+        sp_sh[d, :len(seg)] = seg
+    return m.replace(
+        clustered=clustered,
+        shade_pack=jnp.asarray(sp_sh),
+        shard_row0=jnp.asarray(row_b[:-1], jnp.int32),
+        shard_rows=jnp.asarray(np.diff(row_b), jnp.int32),
+        n_clusters=c_pad,
+        cluster_top_max_leaf=1,
+        scene_axis=axis,
+    )
+
+
+def localize_scene(sc):
+    """Strip the leading (1,) shard axis from scene-axis mesh leaves —
+    call FIRST inside any shard_map body that traces the scene."""
+    if not any(getattr(m, 'scene_axis', None) for m in sc.meshes):
+        return sc
+    meshes = tuple(
+        m.replace(clustered=tuple(a[0] for a in m.clustered),
+                  shade_pack=m.shade_pack[0],
+                  shard_row0=m.shard_row0[0],
+                  shard_rows=m.shard_rows[0])
+        if m.scene_axis else m
+        for m in sc.meshes)
+    return sc.replace(meshes=meshes)
+
+
+def scene_shard_specs(sc, axis: str = 'scene'):
+    """PartitionSpec pytree for a scene: P(axis) on scene-axis mesh
+    leaves, replicated P() everywhere else (shard_map in_specs)."""
+    specs = jax.tree.map(lambda x: P(), sc)
+    meshes = []
+    for ms, m in zip(specs.meshes, sc.meshes):
+        if getattr(m, 'scene_axis', None):
+            ms = ms.replace(
+                clustered=tuple(P(axis) for _ in m.clustered),
+                shade_pack=P(axis), shard_row0=P(axis),
+                shard_rows=P(axis))
+        meshes.append(ms)
+    return specs.replace(meshes=tuple(meshes))
+
+
 def make_sharded_hit(mesh: Mesh, axis: str = 'scene'):
     """Jitted (sharded_mesh, org, dirn) -> (t, global_tri) closest hit.
 

@@ -49,14 +49,22 @@ from ..render import integrator
 
 
 def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,
-              sp: int = 1) -> Mesh:
-    """Build a ('dp', 'sp') mesh over the first dp*sp devices."""
+              sp: int = 1, scene: int = 1) -> Mesh:
+    """Build a ('dp', 'sp'[, 'scene']) mesh over the first devices.
+
+    The 'scene' axis (config 5) shards the geometry itself
+    (parallel/scene_shard.shard_clustered_mesh); rays are replicated
+    across it and winners combine over ICI."""
     devs = jax.devices()
     n = n_devices or len(devs)
     if dp is None:
-        dp = n // sp
-    assert dp * sp <= len(devs), f"need {dp * sp} devices, have {len(devs)}"
-    arr = np.array(devs[:dp * sp]).reshape(dp, sp)
+        dp = n // (sp * scene)
+    need = dp * sp * scene
+    assert need <= len(devs), f"need {need} devices, have {len(devs)}"
+    if scene > 1:
+        arr = np.array(devs[:need]).reshape(dp, sp, scene)
+        return Mesh(arr, ('dp', 'sp', 'scene'))
+    arr = np.array(devs[:need]).reshape(dp, sp)
     return Mesh(arr, ('dp', 'sp'))
 
 
@@ -125,18 +133,27 @@ def make_sharded_render(mesh: Mesh, cfg, film_ratio):
 
     rows_per_shard = h // dp
 
+    has_scene = 'scene' in mesh.axis_names
+
     def sharded(sc, cam, cp_table):
         def body(sc, cam, cp_shard, ks, pi, pj):
+            if has_scene:
+                from . import scene_shard
+                sc = scene_shard.localize_scene(sc)
             row0 = jax.lax.axis_index('dp') * rows_per_shard
             image, count = _render_shard(sc, cam, cp_shard, ks, pi, pj,
                                          row0, cfg)
+            # film partials are identical across 'scene' (every shard
+            # sees the combined hits), so the reduce stays over dp/sp
             image = jax.lax.psum(image, ('dp', 'sp'))
             count = jax.lax.psum(count, ('dp', 'sp'))
             return image, count
 
+        from . import scene_shard
+        sc_spec = scene_shard.scene_shard_specs(sc) if has_scene else P()
         return shard_map(
             body, mesh=mesh,
-            in_specs=(P(), P(), P('dp'), P('sp'), P('dp'), P('dp')),
+            in_specs=(sc_spec, P(), P('dp'), P('sp'), P('dp'), P('dp')),
             out_specs=(P(), P()),
             check_vma=False,
         )(sc, cam, cp_table, sample_ids, pix_i_all, pix_j_all)

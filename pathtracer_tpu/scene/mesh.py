@@ -104,6 +104,23 @@ class MeshArrays:
     # columns (group) are bitcast to f32 (gathers move bits, no math).
     shade_pack: Optional[jnp.ndarray] = None     # (T, C) f32
     shade_cols: tuple = flax.struct.field(pytree_node=False, default=())
+    # SCENE-AXIS sharding (config 5: the 23.7M-tri BVH split across
+    # chips, SURVEY §7 'sharded BVH').  When scene_axis is set the
+    # cluster arrays and shade_pack carry a leading (D,) device axis
+    # (leading (1,) inside shard_map bodies — parallel/scene_shard
+    # localize_scene strips it): each device culls+sweeps ONLY its
+    # cluster partition and the scene combines winners with an
+    # all_gather+argmin over the axis; shading rows are fetched with an
+    # in-range local gather + psum.  tri ids stay GLOBAL BVH positions
+    # (cluster starts ride the packed tail), so partitions compose for
+    # free.  Counterpart of the reference's single top-level Embree
+    # scene over instanced meshes (Geometry.cpp:589-688) at scales one
+    # chip cannot hold.
+    scene_axis: Optional[str] = flax.struct.field(pytree_node=False,
+                                                  default=None)
+    shard_row0: Optional[jnp.ndarray] = None     # (D,) i32 first OWNED
+                                                 # shade_pack row (global)
+    shard_rows: Optional[jnp.ndarray] = None     # (D,) i32 owned row count
 
     @property
     def num_triangles(self):

@@ -546,10 +546,23 @@ def _shade_fetch(mesh, tri):
     materialize a lane-padded tile row per lane on TPU; packing them into
     one (T, C) matrix at upload makes the whole fetch a single gather
     (the fusions dominated the e2e wave's non-sweep device time).
-    Returns {} when the mesh predates the pack (merged checkpoints)."""
+    Returns {} when the mesh predates the pack (merged checkpoints).
+
+    Scene-axis meshes hold a contiguous ROW SLICE of the pack: the owner
+    shard gathers, everyone else contributes zeros, and a psum over the
+    axis assembles the full row (each global tri has exactly one owner)."""
     if getattr(mesh, 'shade_pack', None) is None:
         return {}
-    rows = mesh.shade_pack[tri]
+    ax = getattr(mesh, 'scene_axis', None)
+    if ax is None:
+        rows = mesh.shade_pack[tri]
+    else:
+        import jax
+        row0 = mesh.shard_row0
+        mine = (tri >= row0) & (tri < row0 + mesh.shard_rows)
+        local = jnp.clip(tri - row0, 0, mesh.shade_pack.shape[0] - 1)
+        rows = jnp.where(mine[:, None], mesh.shade_pack[local], 0.0)
+        rows = jax.lax.psum(rows, ax)
     return {name: rows[:, s:s + w] for name, s, w in mesh.shade_cols}
 
 
@@ -677,6 +690,23 @@ def _mesh_closest_hit(mesh, org_l, dir_l, t_max, cutout_rounds=None,
                     interpret=jax.default_backend() != 'tpu',
                     refine_rounds=rr, return_residual=True,
                     soup=mesh.soup if wb else None, with_bary=wb)
+
+            # scene axis (config 5): this device swept only its cluster
+            # partition (root_exit_clamp on the LOCAL partition bounds IS
+            # the AABB routing — rays missing the partition turn dead);
+            # the global closest hit is an all_gather+argmin over the
+            # axis.  tri ids are global BVH positions, so they compose.
+            # (Scene::intersection's single top-level combine,
+            # Geometry.cpp:589-688.)
+            ax = getattr(mesh, 'scene_axis', None)
+            if ax is not None:
+                assert has_pack, 'sharded meshes need the bary pack'
+                t_all = jax.lax.all_gather(t, ax)      # (D, N)
+                tri_all = jax.lax.all_gather(tri, ax)
+                jbest = jnp.argmin(t_all, axis=0)
+                lane = jnp.arange(t.shape[0])
+                t = t_all[jbest, lane]
+                tri = tri_all[jbest, lane]
 
             # overflow soundness net (SMEM-cull tier / routed path only):
             # lanes the refinement could not prove exact re-traverse the
@@ -1252,6 +1282,10 @@ def intersect_shadow(sc: SceneArrays, origins, dirs, dist_light,
             mb = pallas_cluster.two_level_any(
                 cmesh, org_l, dir_l, limit,
                 interpret=_jax.default_backend() != 'tpu')
+            # scene axis: occlusion is an OR over partitions
+            ax = getattr(mesh, 'scene_axis', None)
+            if ax is not None:
+                mb = _jax.lax.psum(mb.astype(jnp.int32), ax) > 0
         elif has_alpha or mesh.use_packet or mesh.use_cluster:
             # alpha-cutout texels must not occlude (TriangleMesh.cpp:1299-1305);
             # the packet/cluster kernels also route through the closest-hit
