@@ -47,8 +47,11 @@ class TriSoup(NamedTuple):
     invdetm: jnp.ndarray
 
 
-def make_soup(tri_verts: np.ndarray) -> TriSoup:
-    """From (T,3,3) corner positions (in BVH order)."""
+def make_soup(tri_verts: np.ndarray, device: bool = True) -> TriSoup:
+    """From (T,3,3) corner positions (in BVH order).
+
+    device=False keeps the fields as host numpy (the LEAN upload path
+    reads a few columns host-side and never ships the full soup)."""
     a = tri_verts[:, 0].astype(np.float64)
     u = tri_verts[:, 1].astype(np.float64) - a
     v = tri_verts[:, 2].astype(np.float64) - a
@@ -59,8 +62,12 @@ def make_soup(tri_verts: np.ndarray) -> TriSoup:
     det = m11 * m22 - m12 * m12
     invdetm = 1.0 / np.where(det != 0, det, 1.0)
 
-    def f(x):
-        return jnp.asarray(x.astype(np.float32))
+    if device:
+        def f(x):
+            return jnp.asarray(x.astype(np.float32))
+    else:
+        def f(x):
+            return x.astype(np.float32)
 
     return TriSoup(
         ax=f(a[:, 0]), ay=f(a[:, 1]), az=f(a[:, 2]),

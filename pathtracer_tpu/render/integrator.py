@@ -59,10 +59,15 @@ def _int_exponential(y0, ysol, beta, s, uy):
     (reference: int_exponential, Raytracer.cpp:20-38), with the small
     |uy*beta| series branch."""
     small = jnp.abs(uy * beta) < 1e-4
-    near = jnp.exp(-beta * (y0 - ysol)) * s
+    # exponent clamps: dome-distance segments (y ~ 1e6) would overflow
+    # exp to inf, and grad-of-where then turns the zero cotangent into
+    # 0 * exp'(inf) = NaN (config-5 fog gradcheck); +-80 keeps every
+    # primal finite while leaving all physical fog depths untouched
+    e1 = jnp.clip(-beta * (y0 - ysol), -80.0, 80.0)
+    e2 = jnp.clip(-beta * (y0 + s * uy - ysol), -80.0, 80.0)
+    near = jnp.exp(e1) * s
     denom = jnp.where(small, 1.0, uy * beta)
-    far = (jnp.exp(-beta * (y0 - ysol))
-           - jnp.exp(-beta * (y0 + s * uy - ysol))) / denom
+    far = (jnp.exp(e1) - jnp.exp(e2)) / denom
     return jnp.where(small, near, far)
 
 
@@ -87,9 +92,16 @@ def _fog_event(sc, org, dirn, seg_t, sample_light_pos, rng_st):
     The reference's rejection loop for the truncated-exponential t-sample
     (Raytracer.cpp:91-93) is replaced by exact CDF inversion (one draw).
     """
+    # miss lanes carry seg_t ~ 1e30; the event is gated off for them
+    # AFTER the math, but inf primals here (tan near pi/2, exp overflow)
+    # would 0*NaN-poison the whole BACKWARD pass — grad-of-where passes a
+    # zero cotangent, and 0 * f'(inf) = NaN (caught by the config-5
+    # fog_density gradcheck, tests/test_gradcheck_ladder.py)
+    seg_t = jnp.minimum(seg_t, 1e6)
     ray_y = dirn[:, 1]
     org_y = org[:, 1]
-    int_ext = _fog_optical_depth(sc, org_y, ray_y, seg_t)
+    int_ext = jnp.clip(_fog_optical_depth(sc, org_y, ray_y, seg_t),
+                       -80.0, 80.0)
     transmittance = jnp.exp(-int_ext)
 
     gate = jnp.ones(org.shape[0], bool)
@@ -119,8 +131,12 @@ def _fog_event(sc, org, dirn, seg_t, sample_light_pos, rng_st):
     use_eq = a > 0.0
     random_t = jnp.where(use_eq, t_eq, t_ex)
     proba_t = jnp.where(use_eq, p_eq, p_ex)
+    # finite-by-construction sampling state (same 0*NaN backward hazard)
+    random_t = jnp.clip(random_t, 0.0, seg_t)
+    proba_t = jnp.clip(proba_t, 1e-30, 1e30)
 
-    int_ext_part = _fog_optical_depth(sc, org_y, ray_y, random_t)
+    int_ext_part = jnp.clip(
+        _fog_optical_depth(sc, org_y, ray_y, random_t), -80.0, 80.0)
     random_p = org + random_t[:, None] * dirn
     above_ground = random_p[:, 1] >= sc.ground_level
 
@@ -149,26 +165,32 @@ def _fog_event(sc, org, dirn, seg_t, sample_light_pos, rng_st):
     d_light2 = vec.norm2(to_light)
     vis_block = hit.hit & (hit.t * hit.t < d_light2 * 0.99)
     visible = is_uniform | ~vis_block
+    # miss lanes carry hit.p ~ 1e30: finite stand-ins keep the pdf chain's
+    # primals finite (0*NaN backward hazard, see the seg_t note above)
+    hit_light = hit.hit & (hit.obj_id == 0)
+    hit_p = jnp.where(hit_light[:, None], hit.p, random_p + random_dir)
+    hit_n = jnp.where(hit_light[:, None], hit.n, -random_dir)
 
     # area->solid-angle Jacobian of the light-cone sample; at grazing light
     # hits jac -> 0 (or slightly negative in f32), which must push pdf_light
     # -> +inf, NOT flip it negative: a negative mixture pdf under the
     # max(denominator, eps) clamp exploded into 1e26-weight fireflies (the
     # reference has the same latent defect, Raytracer.cpp:170-172)
-    jac = vec.dot(hit.n, -random_dir) / jnp.maximum(vec.norm2(hit.p - random_p),
-                                                   1e-12)
+    jac = vec.dot(hit_n, -random_dir) / jnp.maximum(
+        vec.norm2(hit_p - random_p), 1e-12)
     jac = jnp.maximum(jac, 1e-9)
-    pdf_light_sa = (vec.dot(vec.normalize(hit.p - sc.center_light), axe_op)
+    pdf_light_sa = (vec.dot(vec.normalize(hit_p - sc.center_light), axe_op)
                     / (np.pi * sc.radius_light ** 2) / jac)
-    pdf_light = jnp.where(hit.hit & (hit.obj_id == 0),
-                          jnp.maximum(pdf_light_sa, 0.0), 0.0)
+    pdf_light = jnp.where(hit_light, jnp.maximum(pdf_light_sa, 0.0), 0.0)
     proba_dir = 0.5 * (1.0 / (4.0 * np.pi)) + 0.5 * pdf_light
 
     if sc.fog_type == 0:
         ext = jnp.full_like(random_t, 1.0) * (sc.fog_density * 0.05)
     else:
-        ext = sc.fog_density * jnp.exp(-sc.fog_density_decay
-                                       * (random_p[:, 1] - sc.ground_level))
+        # exponent clamp: same finite-primal rule as _int_exponential
+        ext = sc.fog_density * jnp.exp(jnp.clip(
+            -sc.fog_density_decay * (random_p[:, 1] - sc.ground_level),
+            -80.0, 80.0))
     fog_w = (phase * ext * jnp.exp(-int_ext_part)
              / jnp.maximum(proba_t * proba_dir, 1e-30))
     fog_valid = above_ground & visible & (fog_w > 0.0) & jnp.isfinite(fog_w)
@@ -648,8 +670,15 @@ def trace_paths(sc: scn.SceneArrays, origins, dirs, rng_state, cp_r12,
             w_fog = state.weight * fog_w[:, None]
             lum_f = jnp.sum(jnp.abs(w_fog), axis=-1)
             lum_s = jnp.sum(jnp.abs(w_surface), axis=-1)
-            p_fog = jnp.clip(lum_f / jnp.maximum(lum_f + lum_s, 1e-30),
-                             0.05, 0.95)
+            # the RR branch probability is a SAMPLING decision: detached
+            # like every other sampling choice (differentiating 1/p
+            # without the score term biases the estimator — E[f] is
+            # p-independent only when p itself is not differentiated; it
+            # was also the config-5 fog gradcheck's NaN conduit via
+            # 0 * d(1/p) on invalid-fog lanes)
+            p_fog = jax.lax.stop_gradient(
+                jnp.clip(lum_f / jnp.maximum(lum_f + lum_s, 1e-30),
+                         0.05, 0.95))
             u_rr, rng_st = prng.next_uniform(rng_st, gate=both)
             take_fog = fog_valid & (~surf_alive | (both & (u_rr < p_fog)))
             mult = jnp.where(

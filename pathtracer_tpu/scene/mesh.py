@@ -26,8 +26,11 @@ from ..ops import traverse
 
 @flax.struct.dataclass
 class MeshArrays:
-    soup: traverse.TriSoup
-    bvh: traverse.BVHArrays
+    # soup/bvh are None on LEAN cluster-tier meshes (the packed cluster
+    # A-matrices + shade_pack carry everything device-side; the reference
+    # similarly keeps ONE triangleSoup copy, TriangleMesh.cpp:813-829)
+    soup: Optional[traverse.TriSoup]
+    bvh: Optional[traverse.BVHArrays]
     # shading attributes, in BVH triangle order
     n0: jnp.ndarray          # (T,3) per-corner shading normals
     n1: jnp.ndarray
@@ -121,10 +124,12 @@ class MeshArrays:
     shard_row0: Optional[jnp.ndarray] = None     # (D,) i32 first OWNED
                                                  # shade_pack row (global)
     shard_rows: Optional[jnp.ndarray] = None     # (D,) i32 owned row count
+    # triangle count as static metadata (lean meshes carry no soup)
+    n_tris: int = flax.struct.field(pytree_node=False, default=-1)
 
     @property
     def num_triangles(self):
-        return self.soup.ax.shape[0]
+        return self.n_tris if self.n_tris >= 0 else self.soup.ax.shape[0]
 
 
 BRUTE_FORCE_MAX_TRIS = 8192   # below this, dense sweep beats traversal on TPU

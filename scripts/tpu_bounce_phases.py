@@ -119,9 +119,24 @@ _, t_sweep = timed(
     'ONE cluster_sweep of it')
 
 # full exhaustive
-_, t_full = timed(
+(hit2, t_full) = timed(
     lambda: pc.two_level_hit(cm, p_s, d_s, tx_s, with_bary=False),
     'FULL two_level_hit')
 log(f'  -> windows/overflow machinery = '
     f'{(t_full - t_cull - t_sweep) * 1e3:.1f} ms '
     f'({(t_full - t_cull - t_sweep) / t_full * 100:.0f}%)')
+
+# ORACLE ceiling: if every lane's tmax were clamped just above its true
+# hit t (miss lanes dead) — the value of a perfect per-lane t cap
+t_true, tri_true = hit2[0], hit2[1]
+hit_frac = float(np.asarray(tri_true >= 0).mean())
+log(f'  bounce hit fraction: {hit_frac * 100:.1f}%')
+tx_oracle = jnp.where(tri_true >= 0, t_true * 1.0001, -1.0)
+_, t_or = timed(
+    lambda: pc.two_level_hit(cm, p_s, d_s, tx_oracle, with_bary=False),
+    'ORACLE-capped two_level_hit')
+# and: if only ESCAPING (miss) lanes were known dead, hits uncapped
+tx_esc = jnp.where(tri_true >= 0, tx_s, -1.0)
+_, t_esc = timed(
+    lambda: pc.two_level_hit(cm, p_s, d_s, tx_esc, with_bary=False),
+    'ESCAPERS-dead two_level_hit')
