@@ -1,19 +1,25 @@
 """Benchmark: wavefront path-tracing throughput on the flagship scene,
-plus a mesh-scene (packet-tier) end-to-end number.
+plus a mesh-scene end-to-end number.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} with
-extra keys for the mesh-scene render:
+extra keys:
+  hardware_ray_ops_per_s — the flagship's lockstep upper accounting
+      (W*H*spp*bounces*2 / s, dead lanes included) kept as a secondary
+      key for cross-round comparison with BENCH_r01..r03.
   mesh_scene_rays_per_s — live-lane rays/s of a full 1080p render over a
-      2k-triangle displaced sphere (the SMEM packet tier; VERDICT #1's
-      measured mesh throughput).  Cluster-tier (multi-M-tri) numbers are
+      2k-triangle displaced sphere (routed through the universal cluster
+      tier, scene/mesh.py:256).  Cluster-tier multi-M-tri numbers are
       recorded separately in BENCH_MESH.json because their first compile
       through the remote-compile tunnel takes minutes.
   mesh_scene_tris — triangle count of that scene.
+  fwd_ms_per_frame_1080p64 / fwd_bwd_ms_per_frame_1080p64 — forward and
+      forward+backward 64-spp frame times through the SAME jitted
+      render_unsplatted path (one accounting, mutually consistent; the
+      bwd number includes the remat re-forward).
 
-Metric: hardware ray operations per second on one chip at 1080p.  Each
-sample-wave traces W*H paths for nb_bounces bounces; every bounce does one
-closest-hit sweep and one NEE shadow sweep over all lanes (lockstep
-wavefront), so rays = W*H * spp * nb_bounces * 2.
+Metric (`value`): MEASURED live-lane rays per second on one chip at
+1080p (Renderer.rays_traced: hit + NEE shadow sweeps over lanes that are
+actually alive) — the same accounting as the mesh rows and BENCH_MESH.
 
 Baseline: BASELINE.md targets >=1e9 rays/s aggregate on a v5e-16 at 1080p
 64spp => 62.5e6 rays/s per chip.  vs_baseline = value / 62.5e6.
@@ -48,6 +54,12 @@ def _bench_renderer(r, warm_spp, bench_spp, reps=3):
 
 
 def main():
+    import os
+    # triage-only escape hatches must be OFF for recorded numbers
+    # (VERDICT r3 weak #8): they can silently drop hits.
+    for var in ('PT_NO_RESIDUAL_FALLBACK', 'PT_NO_SUBTILE_SKIP'):
+        assert os.environ.get(var) != '1', f'{var} set during bench'
+
     import pathtracer_tpu as pt
     from pathtracer_tpu.render import renderer as rnd
     from pathtracer_tpu.scene import scene as scn
@@ -67,13 +79,17 @@ def main():
     cfg = pt.RenderConfig(width=W, height=H, nrays=64, nb_bounces=BOUNCES,
                           samples_per_wave=WARMUP_SPP)
 
-    done, dt = _bench_renderer(pt.Renderer(sc, cam, cfg), WARMUP_SPP,
-                               BENCH_SPP)
-    rays = W * H * done * BOUNCES * 2
-    rays_per_s = rays / dt
+    flag_r = pt.Renderer(sc, cam, cfg)
+    done, dt = _bench_renderer(flag_r, WARMUP_SPP, BENCH_SPP)
+    # live-lane accounting (one standard with the mesh rows); the bench
+    # reps trace done out of samples_done total, so scale rays_traced
+    fst = flag_r.stats(dt)
+    rays_per_s = (fst['rays_traced'] * done / flag_r.samples_done) / dt
+    hw_ray_ops_per_s = W * H * done * BOUNCES * 2 / dt
 
-    # mesh scene: 2k-tri displaced sphere through the SMEM packet kernel,
-    # full renderer (hit + NEE shadow per bounce), live-lane accounting
+    # mesh scene: 2k-tri displaced sphere through the cluster tier (the
+    # universal TPU mesh tier since round 3, scene/mesh.py:256), full
+    # renderer (hit + NEE shadow per bounce), live-lane accounting
     md = procgen.sphere_mesh(32, 32, radius=12.0, displace_amp=0.25)
     mobjs = scn.default_objects()
     mobjs.append(scn.mesh_object(md, translation=(0.0, -15.0, 0.0)))
@@ -96,6 +112,12 @@ def main():
     cp = jnp.asarray(rng_host.random_per_pixel_fast(W, H))
 
     @jax.jit
+    def fwd_only(kd, li):
+        img, _ = rnd.render_unsplatted(
+            sc.replace(kd=kd, light_intensity=li), cam, cp, gcfg)
+        return jnp.mean(img)
+
+    @jax.jit
     def fwd_bwd(kd, li):
         def loss(kd, li):
             img, _ = rnd.render_unsplatted(
@@ -104,6 +126,13 @@ def main():
         return jax.grad(loss, argnums=(0, 1))(kd, li)
 
     from pathtracer_tpu.utils.profiling import device_sync
+    device_sync(fwd_only(sc.kd, sc.light_intensity))
+    fwd_frame_ms = float('inf')
+    for _ in range(2):
+        t0 = time.perf_counter()
+        device_sync(fwd_only(sc.kd, sc.light_intensity))
+        fwd_frame_ms = min(fwd_frame_ms, (time.perf_counter() - t0) * 1e3)
+
     g = fwd_bwd(sc.kd, sc.light_intensity)
     device_sync(g)
     fwd_bwd_frame_ms = float('inf')
@@ -118,10 +147,12 @@ def main():
     print(json.dumps({
         "metric": "rays_per_second_per_chip",
         "value": rays_per_s,
-        "unit": "rays/s",
+        "unit": "live rays/s",
         "vs_baseline": rays_per_s / per_chip_target,
+        "hardware_ray_ops_per_s": hw_ray_ops_per_s,
         "mesh_scene_rays_per_s": mesh_rays_per_s,
         "mesh_scene_tris": int(md.num_triangles),
+        "fwd_ms_per_frame_1080p64": fwd_frame_ms,
         "fwd_bwd_ms_per_frame_1080p64": fwd_bwd_frame_ms,
     }))
 

@@ -9,7 +9,11 @@ sequences)": the thread-scheduling-dependent engine assignment of the C++
 is replaced by the documented per-path keying on both sides (SURVEY §7).
 
 Scope: analytic scene (spheres + planes), Phong/Lambert materials, mirror,
-Fresnel transparency, NEE to the spherical light, envmap dome. No fog/SS yet.
+Fresnel transparency, NEE to the spherical light, envmap dome, fog
+(uniform/exponential, all three phase functions, the documented
+importance-weighted estimator deviation mirrored on both sides) and
+subsurface scattering (disk probe + axis MIS), matching the TPU
+integrator's canonical RNG draw order throughout.
 """
 
 from __future__ import annotations
