@@ -85,7 +85,119 @@ def _resolve_idx(i, n):
 _FACE_RE = re.compile(r'(-?\d+)(?:/(-?\d*)(?:/(-?\d+))?)?')
 
 
+_native_obj_lib = None
+_native_obj_tried = False
+
+
+def _load_native_obj():
+    """Compile (once) + load the C++ OBJ tokenizer via ctypes; None on
+    failure.  Same auto-compile pattern as ops/bvh.py's native builder."""
+    global _native_obj_lib, _native_obj_tried
+    if _native_obj_tried:
+        return _native_obj_lib
+    _native_obj_tried = True
+    import ctypes
+    import subprocess
+    ndir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'native')
+    src = os.path.join(ndir, 'obj_parser.cpp')
+    lib = os.path.join(ndir, 'libptobj.so')
+    try:
+        if (not os.path.exists(lib)
+                or os.path.getmtime(lib) < os.path.getmtime(src)):
+            subprocess.run(
+                ['g++', '-O3', '-shared', '-fPIC', src, '-o', lib],
+                check=True, capture_output=True, timeout=120)
+        dll = ctypes.CDLL(lib)
+        dll.pt_obj_parse.restype = ctypes.c_void_p
+        dll.pt_obj_parse.argtypes = [ctypes.c_char_p, ctypes.c_long]
+        dll.pt_obj_sizes.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        dll.pt_obj_fetch.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 11
+        dll.pt_obj_free.argtypes = [ctypes.c_void_p]
+        _native_obj_lib = dll
+    except Exception:
+        _native_obj_lib = None
+    return _native_obj_lib
+
+
+def _read_obj_native(path: str) -> Optional[MeshData]:
+    """C++ tokenizer path (native/obj_parser.cpp): byte-identical arrays
+    to the Python loop (tests/test_obj_native.py), ~50-100x faster — the
+    reference's C++ fscanf loop (TriangleMesh.cpp:240-469) holds the same
+    office-scale (23.7M tris) load-seconds contract."""
+    import ctypes
+    dll = _load_native_obj()
+    if dll is None:
+        return None
+    with open(path, 'rb') as f:
+        buf = f.read()
+    h = dll.pt_obj_parse(buf, len(buf))
+    if not h:
+        return None
+    try:
+        sizes = np.zeros(8, np.int64)
+        dll.pt_obj_sizes(h, sizes.ctypes.data_as(ctypes.c_void_p))
+        (nv, ncol, nuv, nn, ntri, names_len, mtllib_len,
+         ngroups) = (int(x) for x in sizes)
+        verts = np.empty((nv, 3), np.float32)
+        vcols = np.empty((ncol, 3), np.float32)
+        uvs = np.empty((nuv, 2), np.float32)
+        norms = np.empty((nn, 3), np.float32)
+        vtx = np.empty((ntri, 3), np.int32)
+        uvi = np.empty((ntri, 3), np.int32)
+        ni = np.empty((ntri, 3), np.int32)
+        grp = np.empty(ntri, np.int32)
+        show = np.empty((ntri, 3), np.uint8)
+        names_buf = ctypes.create_string_buffer(max(names_len, 1))
+        mtllib_buf = ctypes.create_string_buffer(max(mtllib_len, 1))
+
+        def p(a):
+            return a.ctypes.data_as(ctypes.c_void_p)
+
+        dll.pt_obj_fetch(h, p(verts), p(vcols), p(uvs), p(norms), p(vtx),
+                         p(uvi), p(ni), p(grp), p(show),
+                         ctypes.cast(names_buf, ctypes.c_void_p),
+                         ctypes.cast(mtllib_buf, ctypes.c_void_p))
+    finally:
+        dll.pt_obj_free(h)
+
+    if ngroups:
+        names = names_buf.raw[:names_len].decode('utf-8', errors='replace')
+        group_names = {nm: i for i, nm in enumerate(names.split('\n'))}
+        assert len(group_names) == ngroups
+    else:
+        group_names = {'Default': 0}
+        grp = np.zeros(ntri, np.int32)
+    matfile = (mtllib_buf.raw[:mtllib_len].decode('utf-8', errors='replace')
+               if mtllib_len else None)
+    return MeshData(
+        vertices=verts, normals=norms, uvs=uvs,
+        vtx_idx=vtx, uv_idx=uvi, n_idx=ni, group=grp,
+        show_edges=show.astype(bool),
+        vertex_colors=vcols if (ncol == nv and ncol > 0) else None,
+        materials=[GroupMaterial() for _ in range(len(group_names))],
+        group_names=group_names,
+        obj_dir=os.path.dirname(os.path.abspath(path)),
+    ), matfile
+
+
 def read_obj(path: str, load_materials: bool = True) -> MeshData:
+    """Load an OBJ: native C++ tokenizer when available (office-scale
+    files in seconds), the reference-exact Python loop otherwise
+    (PT_NO_NATIVE_OBJ=1 forces it — the parity oracle)."""
+    if os.environ.get('PT_NO_NATIVE_OBJ') != '1':
+        out = _read_obj_native(path)
+        if out is not None:
+            md, matfile = out
+            if load_materials and matfile:
+                mtl_path = os.path.join(md.obj_dir, matfile)
+                if os.path.exists(mtl_path):
+                    _read_mtl(mtl_path, md.group_names, md.materials)
+            return md
+    return _read_obj_python(path, load_materials)
+
+
+def _read_obj_python(path: str, load_materials: bool = True) -> MeshData:
     vertices: List = []
     vertexcolors: List = []
     normals: List = []
