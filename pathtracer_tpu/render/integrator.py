@@ -306,6 +306,17 @@ def _sort_wavefront(state: PathState, cp_r12, bg_pixel, lane_id):
     within each octant, which on smooth surfaces carries position AND
     direction locality; Morton re-shuffling by exact position destroys
     the direction sub-locality packets also need.
+
+    MEASURED, DO NOT REDO (round 4, scripts/tpu_ab_dirbins.py): FINER
+    direction bins also lose.  On the 2.4M-tri sphere's live bounce
+    rays (key = (bin << 13) | start-cluster in every case), full
+    two_level_hit: 8 sign-octants 1008ms; 6 cube-faces 1222ms; face+4x4
+    grid (96 bins, ~28deg cones) 1505ms; face+8x8 (384 bins) 2862ms.
+    Exact slots/packet barely move (92 -> 81 mean at 4x4) because
+    grazing rays individually cross dozens of shell clusters (per-lane
+    geometry, not packet spread), while finer bins scatter the stable
+    tile order and lose the position locality that DOES bound the
+    frustum.  The octant key is the measured optimum of this family.
     """
     with jax.named_scope('octant_sort'):
         d = state.dirn
