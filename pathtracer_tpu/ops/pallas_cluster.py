@@ -23,18 +23,21 @@ design that avoids every dynamic-indexing restriction:
   packet; the kernel loops over ONLY the emitted slots, copying each
   packed cluster record HBM->VMEM with a serial start->wait DMA (~3% of
   slot cost; a cond-switched double-buffer variant hung the device —
-  keep the control flow simple).  The ray x triangle work is cast as ONE
-  (BLOCK, 8) x (8, 6*SUBT) MXU matmul per subtile over a PRECOMPUTED
-  PLANE layout — for triangle (a, u, v) with normal n and inverse
+  keep the control flow simple).  The ray x triangle work is cast as TWO
+  (BLOCK, 4) x (4, 3*SUBT) MXU matmuls per subtile over ONE PRECOMPUTED
+  PLANE block (round 4: the o-part and d-part share the stored planes —
+  the earlier (8, 6*SUBT) layout duplicated every plane and padded with
+  zero rows, 4x the HBM bytes for identical output columns) — for
+  triangle (a, u, v) with normal n and inverse
   Gram rows U' = invdet*(m22*u - m12*v), V' = invdet*(m11*v - m12*u):
 
       t     = -[(o - c)·n    - (a - c)·n]  / (d·n)
       beta  =  [(o - c)·U' - (a - c)·U'] + t * (d·U')
       gamma =  [(o - c)·V' - (a - c)·V'] + t * (d·V')
 
-  so with rays as R = [o - c, 1, d, 0] all six dot families are columns
-  of one matmul against A = [[n U' V' 0 0 0], [-a·n -a·U' -a·V' 0 0 0],
-  [0 0 0 n U' V']] (rows grouped by R component); c is the cluster
+  so with A = [[n U' V'], [-a·n -a·U' -a·V']] (plane xyz rows 0-2,
+  offsets row 3) the o families are P = [o - c, 1] x A and the d
+  families are Q = [d, 0] x A; c is the cluster
   centroid (re-centering bounds the magnitudes so the fp32 MXU passes
   keep barycentric precision).  A sound early BREAK ends most packets
   after a handful of sorted slots, and a whole-cluster slab skip prunes
@@ -103,7 +106,7 @@ BIG_T = np.float32(1e30)
 BLOCK = int(os.environ.get('PT_BLOCK', '512'))
 TRIS_C = 512          # triangles per cluster (padded)
 SUBT = 256            # phase-2 triangle subtile (128-multiple): bounds the
-                      # live (BLOCK, 6*SUBT) matmul output + epilogue temps
+                      # live (BLOCK, 3*SUBT) matmul outputs + epilogue temps
                       # inside the 16MB scoped-VMEM stack
 MAXC = 128            # cluster slots per packet (overflow -> refine/reroute)
 STACK_DEPTH = 64
@@ -112,13 +115,22 @@ CHUNK_PACKETS = 256   # packets per kernel launch: SMEM outputs and the
                       # sweep's prefetched id table are lane-padded to
                       # (nb, 128) i32 and double-buffered — chunking keeps
                       # them inside the 1MB SMEM budget at any ray count
-A_ROWS = 8            # sweep A-matrix rows (R = [o-c, 1, d, 0] K dim)
+A_ROWS = 4            # sweep A-matrix rows: ONE stored (4, 3*SUBT) block
+                      # per subtile serves BOTH the o-part (K = [o-c, 1])
+                      # and the d-part (K = [d, 0]) matmuls — the round-3
+                      # (8, 6*SUBT) layout stored every plane twice (4x
+                      # the HBM bytes for the same 12 distinct values per
+                      # triangle; office-scale packed was 4.98 GB, now
+                      # ~1.3 GB) and produced the same total matmul
+                      # output columns anyway
 assert SUBT <= 256, 'packed-key winner stores the subtile index in 8 bits'
-TAIL = 256            # packed tail lanes: [AABB | centroid] scalar blocks
-SUB_META = 128        # packed lanes per SUBTILE AABB block (after TAIL):
-                      # rows 0-5 = subtile lo/hi xyz replicated across the
-                      # 128 lanes so the sweep kernel reads them with
-                      # all-equal lane reductions (Mosaic-safe scalarize)
+TAIL = 384            # packed tail lanes, three 128-lane scalar blocks:
+                      # [lo xyz + start_hi | hi xyz + start_lo | centroid]
+SUB_META = 256        # packed lanes per SUBTILE AABB block (after TAIL):
+                      # lanes 0-127 = subtile lo xyz (rows 0-2), lanes
+                      # 128-255 = hi xyz, replicated across each 128-lane
+                      # half so the sweep kernel reads them with all-equal
+                      # lane reductions (Mosaic-safe scalarize)
 
 
 class ClusteredMesh(NamedTuple):
@@ -137,15 +149,17 @@ class ClusteredMesh(NamedTuple):
     # (tail also carries each cluster's BVH-order START as two exact
     # f32 scalars — rows 3/4 of the centroid lane block — so the sweep
     # kernel emits GLOBAL BVH positions for variable-size clusters)
-    # W = n_sub*6*SUBT + TAIL + n_sub*SUB_META.  Per subtile s, columns
-    # [s*6S, (s+1)*6S) hold the six plane blocks [n | U' | V' | n | U' |
-    # V'] with rows grouped by the R = [o-c, 1, d, 0] component they
-    # multiply: rows 0-2 = plane xyz (o part), row 3 = -(a-c)·plane,
-    # rows 4-6 = plane xyz again (d part, nonzero only in the last three
-    # blocks), row 7 = 0.  The TAIL lanes carry per-cluster scalars
-    # replicated across 128 lanes: [AABB lo/hi in rows 0-5 | centroid
-    # xyz in rows 0-2].  After TAIL, one SUB_META-lane block per subtile
-    # carries that subtile's own AABB (rows 0-5, lane-replicated) — the
+    # W = n_sub*3*SUBT + TAIL + n_sub*SUB_META.  Per subtile s, columns
+    # [s*3S, (s+1)*3S) hold the three plane blocks [n | U' | V'] with
+    # rows 0-2 = plane xyz and row 3 = -(a-c)·plane; the SAME stored
+    # block feeds two MXU matmuls per subtile, P = [o-c, 1] x A (the o
+    # dots + folded offsets) and Q = [d, 0] x A (the d dots) — half the
+    # round-3 (8, 6*SUBT) layout's HBM bytes twice over (no duplicated
+    # planes, no zero rows).  The TAIL lanes carry per-cluster scalars
+    # replicated across 128 lanes in three blocks: [AABB lo xyz rows
+    # 0-2, start_hi row 3 | AABB hi xyz, start_lo | centroid xyz].
+    # After TAIL, one SUB_META-lane block per subtile carries that
+    # subtile's own AABB (lo xyz lanes 0-127, hi xyz lanes 128-255) — the
     # sweep kernel slab-tests it per lane and SKIPS the subtile's
     # matmul+epilogue when no lane's entry beats its best t (the big
     # win for auto-doubled clusters: a packet clipping a 4096-tri
@@ -347,30 +361,26 @@ def build_clustered(tri_verts: np.ndarray, fb=None,
     Vp = np.where(keep, Vp, 0.0)
     a_c = av - centers[:, None, :]                       # re-centered a
     n_sub = tris_c // SUBT
-    width = n_sub * 6 * SUBT + TAIL + n_sub * SUB_META
+    width = n_sub * 3 * SUBT + TAIL + n_sub * SUB_META
     packed = np.zeros((c, A_ROWS, width), np.float32)
     planes = (nv, Up, Vp)
     for s in range(n_sub):
         sl = slice(s * SUBT, (s + 1) * SUBT)
-        base = s * 6 * SUBT
+        base = s * 3 * SUBT
         for pidx, pl_ in enumerate(planes):
             col = slice(base + pidx * SUBT, base + (pidx + 1) * SUBT)
             packed[:, 0:3, col] = pl_[:, sl].transpose(0, 2, 1)
             packed[:, 3, col] = -np.sum(a_c[:, sl] * pl_[:, sl], -1)
-            # d-part blocks 3-5 mirror the planes in rows 4-6
-            cold = slice(base + (3 + pidx) * SUBT, base + (4 + pidx) * SUBT)
-            packed[:, 4:7, cold] = pl_[:, sl].transpose(0, 2, 1)
-    tail0 = n_sub * 6 * SUBT
-    for k, arr in enumerate((clo[:, 0], clo[:, 1], clo[:, 2],
-                             chi[:, 0], chi[:, 1], chi[:, 2])):
-        packed[:, k, tail0:tail0 + 128] = arr[:, None]
+    tail0 = n_sub * 3 * SUBT
     for k in range(3):
-        packed[:, k, tail0 + 128:tail0 + 256] = centers[:, k][:, None]
+        packed[:, k, tail0:tail0 + 128] = clo[:, k][:, None]
+        packed[:, k, tail0 + 128:tail0 + 256] = chi[:, k][:, None]
+        packed[:, k, tail0 + 256:tail0 + 384] = centers[:, k][:, None]
     # cluster start as two exact-in-f32 scalars (hi*4096 + lo; each
     # < 2^24, recombined in int32 in-kernel) — the sweep's tri output is
     # start + subtile*SUBT + lane, a GLOBAL BVH position
-    packed[:, 3, tail0 + 128:tail0 + 256] = (starts // 4096)[:, None]
-    packed[:, 4, tail0 + 128:tail0 + 256] = (starts % 4096)[:, None]
+    packed[:, 3, tail0:tail0 + 128] = (starts // 4096)[:, None]
+    packed[:, 3, tail0 + 128:tail0 + 256] = (starts % 4096)[:, None]
 
     # per-subtile AABBs over VALID triangles (empty subtiles collapse to
     # the cluster-lo point: a degenerate box the slab test almost never
@@ -387,8 +397,8 @@ def build_clustered(tri_verts: np.ndarray, fb=None,
     for s in range(n_sub):
         base = sub0 + s * SUB_META
         for k in range(3):
-            packed[:, k, base:base + SUB_META] = slo[:, s, k][:, None]
-            packed[:, 3 + k, base:base + SUB_META] = shi[:, s, k][:, None]
+            packed[:, k, base:base + 128] = slo[:, s, k][:, None]
+            packed[:, k, base + 128:base + 256] = shi[:, s, k][:, None]
 
     # batch the small arrays into TWO uploads (plus packed): per-array
     # device_put through the axon tunnel has wildly variable latency
@@ -597,11 +607,14 @@ def _sweep_kernel(ids_ref, cnt_ref, keys_ref,
     hung the device — keep the control flow simple.
 
     Per subtile the six dot families (o·n, o·U', o·V', d·n, d·U', d·V',
-    with the -a·plane constants folded into R's `1` column) come from ONE
-    (BLOCK, 8) x (8, 6*SUBT) MXU matmul over the re-centered rays
-    (module docstring); the VPU epilogue assembles t/beta/gamma, applies
-    positive acceptance (pad/degenerate planes produce NaN -> rejected),
-    and extracts the per-lane winner with iota/onehot min-reductions.
+    with the -a·plane constants folded into R_o's `1` column) come from
+    TWO (BLOCK, 4) x (4, 3*SUBT) MXU matmuls over the SAME stored plane
+    block — P from R_o = [o-c, 1], Q from R_d = [d, 0] (module
+    docstring; same output columns as the round-3 single (8, 6*SUBT)
+    matmul at a quarter of the stored bytes); the VPU epilogue assembles
+    t/beta/gamma, applies positive acceptance (pad/degenerate planes
+    produce NaN -> rejected), and extracts the per-lane winner with
+    iota/onehot min-reductions.
 
     Culling: a sound early BREAK once the next (sorted) slot's entry key
     is beyond every lane's best t, and a whole-cluster skip when no
@@ -611,9 +624,9 @@ def _sweep_kernel(ids_ref, cnt_ref, keys_ref,
     b = pl.program_id(0)
     cnt = jnp.minimum(cnt_ref[b, 0], MAXC)
     # cluster size travels in the packed width (build_clustered docstring)
-    n_sub = (buf0.shape[1] - TAIL) // (6 * SUBT + SUB_META)
+    n_sub = (buf0.shape[1] - TAIL) // (3 * SUBT + SUB_META)
     tris_c = n_sub * SUBT
-    tail0 = n_sub * 6 * SUBT
+    tail0 = n_sub * 3 * SUBT
     sub0 = tail0 + TAIL              # first subtile-AABB block
 
     tout_ref[0, 0, :] = tx_ref[0, 0, :]
@@ -649,37 +662,42 @@ def _sweep_kernel(ids_ref, cnt_ref, keys_ref,
         entry = jnp.maximum(tmin, 0.0)
         return (tmax >= entry) & (entry < tout_ref[0, 0, :])
 
+    # d-part ray matrix R_d^T = [d, 0]: slot-independent, built ONCE per
+    # packet as a (4, BLOCK) sublane stack from the row planes (a
+    # separate (BLOCK, 4) input block would lane-pad its minor dim
+    # 4->128 into a strided DMA — the round-1 (BLOCK,3) hazard class)
+    rt_d = jnp.concatenate(
+        [dx_ref[0], dy_ref[0], dz_ref[0],
+         jnp.zeros((1, BLOCK), jnp.float32)], axis=0)
+
     def process(cid):
         # cluster scalars from the packed tail (all-equal lane reductions)
         lo_x = jnp.min(buf0[0, tail0:tail0 + 128])
         lo_y = jnp.min(buf0[1, tail0:tail0 + 128])
         lo_z = jnp.min(buf0[2, tail0:tail0 + 128])
-        hi_x = jnp.min(buf0[3, tail0:tail0 + 128])
-        hi_y = jnp.min(buf0[4, tail0:tail0 + 128])
-        hi_z = jnp.min(buf0[5, tail0:tail0 + 128])
-        c_x = jnp.min(buf0[0, tail0 + 128:tail0 + 256])
-        c_y = jnp.min(buf0[1, tail0 + 128:tail0 + 256])
-        c_z = jnp.min(buf0[2, tail0 + 128:tail0 + 256])
+        hi_x = jnp.min(buf0[0, tail0 + 128:tail0 + 256])
+        hi_y = jnp.min(buf0[1, tail0 + 128:tail0 + 256])
+        hi_z = jnp.min(buf0[2, tail0 + 128:tail0 + 256])
+        c_x = jnp.min(buf0[0, tail0 + 256:tail0 + 384])
+        c_y = jnp.min(buf0[1, tail0 + 256:tail0 + 384])
+        c_z = jnp.min(buf0[2, tail0 + 256:tail0 + 384])
         # cluster start (global BVH position of its first triangle),
         # recombined exactly in int32 from the two f32 tail scalars
-        start_i = (jnp.min(buf0[3, tail0 + 128:tail0 + 256])
+        start_i = (jnp.min(buf0[3, tail0:tail0 + 128])
                    .astype(jnp.int32) * 4096
-                   + jnp.min(buf0[4, tail0 + 128:tail0 + 256])
+                   + jnp.min(buf0[3, tail0 + 128:tail0 + 256])
                    .astype(jnp.int32))
         live = slab6(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z)
 
         @pl.when(jnp.any(live))
         def _():
-            # ray matrix R^T = [o-c, 1, d, 0] built IN-KERNEL as an
-            # (8, BLOCK) sublane stack from the row planes: a separate
-            # (BLOCK, 8) input block would lane-pad its minor dim 8->128
-            # into a strided DMA (~3.2ms/packet measured — the dominant
-            # cost; same hazard class as the round-1 (BLOCK,3) rule)
-            rt = jnp.concatenate(
+            # o-part ray matrix R_o^T = [o-c, 1] re-centered on THIS
+            # cluster's centroid (bounds the fp32 magnitudes so the MXU
+            # passes keep barycentric precision)
+            rt_o = jnp.concatenate(
                 [(ox - c_x)[None, :], (oy - c_y)[None, :],
-                 (oz - c_z)[None, :], jnp.ones((1, BLOCK), jnp.float32),
-                 dx_ref[0], dy_ref[0], dz_ref[0],
-                 jnp.zeros((1, BLOCK), jnp.float32)], axis=0)
+                 (oz - c_z)[None, :],
+                 jnp.ones((1, BLOCK), jnp.float32)], axis=0)
 
             def sub_body(s, _):
                 # subtile AABB from its lane-replicated block; skip the
@@ -690,10 +708,13 @@ def _sweep_kernel(ids_ref, cnt_ref, keys_ref,
                 # escape hatch for device-fault triage).
                 if _SUBTILE_SKIP:
                     moff = pl.multiple_of(s * SUB_META, SUB_META)
-                    sb = buf0[:, pl.ds(sub0 + moff, SUB_META)]  # (8, 128)
-                    live_s = slab6(jnp.min(sb[0]), jnp.min(sb[1]),
-                                   jnp.min(sb[2]), jnp.min(sb[3]),
-                                   jnp.min(sb[4]), jnp.min(sb[5]))
+                    sb = buf0[:, pl.ds(sub0 + moff, SUB_META)]  # (4, 256)
+                    live_s = slab6(jnp.min(sb[0, :128]),
+                                   jnp.min(sb[1, :128]),
+                                   jnp.min(sb[2, :128]),
+                                   jnp.min(sb[0, 128:]),
+                                   jnp.min(sb[1, 128:]),
+                                   jnp.min(sb[2, 128:]))
 
                     @pl.when(jnp.any(live_s))
                     def _():
@@ -703,22 +724,27 @@ def _sweep_kernel(ids_ref, cnt_ref, keys_ref,
                 return 0
 
             def _sub_sweep(s):
-                off = pl.multiple_of(s * (6 * SUBT), 6 * SUBT)
-                amat = buf0[:, pl.ds(off, 6 * SUBT)]  # (8, 6*SUBT)
-                # contract the sublane dims: (8,B)^T x (8,6S) -> (B,6S).
+                off = pl.multiple_of(s * (3 * SUBT), 3 * SUBT)
+                amat = buf0[:, pl.ds(off, 3 * SUBT)]  # (4, 3*SUBT)
+                # contract the sublane dims: (4,B)^T x (4,3S) -> (B,3S)
+                # twice (o part, d part) over ONE stored plane block.
                 # HIGHEST: TPU DEFAULT truncates f32 operands to bf16 on
                 # the MXU — 8 mantissa bits flip barycentric edge tests
                 # (measured: 31% of lanes picked a neighboring triangle)
                 prod = jax.lax.dot_general(
-                    rt, amat, (((0,), (0,)), ((), ())),
+                    rt_o, amat, (((0,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+                prod_d = jax.lax.dot_general(
+                    rt_d, amat, (((0,), (0,)), ((), ())),
                     precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)
                 on = prod[:, 0 * SUBT:1 * SUBT]
                 oU = prod[:, 1 * SUBT:2 * SUBT]
                 oV = prod[:, 2 * SUBT:3 * SUBT]
-                dn = prod[:, 3 * SUBT:4 * SUBT]
-                dU = prod[:, 4 * SUBT:5 * SUBT]
-                dV = prod[:, 5 * SUBT:6 * SUBT]
+                dn = prod_d[:, 0 * SUBT:1 * SUBT]
+                dU = prod_d[:, 1 * SUBT:2 * SUBT]
+                dV = prod_d[:, 2 * SUBT:3 * SUBT]
                 t = -(on / dn)
                 beta = oU + t * dU
                 gamma = oV + t * dV
@@ -800,8 +826,8 @@ def _sweep_any_kernel(ids_ref, cnt_ref, keys_ref,
     cutout texels must not occlude)."""
     b = pl.program_id(0)
     cnt = jnp.minimum(cnt_ref[b, 0], MAXC)
-    n_sub = (buf0.shape[1] - TAIL) // (6 * SUBT + SUB_META)
-    tail0 = n_sub * 6 * SUBT
+    n_sub = (buf0.shape[1] - TAIL) // (3 * SUBT + SUB_META)
+    tail0 = n_sub * 3 * SUBT
     sub0 = tail0 + TAIL
 
     occ_ref[0, 0, :] = jnp.zeros((BLOCK,), jnp.float32)
@@ -839,33 +865,40 @@ def _sweep_any_kernel(ids_ref, cnt_ref, keys_ref,
         entry = jnp.maximum(tmin, 0.0)
         return (tmax >= entry) & (entry < cap())
 
+    # slot-independent d-part ray matrix (see _sweep_kernel)
+    rt_d = jnp.concatenate(
+        [dx_ref[0], dy_ref[0], dz_ref[0],
+         jnp.zeros((1, BLOCK), jnp.float32)], axis=0)
+
     def process(cid):
         lo_x = jnp.min(buf0[0, tail0:tail0 + 128])
         lo_y = jnp.min(buf0[1, tail0:tail0 + 128])
         lo_z = jnp.min(buf0[2, tail0:tail0 + 128])
-        hi_x = jnp.min(buf0[3, tail0:tail0 + 128])
-        hi_y = jnp.min(buf0[4, tail0:tail0 + 128])
-        hi_z = jnp.min(buf0[5, tail0:tail0 + 128])
-        c_x = jnp.min(buf0[0, tail0 + 128:tail0 + 256])
-        c_y = jnp.min(buf0[1, tail0 + 128:tail0 + 256])
-        c_z = jnp.min(buf0[2, tail0 + 128:tail0 + 256])
+        hi_x = jnp.min(buf0[0, tail0 + 128:tail0 + 256])
+        hi_y = jnp.min(buf0[1, tail0 + 128:tail0 + 256])
+        hi_z = jnp.min(buf0[2, tail0 + 128:tail0 + 256])
+        c_x = jnp.min(buf0[0, tail0 + 256:tail0 + 384])
+        c_y = jnp.min(buf0[1, tail0 + 256:tail0 + 384])
+        c_z = jnp.min(buf0[2, tail0 + 256:tail0 + 384])
         live = slab6(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z)
 
         @pl.when(jnp.any(live))
         def _():
-            rt = jnp.concatenate(
+            rt_o = jnp.concatenate(
                 [(ox - c_x)[None, :], (oy - c_y)[None, :],
-                 (oz - c_z)[None, :], jnp.ones((1, BLOCK), jnp.float32),
-                 dx_ref[0], dy_ref[0], dz_ref[0],
-                 jnp.zeros((1, BLOCK), jnp.float32)], axis=0)
+                 (oz - c_z)[None, :],
+                 jnp.ones((1, BLOCK), jnp.float32)], axis=0)
 
             def sub_body(s, _):
                 if _SUBTILE_SKIP:
                     moff = pl.multiple_of(s * SUB_META, SUB_META)
                     sb = buf0[:, pl.ds(sub0 + moff, SUB_META)]
-                    live_s = slab6(jnp.min(sb[0]), jnp.min(sb[1]),
-                                   jnp.min(sb[2]), jnp.min(sb[3]),
-                                   jnp.min(sb[4]), jnp.min(sb[5]))
+                    live_s = slab6(jnp.min(sb[0, :128]),
+                                   jnp.min(sb[1, :128]),
+                                   jnp.min(sb[2, :128]),
+                                   jnp.min(sb[0, 128:]),
+                                   jnp.min(sb[1, 128:]),
+                                   jnp.min(sb[2, 128:]))
 
                     @pl.when(jnp.any(live_s))
                     def _():
@@ -875,18 +908,22 @@ def _sweep_any_kernel(ids_ref, cnt_ref, keys_ref,
                 return 0
 
             def _sub_sweep(s):
-                off = pl.multiple_of(s * (6 * SUBT), 6 * SUBT)
-                amat = buf0[:, pl.ds(off, 6 * SUBT)]
+                off = pl.multiple_of(s * (3 * SUBT), 3 * SUBT)
+                amat = buf0[:, pl.ds(off, 3 * SUBT)]
                 prod = jax.lax.dot_general(
-                    rt, amat, (((0,), (0,)), ((), ())),
+                    rt_o, amat, (((0,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+                prod_d = jax.lax.dot_general(
+                    rt_d, amat, (((0,), (0,)), ((), ())),
                     precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)
                 on = prod[:, 0 * SUBT:1 * SUBT]
                 oU = prod[:, 1 * SUBT:2 * SUBT]
                 oV = prod[:, 2 * SUBT:3 * SUBT]
-                dn = prod[:, 3 * SUBT:4 * SUBT]
-                dU = prod[:, 4 * SUBT:5 * SUBT]
-                dV = prod[:, 5 * SUBT:6 * SUBT]
+                dn = prod_d[:, 0 * SUBT:1 * SUBT]
+                dU = prod_d[:, 1 * SUBT:2 * SUBT]
+                dV = prod_d[:, 2 * SUBT:3 * SUBT]
                 t = -(on / dn)
                 beta = oU + t * dU
                 gamma = oV + t * dV
@@ -1479,7 +1516,7 @@ def cluster_sweep(ids, counts, keys, packed, org, dirn, tmax,
     """Phase 2: per-packet grid; the kernel loops over only the emitted
     slots with manual HBM->VMEM DMA of packed cluster A-matrices.
 
-    packed: (C, A_ROWS, n_sub*6*SUBT + TAIL) — see ClusteredMesh."""
+    packed: (C, A_ROWS, n_sub*3*SUBT + TAIL + n_sub*SUB_META) — see ClusteredMesh."""
     n = org.shape[0]
     nb = n // BLOCK
     width = packed.shape[2]

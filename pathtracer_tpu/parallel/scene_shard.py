@@ -370,10 +370,10 @@ def shard_clustered_mesh(mesh_arrays, n_shards: int, axis: str = 'scene'):
     c = m.n_clusters
     packed = arrs[16]
     width = packed.shape[2]
-    n_sub = (width - pc.TAIL) // (6 * pc.SUBT + pc.SUB_META)
-    tail0 = n_sub * 6 * pc.SUBT
-    starts = (packed[:, 3, tail0 + 128].astype(np.int64) * 4096
-              + packed[:, 4, tail0 + 128].astype(np.int64))
+    n_sub = (width - pc.TAIL) // (3 * pc.SUBT + pc.SUB_META)
+    tail0 = n_sub * 3 * pc.SUBT
+    starts = (packed[:, 3, tail0].astype(np.int64) * 4096
+              + packed[:, 3, tail0 + 128].astype(np.int64))
     t_total = int(m.shade_pack.shape[0])
 
     bounds = np.linspace(0, c, n_shards + 1).round().astype(int)

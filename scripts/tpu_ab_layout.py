@@ -88,9 +88,9 @@ def main():
         device_sync(cm.packed)
         occ = tri.shape[0] / (cm.n_clusters
                               * (cm.packed.shape[2] - pc.TAIL)
-                              // (6 * pc.SUBT + pc.SUB_META) / 6 * 6)
+                              // (3 * pc.SUBT + pc.SUB_META) / 6 * 6)
         tris_c = ((cm.packed.shape[2] - pc.TAIL)
-                  // (6 * pc.SUBT + pc.SUB_META)) * pc.SUBT
+                  // (3 * pc.SUBT + pc.SUB_META)) * pc.SUBT
         log(f'[{name}] clusters {cm.n_clusters} tris_c {tris_c} '
             f'occupancy {tri.shape[0] / (cm.n_clusters * tris_c):.2f} '
             f'packed {cm.packed.nbytes / 1e9:.2f} GB '

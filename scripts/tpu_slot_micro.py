@@ -35,7 +35,7 @@ tri = md.vertices[md.vtx_idx]
 cm = pc.build_clustered(tri)
 device_sync(cm.packed)
 print('tris', tri.shape[0], 'clusters', cm.n_clusters, 'tris_c',
-      (cm.packed.shape[2] - pc.TAIL) // (6 * pc.SUBT + pc.SUB_META) * pc.SUBT,
+      (cm.packed.shape[2] - pc.TAIL) // (3 * pc.SUBT + pc.SUB_META) * pc.SUBT,
       flush=True)
 
 nb = N // pc.BLOCK

@@ -147,7 +147,7 @@ def test_two_level_big_cluster_size():
     cm = pc.build_clustered(tri, tris_c=1024)
     assert cm.n_clusters >= -(-5000 // 1024)
     n_sub = 1024 // pc.SUBT
-    assert cm.packed.shape[2] == n_sub * (6 * pc.SUBT + pc.SUB_META) + pc.TAIL
+    assert cm.packed.shape[2] == n_sub * (3 * pc.SUBT + pc.SUB_META) + pc.TAIL
 
     n = 1024
     org, dirn = _rays(n, seed=4)
