@@ -185,6 +185,7 @@ def load_scn(path: str, name_subst: Optional[str] = None):
         kind = lines.next().strip()
         o = _object_base(lines, name_subst)
         kw = _mat_kwargs(o)
+        n_before = len(objects)
         if kind == 'NEW SPHERE':
             has_env = bool(int(_floats(lines.expect('is_envmap:'))[0]))
             envfile = lines.expect('envmapfilename:')
@@ -217,6 +218,12 @@ def load_scn(path: str, name_subst: Optional[str] = None):
             objects.append(spec)
         else:
             raise ValueError(f'unsupported .scn object block: {kind!r}')
+        # stash the reference name + keyframe/edge fields dropped by
+        # _mat_kwargs so io.scn_export.save_scn can round-trip the file
+        objects[n_before].name = o['name']
+        objects[n_before].display_edges = o['display_edges']
+        if kind == 'NEW MESH':
+            objects[n_before].is_centered = center_flag
 
     fog = {}
     while lines.pos < len(lines.lines):
