@@ -156,7 +156,8 @@ def upload_mesh(md: obj_io.MeshData, obj_row: int,
                 world_space: bool = False,
                 group_transp=None,
                 group_refr=None,
-                group_ksub=None) -> MeshArrays:
+                group_ksub=None,
+                lean: Optional[bool] = None) -> MeshArrays:
     """Build BVH + device arrays from host MeshData (TriMesh::init tail,
     TriangleMesh.cpp:784-841)."""
     from ..models import texture as tex_mod
@@ -164,8 +165,11 @@ def upload_mesh(md: obj_io.MeshData, obj_row: int,
     tri_verts = md.vertices[md.vtx_idx]                     # (T,3,3)
     fb = bvh_mod.build_bvh(tri_verts)
     order = fb.order
-    soup = traverse.make_soup(tri_verts[order])
-    bvh = traverse.upload_bvh(fb)
+    # host-side soup first; the device copy uploads only on non-lean
+    # meshes (the LEAN big-mesh tier ships packed clusters + shade_pack
+    # ONLY — the reference likewise keeps one triangleSoup copy,
+    # TriangleMesh.cpp:813-829)
+    host_soup = traverse.make_soup(tri_verts[order], device=False)
 
     n_idx = md.n_idx[order]
     normals = md.normals if len(md.normals) else np.zeros((1, 3), np.float32)
@@ -294,6 +298,21 @@ def upload_mesh(md: obj_io.MeshData, obj_row: int,
         n_clusters = 0
         cluster_top_max_leaf = 0
 
+    # LEAN upload (VERDICT r03 #4): a dense-cull cluster-tier mesh never
+    # touches soup/bvh at render time — two_level_hit leaves residual
+    # identically False (no bvh_hit_sparse net), barycentrics ride the
+    # shade_pack 'bary' columns, shading reads shade_pack rows, and the
+    # subsurface reservoir marches through _mesh_closest_hit.  Dropping
+    # the soup (12 (T,) arrays), the BVH and the duplicate per-corner
+    # attribute arrays (all packed into shade_pack below) halves the
+    # office-scale HBM footprint.  PACKET_MAX_TRIS gate: small meshes
+    # keep every tier testable on-device (and cost nothing).
+    if lean is None:
+        lean = (bool(use_cluster) and not use_routed
+                and len(order) > PACKET_MAX_TRIS
+                and 0 < n_clusters <= pallas_cluster.DENSE_CULL_MAX
+                and os.environ.get('PT_NO_LEAN') != '1')
+
     se = (jnp.asarray(md.show_edges[order]) if display_edges else None)
     if facecolors is not None:
         fc = np.asarray(facecolors, np.float32)
@@ -323,8 +342,8 @@ def upload_mesh(md: obj_io.MeshData, obj_row: int,
     if interp_normals:
         _add('n0', n0), _add('n1', n1), _add('n2', n2)
     else:
-        _add('fn', np.stack([np.asarray(soup.nx), np.asarray(soup.ny),
-                             np.asarray(soup.nz)], axis=-1))
+        _add('fn', np.stack([host_soup.nx, host_soup.ny,
+                             host_soup.nz], axis=-1))
     if g > 1 or group_rows is not None:
         _add('grp', np.asarray(md.group[order], np.int32)
              .view(np.float32))
@@ -361,6 +380,29 @@ def upload_mesh(md: obj_io.MeshData, obj_row: int,
     shade_pack = (jnp.asarray(np.concatenate(parts, axis=1))
                   if parts else None)
 
+    if lean:
+        # every render-time consumer reads shade_pack (asserted: the
+        # packed columns cover what this mesh's feature set can touch)
+        packed_names = {nm for nm, _, _ in shade_cols}
+        assert 'bary' in packed_names
+        assert ('n0' in packed_names if interp_normals
+                else 'fn' in packed_names)
+        soup = bvh = None
+        vc0u = vc1u = vc2u = None
+        n0u = n1u = n2u = t0u = t1u = t2u = None
+        uv0u = uv1u = uv2u = None
+        grpu = None
+        se = fc = None
+    else:
+        soup = traverse.TriSoup(*[jnp.asarray(x) for x in host_soup])
+        bvh = traverse.upload_bvh(fb)
+        n0u, n1u, n2u = jnp.asarray(n0), jnp.asarray(n1), jnp.asarray(n2)
+        uv0u, uv1u, uv2u = (jnp.asarray(uv0), jnp.asarray(uv1),
+                            jnp.asarray(uv2))
+        t0u, t1u, t2u = jnp.asarray(t0), jnp.asarray(t1), jnp.asarray(t2)
+        grpu = jnp.asarray(md.group[order], jnp.int32)
+        vc0u, vc1u, vc2u = vc0, vc1, vc2
+
     return MeshArrays(
         soup=soup, bvh=bvh, packed=packed, use_packet=use_packet,
         atlases=atlases, bilinear=bool(bilinear),
@@ -369,12 +411,12 @@ def upload_mesh(md: obj_io.MeshData, obj_row: int,
         clustered=clustered, use_cluster=bool(use_cluster),
         n_clusters=int(n_clusters),
         cluster_top_max_leaf=int(cluster_top_max_leaf),
-        n0=jnp.asarray(n0), n1=jnp.asarray(n1), n2=jnp.asarray(n2),
-        uv0=jnp.asarray(uv0), uv1=jnp.asarray(uv1), uv2=jnp.asarray(uv2),
-        t0=jnp.asarray(t0), t1=jnp.asarray(t1), t2=jnp.asarray(t2),
+        n0=n0u, n1=n1u, n2=n2u,
+        uv0=uv0u, uv1=uv1u, uv2=uv2u,
+        t0=t0u, t1=t1u, t2=t2u,
         textures=tuple(textures),
-        group=jnp.asarray(md.group[order], jnp.int32),
-        vc0=vc0, vc1=vc1, vc2=vc2,
+        group=grpu,
+        vc0=vc0u, vc1=vc1u, vc2=vc2u,
         g_kd=jnp.asarray(g_kd), g_ks=jnp.asarray(g_ks),
         g_ne=jnp.asarray(g_ne),
         g_ksub=(jnp.asarray(group_ksub, jnp.float32)
@@ -395,6 +437,7 @@ def upload_mesh(md: obj_io.MeshData, obj_row: int,
         shade_pack=shade_pack, shade_cols=tuple(shade_cols),
         obj_row=int(obj_row), max_leaf=int(fb.max_leaf),
         use_brute=bool(use_brute), interp_normals=bool(interp_normals),
+        n_tris=len(order),
     )
 
 

@@ -592,6 +592,9 @@ def _mesh_uv(mesh, tri, al, be, ga, sf=None):
     if sf is not None and 'uv0' in sf:
         uv = (sf['uv0'] * al[:, None] + sf['uv1'] * be[:, None]
               + sf['uv2'] * ga[:, None])
+    elif mesh.uv0 is None:
+        # LEAN untextured mesh: no uv columns packed, nothing samples them
+        uv = jnp.zeros((tri.shape[0], 2), jnp.float32)
     else:
         uv = (mesh.uv0[tri] * al[:, None] + mesh.uv1[tri] * be[:, None]
               + mesh.uv2[tri] * ga[:, None])
@@ -951,16 +954,17 @@ def _merge_mesh_hit(sc: SceneArrays, mesh, origins, dirs, cur: Hit,
                 # getValRed: red * multiplier (Geometry.h:437-441)
                 rval = samp(gt.refr, u, v)[..., 0] * mesh.g_refr[g]
                 refr = jnp.where(grp == g, rval, refr)
-    if mesh.vc0 is not None:
-        # vertex-color override (TriangleMesh.cpp:975-977)
+    if 'vc0' in sf or mesh.vc0 is not None:
+        # vertex-color override (TriangleMesh.cpp:975-977); sf-first —
+        # LEAN meshes carry the colors only in the shade_pack columns
         vc0 = sf['vc0'] if 'vc0' in sf else mesh.vc0[tri]
         vc1 = sf['vc1'] if 'vc1' in sf else mesh.vc1[tri]
         vc2 = sf['vc2'] if 'vc2' in sf else mesh.vc2[tri]
         kd = (vc0 * al[:, None] + vc1 * be[:, None] + vc2 * ga[:, None])
-    if mesh.facecolors is not None:
+    if 'fc' in sf or mesh.facecolors is not None:
         # .seg/.lab overlay replaces Kd outright (TriangleMesh.cpp:988-990)
         kd = sf['fc'] if 'fc' in sf else mesh.facecolors[tri]
-    if mesh.display_edges and mesh.show_edges is not None:
+    if mesh.display_edges and ('se' in sf or mesh.show_edges is not None):
         # wireframe: blacken near real polygon borders — bary < 0.05
         # against the opposite-corner edge flag (TriangleMesh.cpp:1015-1021;
         # alpha->showEdges[1], beta->showEdges[2], gamma->showEdges[0])
@@ -1184,6 +1188,8 @@ def reservoir_same_object(sc: SceneArrays, origins, dirs, tmax, obj_id, u):
             if 'n0' in sfm:
                 n_m = (sfm['n0'] * a3[:, None] + sfm['n1'] * b3[:, None]
                        + sfm['n2'] * g3[:, None])
+            elif 'fn' in sfm:
+                n_m = sfm['fn']        # LEAN face-normal mesh
             else:
                 n_m = (mesh.n0[mtri] * a3[:, None]
                        + mesh.n1[mtri] * b3[:, None]

@@ -41,11 +41,14 @@ def timed(fn, label, reps=3):
     return out, best
 
 
+TRIS_C = int(sys.argv[1]) if len(sys.argv) > 1 else pc.TRIS_C
+
 md = procgen.sphere_mesh(1100, 1100, radius=14.0, displace_amp=0.25)
 tri = (md.vertices[md.vtx_idx] + np.array([0., -15., 0.], np.float32))
 fb = bvh_mod.build_bvh(tri)
-cm = pc.build_clustered(tri, fb=fb)
-log('tris', tri.shape[0], 'clusters', cm.n_clusters, 'BLOCK', pc.BLOCK)
+cm = pc.build_clustered(tri, fb=fb, tris_c=TRIS_C)
+log('tris', tri.shape[0], 'clusters', cm.n_clusters, 'BLOCK', pc.BLOCK,
+    'tris_c', TRIS_C)
 
 cam = pt.make_camera((0, 0, 50), (0, 0, -1), (0, 1, 0))
 pix_i, pix_j, _ = rnd._pixel_order(W, H, 32)

@@ -129,8 +129,11 @@ def test_overflow_mesh_fallback(monkeypatch, tmp_path):
         tangents=None,
         obj_dir=str(tmp_path),
     )
+    # lean=False: this test forces the residual fallback, which needs
+    # the soup/bvh the lean tier drops (the dense exhaustive sweep that
+    # lean relies on is exactly what refine_rounds=0 disables below)
     mesh = mesh_mod.upload_mesh(md, obj_row=3, use_cluster=True,
-                                use_brute=False)
+                                use_brute=False, lean=False)
     assert mesh.use_cluster and mesh.n_clusters == N_SLABS
 
     # force refine_rounds=0 so the residual reaches the fallback path
