@@ -41,6 +41,10 @@ def main(argv=None):
                    help='preemption-safe render: resume PATH if present, '
                         'checkpoint there on SIGTERM/SIGINT and every '
                         'wave; removed when the render completes')
+    p.add_argument('--save-scn', metavar='PATH.scn', default=None,
+                   help='write the loaded scene back out in the '
+                        "reference's text .scn format (save_scene, "
+                        'Raytracer.cpp:1096-1146) and continue')
     args = p.parse_args(argv)
 
     if args.cpu:
@@ -65,6 +69,11 @@ def main(argv=None):
     if args.size:
         w, h = (int(x) for x in args.size.split('x'))
         cfg = cfg._replace(width=w, height=h)
+    if args.save_scn:
+        from .io import scn_export
+        scn_export.save_scn(args.save_scn, objects, light_intensity, cam,
+                            cfg, extras)
+        print(f'saved {args.save_scn}', flush=True)
 
     import os
 

@@ -104,7 +104,8 @@ BIG_T = np.float32(1e30)
 # (incoherent bounce packets sweep the UNION of their lanes' clusters,
 # so smaller packets cut redundant slot sweeps).
 BLOCK = int(os.environ.get('PT_BLOCK', '512'))
-TRIS_C = 512          # triangles per cluster (padded)
+# triangles per cluster (padded); PT_TRIS_C overrides for A/B studies
+TRIS_C = int(os.environ.get('PT_TRIS_C', '512'))
 SUBT = 256            # phase-2 triangle subtile (128-multiple): bounds the
                       # live (BLOCK, 3*SUBT) matmul outputs + epilogue temps
                       # inside the 16MB scoped-VMEM stack

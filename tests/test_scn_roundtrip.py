@@ -105,3 +105,34 @@ def test_programmatic_scene_roundtrip(tmp_path):
     np.testing.assert_allclose(kf[10.0]['translation'], (5., 0., 0.),
                                atol=1e-6)
     np.testing.assert_allclose(kf[10.0]['scale'], 2.0)
+
+
+def test_cli_save_scn(tmp_path):
+    """`--save-scn` writes a re-loadable reference-format scene file."""
+    import os
+    import subprocess
+    import sys
+
+    import pathtracer_tpu as pt
+    from pathtracer_tpu.io import scene_json
+
+    objs = [scn.sphere((10., 23., 15.), 10.),
+            scn.sphere((0., 0., 0.), 1e6, flip_normals=True),
+            scn.sphere((0., -17., 0.), 10., kd=(.7, .3, .2))]
+    cam = cam_mod.make_camera((0, 0, 50), (0, 0, -1), (0, 1, 0))
+    cfg = RenderConfig(width=24, height=16, nrays=2)
+    spath = str(tmp_path / 'scene.json')
+    scene_json.save_scene(spath, objs, scn.default_light_intensity(), cam,
+                          cfg)
+    out = str(tmp_path / 'out.png')
+    scn_out = str(tmp_path / 'back.scn')
+    res = subprocess.run(
+        [sys.executable, '-m', 'pathtracer_tpu.cli', spath, out, '--cpu',
+         '--save-scn', scn_out],
+        capture_output=True, text=True, cwd='/root/repo',
+        env=dict(os.environ, JAX_PLATFORMS='cpu'), timeout=300)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert os.path.exists(out)
+    o2, li2, cam2, cfg2, _ = scn_import.load_scn(scn_out)
+    assert len(o2) == 3 and cfg2.width == 24 and cfg2.nrays == 2
+    np.testing.assert_allclose(o2[2].kd, (.7, .3, .2), atol=1e-6)
