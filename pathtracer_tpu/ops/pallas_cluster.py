@@ -305,7 +305,18 @@ def build_clustered(tri_verts: np.ndarray, fb=None,
         return [(i * tc, min(tc, t - i * tc)) for i in range(c_)]
 
     if tris_c is None:
-        tris_c = TRIS_C
+        # size-scaled default (round-4 A/B on v5e, device_sync best-rep):
+        # at 2.4M tris, 2048-tri clusters beat 512 on the FULL renderer
+        # e2e (2.1 -> 2.5M live rays/s: bounce packets sweep the union of
+        # their lanes' clusters, and 4x fewer/4x bigger clusters cut mean
+        # slots/packet 92 -> 66 with subtile-AABB gating bounding the
+        # extra per-slot work; overflow beyond MAXC drops 68% -> 18%) and
+        # win 1080p primaries 7.4 -> 8.2M.  At 1M (terrain class) 512
+        # stays best (top-down 6.6 vs 6.0M, grazing 11.4 vs 9.7M: few
+        # slots/packet, so bigger clusters only add sweep width).  BLOCK
+        # 256 re-tested at 2048 and still loses everywhere but the e2e
+        # margin (-4%), which it gives back 2x on primaries.
+        tris_c = 2048 if t > 1_500_000 else TRIS_C
         ranges = cut(tris_c)
         while len(ranges) > DENSE_CULL_MAX:
             tris_c *= 2
