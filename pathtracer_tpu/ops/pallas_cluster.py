@@ -43,24 +43,27 @@ design that avoids every dynamic-indexing restriction:
   after a handful of sorted slots, and a whole-cluster slab skip prunes
   never-entered slots.
 
-  Measured on v5e, ROUND-3 HONEST TIMING (utils/profiling.device_sync —
-  every earlier number carried async tails and per-leaf sync round
-  trips; see CLAUDE.md): per slot ~40us with the lean epilogue, split
-  ~16us matmul+DMA+min (HIGHEST, 2 subtiles) + ~24us VPU epilogue —
-  every elementwise op in a Mosaic kernel is a FULL VMEM round trip
-  (nothing fuses), so epilogue op count is the cost model.  tris_c 256
-  vs 512 A/B: 512 wins (267 vs 253ms on the 1M terrain).
+  Measured on v5e with TRUE device timing (utils/profiling.device_sync;
+  every round-1/2 number carried async tails — see CLAUDE.md): the slot
+  sweep is EPILOGUE-bound — every elementwise op in a Mosaic kernel is
+  a FULL VMEM round trip (nothing fuses), so epilogue op count is the
+  cost model (~0.4us per (512, 256) f32 pass); the round-4 compact
+  layout left bounce-sweep time flat (same matmul output columns)
+  while quartering packed HBM and slot DMA.
 
-  1080p closest-hit, round 3 (hierarchical octant cull + lean sweep):
-  closed 2.4M-tri sphere 7.3M rays/s (284ms: cull 20ms + sweep ~180ms +
-  windows/recompute ~80ms), 1M terrain all-hit 8.2M, 2k-tri mesh 22.4M
-  (the cluster tier now beats the SMEM packet kernel at EVERY size and
-  is the universal TPU tier, scene/mesh.py).  Reaching the 62.5M/chip
-  share still needs ~8x on multi-M scenes; remaining structural paths:
-  (a) smaller packets with tighter frusta, (b) a bf16 prefilter with
-  exact re-test (hard: per-lane gating is impossible and any-lane
-  subtile gating fires ~always at BLOCK=1024), (c) fewer slots/packet
-  via cluster shapes with less AABB overlap.
+  1080p, round 4 (compact layout + size-scaled clusters): closed
+  2.4M-tri sphere primaries 8.2M rays/s, 1M terrain all-hit 6.6M,
+  grazing 11.4M, 8M-tri 5.95M, 23.7M-tri (office-scale) 3.75M, 2k-tri
+  mesh 22.4M (the cluster tier beats the SMEM packet kernel at EVERY
+  size and is the universal TPU tier, scene/mesh.py).  tris_c A/Bs:
+  256 < 512 (terrain), 512 -> 2048 wins at 2.4M on e2e AND primaries
+  (see build_clustered default comment); BLOCK 1024/512/256: 512 best.
+  Reaching the 62.5M/chip share still needs ~8x on multi-M scenes;
+  measured ceilings on the 2.4M bounce chunk (scripts/
+  tpu_bounce_phases.py): oracle per-lane t caps save only 25%
+  (211 vs 311ms at tris_c 2048) — the candidate sets are genuinely
+  large; remaining structural paths are fewer slots (cluster shapes
+  with less overlap along grazing paths) and cheaper epilogue passes.
   Hard-won rules embedded here (violations measured, do not rediscover):
     * jit the WHOLE pipeline (`_two_level_exec`): per-call closures under
       lax.map/cond re-trace + re-compile every call (~6s/call constant);
@@ -652,7 +655,11 @@ def _sweep_kernel(ids_ref, cnt_ref, keys_ref,
     ix = 1.0 / dx_ref[0, 0, :]
     iy = 1.0 / dy_ref[0, 0, :]
     iz = 1.0 / dz_ref[0, 0, :]
-    tn = tn_ref[0, 0, :]
+    # clamped non-negative ONCE per packet: the acceptance test below is
+    # then just t > tn (each extra elementwise pass over (BLOCK, SUBT)
+    # costs a full VMEM round trip PER SLOT — this (BLOCK,) op replaces
+    # one compare + one AND there)
+    tn = jnp.maximum(tn_ref[0, 0, :], 0.0)
 
     def dma(k):
         cid = jnp.maximum(ids_ref[b, k], 0)
@@ -766,7 +773,9 @@ def _sweep_kernel(ids_ref, cnt_ref, keys_ref,
                 # (Mosaic does not fuse them), so op count IS the cost
                 bary = jnp.minimum(jnp.minimum(beta, gamma),
                                    1.0 - (beta + gamma))
-                ok = (t >= 0.0) & (t > tn[:, None]) & (bary >= 0.0)
+                # t > tn (tn clamped >= 0 at packet setup) subsumes
+                # t >= 0 and rejects NaN: two passes fewer per subtile
+                ok = (t > tn[:, None]) & (bary >= 0.0)
                 t = jnp.where(ok, t, BIG_T)
                 # packed-key winner: ONE min-reduce picks (t-truncated-
                 # to-24-bits, subtile index) — t >= 0 so the f32 bit
@@ -851,7 +860,9 @@ def _sweep_any_kernel(ids_ref, cnt_ref, keys_ref,
     iy = 1.0 / dy_ref[0, 0, :]
     iz = 1.0 / dz_ref[0, 0, :]
     tx = tx_ref[0, 0, :]
-    tn = tn_ref[0, 0, :]
+    # non-negative clamp once per packet: acceptance drops its t >= 0
+    # pass (see the closest-hit kernel note)
+    tn = jnp.maximum(tn_ref[0, 0, :], 0.0)
 
     def cap():
         # occluded lanes are dead: cap -1 fails every entry test
@@ -943,7 +954,9 @@ def _sweep_any_kernel(ids_ref, cnt_ref, keys_ref,
                 # each elementwise op is a full VMEM round trip)
                 bary = jnp.minimum(jnp.minimum(beta, gamma),
                                    1.0 - (beta + gamma))
-                ok = ((t >= 0.0) & (t > tn[:, None]) & (t < cap()[:, None])
+                # t > tn (tn clamped >= 0 above) subsumes t >= 0 and
+                # rejects NaN; one compare + one AND fewer per subtile
+                ok = ((t > tn[:, None]) & (t < cap()[:, None])
                       & (bary >= 0.0))
                 hit = jnp.any(ok, axis=-1).astype(jnp.float32)
                 occ_ref[0, 0, :] = jnp.maximum(occ_ref[0, 0, :], hit)
