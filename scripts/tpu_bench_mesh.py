@@ -294,8 +294,10 @@ def stage_routed():
 def stage_office_e2e():
     """Config-5 capability: 23.7M triangles END-TO-END through the full
     renderer (closest + NEE shadow per bounce, compaction + sort) at
-    1080p.  Memory: packed A-matrices ~5GB + shade_pack (normals + bary
-    rows) ~2.1GB + soup/attribute arrays ~4GB of the 16GB HBM."""
+    1080p.  Memory (round 4, compact layout + LEAN upload): packed
+    A-matrices ~2.3GB + shade_pack (normals + bary rows) ~2.1GB and
+    nothing else — soup/BVH/attribute duplicates are dropped by the
+    lean tier (scene/mesh.py), down from ~11GB in round 3."""
     md = procgen.sphere_mesh(3445, 3445, radius=14.0, displace_amp=0.25)
     log('office-scale mesh tris:', md.num_triangles)
     t0 = time.perf_counter()
