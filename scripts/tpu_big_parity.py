@@ -1,0 +1,150 @@
+"""At-scale soundness check (VERDICT r03 #4 'parity green at 8M'):
+the LEAN cluster tier's closest hit on a REAL 8M-triangle mesh vs an
+exact float64 host oracle on sampled rays.
+
+The CI-side parity tests top out at ~100k triangles (interpret mode);
+this runs the real Mosaic kernels at office-class scale where cull
+windows, auto-doubled clusters and the packed tail layout all engage,
+and checks them against brute-force host math (chunked float64
+Möller-style edge test, same plane formulation as make_soup).
+
+Run: timeout 3000 python scripts/tpu_big_parity.py  [n_tris_side]
+Writes BIG_PARITY.json at the repo root.
+"""
+
+import sys; sys.path.insert(0, '/root/repo')  # noqa: E402
+import json
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+import pathtracer_tpu as pt
+from pathtracer_tpu.core import camera as cam_mod
+from pathtracer_tpu.scene import mesh as mesh_mod
+from pathtracer_tpu.scene import scene as scn
+from pathtracer_tpu.utils import procgen
+from pathtracer_tpu.utils.profiling import device_sync
+
+SIDE = int(sys.argv[1]) if len(sys.argv) > 1 else 2001  # ~8M tris
+N_RAYS = 1024            # oracle cost: N_RAYS x 8M f64 edge tests
+
+
+def log(*a):
+    print(*a, flush=True)
+
+
+def host_brute(tri, org, dirn, chunk=500_000):
+    """Exact float64 closest hit per ray over ALL triangles (host)."""
+    a = tri[:, 0].astype(np.float64)
+    u = tri[:, 1].astype(np.float64) - a
+    v = tri[:, 2].astype(np.float64) - a
+    n = np.cross(u, v)
+    m11 = (u * u).sum(-1)
+    m22 = (v * v).sum(-1)
+    m12 = (u * v).sum(-1)
+    det = m11 * m22 - m12 * m12
+    inv = 1.0 / np.where(det != 0, det, 1.0)
+    Up = inv[:, None] * (m22[:, None] * u - m12[:, None] * v)
+    Vp = inv[:, None] * (m11[:, None] * v - m12[:, None] * u)
+    good = (det != 0)
+
+    o_all = org.astype(np.float64)
+    d_all = dirn.astype(np.float64)
+    best_t = np.full(len(o_all), 1e30)
+    best_i = np.full(len(o_all), -1, np.int64)
+    RC = 128                     # ray chunk: (RC, chunk, 3) f64 temps
+    for rs in range(0, len(o_all), RC):
+        rsl = slice(rs, min(rs + RC, len(o_all)))
+        o, d = o_all[rsl], d_all[rsl]
+        for s in range(0, len(a), chunk):
+            sl = slice(s, min(s + chunk, len(a)))
+            ao = a[sl][None] - o[:, None]                # (RC, C, 3)
+            dn = np.einsum('rk,ck->rc', d, n[sl])
+            t = (np.einsum('rck,ck->rc', ao, n[sl])
+                 / np.where(dn != 0, dn, 1.0))
+            p = (o[:, None] + t[..., None] * d[:, None] - a[sl][None])
+            be = np.einsum('rck,ck->rc', p, Up[sl])
+            ga = np.einsum('rck,ck->rc', p, Vp[sl])
+            ok = ((dn != 0) & good[sl][None] & (t > 0) & (be >= 0)
+                  & (ga >= 0) & (be + ga <= 1.0))
+            t = np.where(ok, t, 1e30)
+            j = t.argmin(-1)
+            tj = t[np.arange(len(o)), j]
+            win = tj < best_t[rsl]
+            best_i[rsl] = np.where(win, j + s, best_i[rsl])
+            best_t[rsl] = np.where(win, tj, best_t[rsl])
+    return best_t, best_i
+
+
+def main():
+    import jax
+    log('devices:', jax.devices())
+    md = procgen.sphere_mesh(SIDE, SIDE, radius=14.0, displace_amp=0.25)
+    t0 = time.time()
+    objs = scn.default_objects()
+    objs.append(scn.mesh_object(md, translation=(0.0, -15.0, 0.0)))
+    sc = scn.build_scene(objs, scn.default_light_intensity())
+    m = sc.meshes[0]
+    log(f'{m.num_triangles} tris, {m.n_clusters} clusters, '
+        f'lean={m.soup is None}, upload {time.time() - t0:.0f}s')
+    assert m.soup is None, 'expected the LEAN tier at this size'
+
+    tri_world = (md.vertices[md.vtx_idx]
+                 + np.array([0., -15., 0.], np.float32))
+
+    cam = pt.make_camera((0, 0, 50), (0, 0, -1), (0, 1, 0))
+    rng = np.random.default_rng(11)
+    results = {}
+    for kind in ('coherent', 'incoherent'):
+        if kind == 'coherent':
+            ii = rng.integers(0, 1080, N_RAYS).astype(np.float32)
+            jj = rng.integers(0, 1920, N_RAYS).astype(np.float32)
+            z = jnp.zeros((N_RAYS,))
+            org, dirn = cam_mod.generate_rays(
+                cam, jnp.asarray(ii), jnp.asarray(jj), z, z, z, z,
+                1920, 1080)
+        else:
+            o = rng.normal(0, 25, (N_RAYS, 3)).astype(np.float32)
+            d = rng.normal(0, 1, (N_RAYS, 3)).astype(np.float32)
+            d /= np.linalg.norm(d, axis=-1, keepdims=True)
+            org, dirn = jnp.asarray(o), jnp.asarray(d)
+
+        mh = scn._mesh_closest_hit(m, org, dirn,
+                                   jnp.full((N_RAYS,), np.float32(1e30)))
+        device_sync(mh.t)
+        t_dev = np.asarray(mh.t, np.float64)
+        tri_dev = np.asarray(mh.tri)
+
+        t0 = time.time()
+        t_ref, _ = host_brute(tri_world, np.asarray(org), np.asarray(dirn))
+        log(f'[{kind}] host oracle {time.time() - t0:.0f}s')
+
+        hit_dev = tri_dev >= 0
+        hit_ref = t_ref < 1e29
+        hit_agree = hit_dev == hit_ref
+        both = hit_dev & hit_ref
+        rel = np.abs(t_dev[both] - t_ref[both]) / np.maximum(t_ref[both],
+                                                             1e-9)
+        row = {
+            'rays': int(N_RAYS),
+            'hit_frac': float(hit_ref.mean()),
+            'hit_agree': float(hit_agree.mean()),
+            'median_rel_t_err': float(np.median(rel)) if both.any() else 0.0,
+            'p999_rel_t_err': float(np.quantile(rel, 0.999))
+            if both.any() else 0.0,
+        }
+        log(f'[{kind}]', row)
+        # f32 kernels vs f64 oracle: boundary flips only, tight t's
+        assert row['hit_agree'] > 0.999, row
+        assert row['p999_rel_t_err'] < 1e-3, row
+        results[kind] = row
+
+    out = {'tris': int(m.num_triangles), 'clusters': int(m.n_clusters),
+           'lean': True, 'results': results, 'pass': True}
+    json.dump(out, open('/root/repo/BIG_PARITY.json', 'w'), indent=1)
+    log('wrote BIG_PARITY.json -> PASS')
+
+
+if __name__ == '__main__':
+    main()
