@@ -34,8 +34,13 @@ def log(*a):
     print(*a, flush=True)
 
 
-def host_brute(tri, org, dirn, chunk=500_000):
-    """Exact float64 closest hit per ray over ALL triangles (host)."""
+def host_brute(tri, org, dirn, chunk=1_000_000):
+    """Exact float64 closest hit per ray over ALL triangles (host).
+
+    Everything per-(ray, triangle) is expressed as (R,3) x (3,C) BLAS
+    matmuls plus per-triangle constants — t = (a.n - o.n)/(d.n) and
+    beta = o.Up + t d.Up - a.Up etc. — so numpy threads through BLAS
+    instead of crawling einsum reductions (~40x)."""
     a = tri[:, 0].astype(np.float64)
     u = tri[:, 1].astype(np.float64) - a
     v = tri[:, 2].astype(np.float64) - a
@@ -48,32 +53,28 @@ def host_brute(tri, org, dirn, chunk=500_000):
     Up = inv[:, None] * (m22[:, None] * u - m12[:, None] * v)
     Vp = inv[:, None] * (m11[:, None] * v - m12[:, None] * u)
     good = (det != 0)
+    an = (a * n).sum(-1)         # (C,) per-triangle constants
+    aU = (a * Up).sum(-1)
+    aV = (a * Vp).sum(-1)
 
-    o_all = org.astype(np.float64)
-    d_all = dirn.astype(np.float64)
-    best_t = np.full(len(o_all), 1e30)
-    best_i = np.full(len(o_all), -1, np.int64)
-    RC = 128                     # ray chunk: (RC, chunk, 3) f64 temps
-    for rs in range(0, len(o_all), RC):
-        rsl = slice(rs, min(rs + RC, len(o_all)))
-        o, d = o_all[rsl], d_all[rsl]
-        for s in range(0, len(a), chunk):
-            sl = slice(s, min(s + chunk, len(a)))
-            ao = a[sl][None] - o[:, None]                # (RC, C, 3)
-            dn = np.einsum('rk,ck->rc', d, n[sl])
-            t = (np.einsum('rck,ck->rc', ao, n[sl])
-                 / np.where(dn != 0, dn, 1.0))
-            p = (o[:, None] + t[..., None] * d[:, None] - a[sl][None])
-            be = np.einsum('rck,ck->rc', p, Up[sl])
-            ga = np.einsum('rck,ck->rc', p, Vp[sl])
-            ok = ((dn != 0) & good[sl][None] & (t > 0) & (be >= 0)
-                  & (ga >= 0) & (be + ga <= 1.0))
-            t = np.where(ok, t, 1e30)
-            j = t.argmin(-1)
-            tj = t[np.arange(len(o)), j]
-            win = tj < best_t[rsl]
-            best_i[rsl] = np.where(win, j + s, best_i[rsl])
-            best_t[rsl] = np.where(win, tj, best_t[rsl])
+    o = org.astype(np.float64)
+    d = dirn.astype(np.float64)
+    best_t = np.full(len(o), 1e30)
+    best_i = np.full(len(o), -1, np.int64)
+    for s in range(0, len(a), chunk):
+        sl = slice(s, min(s + chunk, len(a)))
+        dn = d @ n[sl].T                                 # (R, C) BLAS
+        t = (an[sl][None] - o @ n[sl].T) / np.where(dn != 0, dn, 1.0)
+        be = o @ Up[sl].T + t * (d @ Up[sl].T) - aU[sl][None]
+        ga = o @ Vp[sl].T + t * (d @ Vp[sl].T) - aV[sl][None]
+        ok = ((dn != 0) & good[sl][None] & (t > 0) & (be >= 0)
+              & (ga >= 0) & (be + ga <= 1.0))
+        t = np.where(ok, t, 1e30)
+        j = t.argmin(-1)
+        tj = t[np.arange(len(o)), j]
+        win = tj < best_t
+        best_i = np.where(win, j + s, best_i)
+        best_t = np.where(win, tj, best_t)
     return best_t, best_i
 
 
