@@ -159,13 +159,15 @@ def load_scene(path: str, name_subst: Optional[str] = None):
                         for ch, p in (t or {}).items()}
             kw['textures'] = ([_resolve_tex(t) for t in tex]
                               if isinstance(tex, list) else _resolve_tex(tex))
-        if od.get('merl_path'):
+        if od.get('merl_path') or od.get('brdf_path'):
             from ..models import merl as merl_mod
-            mp = od['merl_path']
+            mp = od.get('merl_path') or od['brdf_path']
             if not os.path.isabs(mp):
                 mp = os.path.join(base_dir, mp)
             if os.path.exists(mp):
-                kw['measured_brdf'] = merl_mod.load_merl(mp)
+                # extension dispatch: .titopo/.titopoh bind TitopoBRDF
+                # with the reference's grid sizes (mainApp.cpp:2418-2434)
+                kw['measured_brdf'] = merl_mod.load_measured(mp)
         if od['type'] == 'sphere':
             objects.append(scn.sphere(od['center'], od['radius'], **kw))
         elif od['type'] == 'plane':

@@ -64,6 +64,11 @@ def _object_base(f, spec, name):
     f.write('name: %s\n' % name)
     f.write('miroir: %u\n' % (1 if spec.miroir else 0))
     f.write('ghost: %u\n' % (1 if spec.ghost else 0))
+    # OUR extension (scn_import peek-guards it): persist a measured-BRDF
+    # binding the reference only holds in GUI memory (mainApp.cpp:2418)
+    if getattr(spec, 'measured_brdf', None) is not None \
+            and getattr(spec.measured_brdf, 'path', ''):
+        f.write('brdf: %s\n' % spec.measured_brdf.path)
     f.write('translation: %s\n' % _v3(spec.translation))
     rot = (np.eye(3) if spec.rotation is None
            else np.asarray(spec.rotation, np.float64))

@@ -73,6 +73,14 @@ def _object_base(lines, name_subst):
         o['ghost'] = bool(int(_floats(lines.expect('ghost:'))[0]))
     else:
         o['ghost'] = False
+    # OUR extension (peek-guarded, reference files simply lack it): a
+    # measured-BRDF binding persisted by io/scn_export — the reference
+    # only ever binds BRDFs by GUI drag-drop and never saves them
+    # (mainApp.cpp:2418-2434), so round-tripping it here EXCEEDS parity
+    if lines.peek().startswith('brdf:'):
+        o['brdf'] = lines.expect('brdf:')
+    else:
+        o['brdf'] = None
     o['translation'] = _floats(lines.expect('translation:'), 3)
     o['rotation'] = np.asarray(_floats(lines.expect('rotation:'), 9)
                                ).reshape(3, 3)
@@ -185,6 +193,13 @@ def load_scn(path: str, name_subst: Optional[str] = None):
         kind = lines.next().strip()
         o = _object_base(lines, name_subst)
         kw = _mat_kwargs(o)
+        if o.get('brdf') and o['brdf'] != 'Null':
+            bp = o['brdf']
+            if not os.path.isabs(bp):
+                bp = os.path.join(base_dir, bp)
+            if os.path.exists(bp):
+                from ..models import merl as merl_mod
+                kw['measured_brdf'] = merl_mod.load_measured(bp)
         n_before = len(objects)
         if kind == 'NEW SPHERE':
             has_env = bool(int(_floats(lines.expect('is_envmap:'))[0]))

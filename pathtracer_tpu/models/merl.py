@@ -37,6 +37,8 @@ class MeasuredBRDF:
                                      # Titopo: (Ti*To*Pd, 3) f32
     kind: int = flax.struct.field(pytree_node=False)
     dims: tuple = flax.struct.field(pytree_node=False, default=())
+    # source file (scene save/round-trip; not used at render time)
+    path: str = flax.struct.field(pytree_node=False, default='')
 
 
 def load_merl(path: str) -> MeasuredBRDF:
@@ -48,7 +50,7 @@ def load_merl(path: str) -> MeasuredBRDF:
             raise ValueError(f'MERL dims mismatch: {dims}')
         raw = np.fromfile(f, np.float64, 3 * n)
     table = raw.reshape(3, n).astype(np.float32)
-    return MeasuredBRDF(data=jnp.asarray(table), kind=MERL)
+    return MeasuredBRDF(data=jnp.asarray(table), kind=MERL, path=path)
 
 
 def load_titopo(path: str, n_thetai: int, n_thetao: int, n_phid: int
@@ -58,7 +60,22 @@ def load_titopo(path: str, n_thetai: int, n_thetao: int, n_phid: int
     .titopo -> 90x90x360 (mainApp.cpp:2418-2428)."""
     raw = np.fromfile(path, np.float32, n_thetai * n_thetao * n_phid * 3)
     return MeasuredBRDF(data=jnp.asarray(raw.reshape(-1, 3)), kind=TITOPO,
-                        dims=(n_thetai, n_thetao, n_phid))
+                        dims=(n_thetai, n_thetao, n_phid), path=path)
+
+
+def load_measured(path: str) -> MeasuredBRDF:
+    """Extension dispatch exactly like the reference's BRDF drop handler
+    (mainApp.cpp:2418-2434): `.titopoh` -> Titopo 45x45x180, `.titopo`
+    -> Titopo 90x90x360, anything else (`.binary`) -> MERL.  This is the
+    loader the scene paths (io/scene_json, io/scn_import) call, so
+    `.titopo` assets bind to TitopoBRDF instead of being misparsed as
+    MERL binaries."""
+    low = path.lower()
+    if low.endswith('.titopoh'):
+        return load_titopo(path, 45, 45, 180)
+    if low.endswith('.titopo'):
+        return load_titopo(path, 90, 90, 360)
+    return load_merl(path)
 
 
 def _local_frame(n, wi, wo):

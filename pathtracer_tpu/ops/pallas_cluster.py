@@ -179,6 +179,17 @@ class ClusteredMesh(NamedTuple):
     starts: Optional[np.ndarray] = None      # (C,) int64 host: cluster ->
                                              # first BVH position (None
                                              # for device-rebuilt views)
+    # per-cluster UNIT-normal bounds (C, 6) f32 [nlo xyz | nhi xyz], an
+    # axis-aligned box covering every valid triangle's oriented unit
+    # normal (times the mesh orientation sign, so the box is always in
+    # OUTWARD convention).  Backface cull: for ray direction d the
+    # minimum of n·d over the box is sum_i min(nlo_i*d_i, nhi_i*d_i);
+    # if that is >= 0 every triangle in the cluster is back-facing for d
+    # and — on a closed, consistently oriented, fully opaque mesh, for
+    # rays originating outside — the cluster cannot contain the closest
+    # hit (scene/topology.closed_orientation documents the exactness
+    # argument; scene/mesh.upload_mesh gates when it may be used).
+    nrm: Optional[jnp.ndarray] = None
 
 
 def _node_ranges(fb):
@@ -278,7 +289,8 @@ DEFAULT_LAYOUT = os.environ.get('PT_CLUSTER_LAYOUT', 'subtree')
 def build_clustered(tri_verts: np.ndarray, fb=None,
                     tris_c: Optional[int] = None,
                     layout: Optional[str] = None,
-                    merge_factor=1.25) -> ClusteredMesh:
+                    merge_factor=1.25,
+                    nrm_sign: float = 1.0) -> ClusteredMesh:
     """Partition the BVH order into clusters; top BVH over cluster bounds.
 
     fb: optional precomputed FlatBVH over tri_verts (scene/mesh.py passes
@@ -374,6 +386,21 @@ def build_clustered(tri_verts: np.ndarray, fb=None,
     nv = np.where(keep, nv, 0.0)
     Up = np.where(keep, Up, 0.0)
     Vp = np.where(keep, Vp, 0.0)
+    # per-cluster oriented UNIT-normal bounds (backface cull; see the
+    # ClusteredMesh.nrm field comment).  nrm_sign flips inward-wound
+    # meshes into outward convention; pad/degenerate triangles are
+    # excluded (an empty cluster's bounds collapse to 0, which the cull
+    # treats as always-back-facing — it holds no hittable triangle)
+    nlen = np.linalg.norm(nv, axis=-1, keepdims=True)
+    nkeep = keep & (nlen > 0.0)
+    with np.errstate(divide='ignore', invalid='ignore'):
+        nunit = np.where(nkeep, nrm_sign * nv / np.where(nlen > 0, nlen, 1.0),
+                         np.nan)
+    nrm_lo = np.where(np.isnan(nunit), np.inf, nunit).min(axis=1)
+    nrm_hi = np.where(np.isnan(nunit), -np.inf, nunit).max(axis=1)
+    empty_c = ~np.isfinite(nrm_lo).all(-1, keepdims=True)
+    nrm_lo = np.where(empty_c, 0.0, nrm_lo).astype(np.float32)
+    nrm_hi = np.where(empty_c, 0.0, nrm_hi).astype(np.float32)
     a_c = av - centers[:, None, :]                       # re-centered a
     n_sub = tris_c // SUBT
     width = n_sub * 3 * SUBT + TAIL + n_sub * SUB_META
@@ -421,7 +448,8 @@ def build_clustered(tri_verts: np.ndarray, fb=None,
     f32_parts = [top.node_lo[:, 0], top.node_lo[:, 1], top.node_lo[:, 2],
                  top.node_hi[:, 0], top.node_hi[:, 1], top.node_hi[:, 2],
                  clo[:, 0], clo[:, 1], clo[:, 2],
-                 chi[:, 0], chi[:, 1], chi[:, 2]]
+                 chi[:, 0], chi[:, 1], chi[:, 2],
+                 np.concatenate([nrm_lo, nrm_hi], axis=1).reshape(-1)]
     f32_dev = jnp.asarray(np.concatenate(
         [np.ascontiguousarray(x, np.float32) for x in f32_parts]))
     fo = np.cumsum([0] + [len(x) for x in f32_parts])
@@ -446,6 +474,7 @@ def build_clustered(tri_verts: np.ndarray, fb=None,
         cb_hix=f32s(9), cb_hiy=f32s(10), cb_hiz=f32s(11),
         packed=jnp.asarray(packed),
         n_clusters=c, order=fb.order, host_tris=ordered, starts=starts,
+        nrm=f32s(12).reshape(c, 6),
     )
 
 
@@ -459,10 +488,13 @@ def flat_soup(cm: ClusteredMesh) -> TriSoup:
 def cluster_arrays(cm: ClusteredMesh) -> tuple:
     """The 17 device arrays of a ClusteredMesh as a flat tuple — the form
     scene/mesh.py stores inside its pytree (statics travel separately)."""
-    return (cm.top_lox, cm.top_loy, cm.top_loz, cm.top_hix, cm.top_hiy,
-            cm.top_hiz, cm.top_a, cm.top_b, cm.top_leaf, cm.top_order,
-            cm.cb_lox, cm.cb_loy, cm.cb_loz, cm.cb_hix, cm.cb_hiy,
-            cm.cb_hiz, cm.packed)
+    out = (cm.top_lox, cm.top_loy, cm.top_loz, cm.top_hix, cm.top_hiy,
+           cm.top_hiz, cm.top_a, cm.top_b, cm.top_leaf, cm.top_order,
+           cm.cb_lox, cm.cb_loy, cm.cb_loz, cm.cb_hix, cm.cb_hiy,
+           cm.cb_hiz, cm.packed)
+    if cm.nrm is not None:
+        out = out + (cm.nrm,)
+    return out
 
 
 def cluster_from_arrays(arrays: tuple, n_clusters: int,
@@ -475,7 +507,8 @@ def cluster_from_arrays(arrays: tuple, n_clusters: int,
         top_order=a[9], top_max_leaf=top_max_leaf,
         cb_lox=a[10], cb_loy=a[11], cb_loz=a[12], cb_hix=a[13],
         cb_hiy=a[14], cb_hiz=a[15], packed=a[16],
-        n_clusters=n_clusters, order=None)
+        n_clusters=n_clusters, order=None,
+        nrm=a[17] if len(a) > 17 else None)
 
 
 def _cull_kernel(lox_ref, loy_ref, loz_ref, hix_ref, hiy_ref, hiz_ref,
@@ -1195,7 +1228,8 @@ CAND_FACTOR = int(os.environ.get('PT_CAND_FACTOR', '4'))
 
 
 @functools.partial(jax.jit, static_argnames=('maxc',))
-def _hier_cull(cb, org, dirn, tmax, maxc: int = MAXC, exclude=None):
+def _hier_cull(cb, org, dirn, tmax, maxc: int = MAXC, exclude=None,
+               nrm=None):
     """Two-stage phase 1: interval prefilter -> exact rectangle on top-K.
 
     The exact all-rays x all-clusters rectangle (`_dense_cull`) is VMEM-
@@ -1311,6 +1345,25 @@ def _hier_cull(cb, org, dirn, tmax, maxc: int = MAXC, exclude=None):
         tz_lo, tz_hi = axis(loz, hiz, 2)
         e_lo = jnp.maximum(jnp.maximum(tx_lo, ty_lo), tz_lo)
         e_hi = jnp.minimum(jnp.minimum(tx_hi, ty_hi), tz_hi)
+        if nrm is not None:
+            # backface cull at group level: minimum of n·d over the
+            # cluster's unit-normal box AND the group's direction box
+            # (within one octant every product's extremes sit at the
+            # interval corners) — >= 0 culls the cluster for every lane
+            # of this group, which is what the escaping-bounce dominator
+            # needs: shell clusters whose triangles all face away
+            def nmin_axis(kk):
+                nl = nrm[:, kk][None, :]
+                nh = nrm[:, kk + 3][None, :]
+                dl = dlo[:, kk:kk + 1]
+                dh = dhi[:, kk:kk + 1]
+                return jnp.minimum(
+                    jnp.minimum(nl * dl, nl * dh),
+                    jnp.minimum(nh * dl, nh * dh))
+            lb = nmin_axis(0) + nmin_axis(1) + nmin_axis(2)  # (nb, C)
+            front = lb < 0.0
+            e_lo = jnp.where(front, e_lo, BIG_T)
+            e_hi = jnp.where(front, e_hi, -BIG_T)
         e_lo = jnp.where(nonempty, e_lo, BIG_T)
         e_hi = jnp.where(nonempty, e_hi, -BIG_T)
         entry_lo = jnp.minimum(entry_lo, e_lo)             # union of groups
@@ -1442,7 +1495,8 @@ def _hier_cull(cb, org, dirn, tmax, maxc: int = MAXC, exclude=None):
 
 
 @functools.partial(jax.jit, static_argnames=('maxc',))
-def _dense_cull(cb, org, dirn, tmax, maxc: int = MAXC, exclude=None):
+def _dense_cull(cb, org, dirn, tmax, maxc: int = MAXC, exclude=None,
+                nrm=None):
     """Pure-XLA phase 1: every packet x every cluster slab rectangle.
 
     The Pallas SMEM tree walk costs ~740us/packet — 98% serial-loop
@@ -1482,6 +1536,19 @@ def _dense_cull(cb, org, dirn, tmax, maxc: int = MAXC, exclude=None):
         tmx = jnp.minimum(tmx, jnp.maximum(t1, t2))
         entry = jnp.maximum(tmin, 0.0)
         live = (tmx >= entry) & (tmin < tm[:, None])       # (BLOCK, C)
+        if nrm is not None:
+            # backface cull (ClusteredMesh.nrm): minimum of n·d over the
+            # cluster's unit-normal box per ray — >= 0 means every
+            # triangle is back-facing for this d, so the cluster cannot
+            # hold the closest hit (gated to closed opaque meshes by
+            # scene/mesh.upload_mesh)
+            lb = (jnp.minimum(nrm[None, :, 0] * d[:, 0:1],
+                              nrm[None, :, 3] * d[:, 0:1])
+                  + jnp.minimum(nrm[None, :, 1] * d[:, 1:2],
+                                nrm[None, :, 4] * d[:, 1:2])
+                  + jnp.minimum(nrm[None, :, 2] * d[:, 2:3],
+                                nrm[None, :, 5] * d[:, 2:3]))
+            live = live & (lb < 0.0)
         live = live & ~excl[None, :]
         key = jnp.min(jnp.where(live, entry, BIG_T), axis=0)
         return key, jnp.any(live, axis=0)
@@ -1682,10 +1749,11 @@ def root_exit_clamp(cm: ClusteredMesh, org, dirn, tmax):
 @functools.partial(
     jax.jit,
     static_argnames=('n_clusters', 'top_max_leaf', 'interpret',
-                     'refine_rounds', 'exhaustive'))
+                     'refine_rounds', 'exhaustive', 'backface'))
 def _two_level_exec(arrays, org, dirn, tmax, tmin, *,
                     n_clusters: int, top_max_leaf: int, interpret: bool,
-                    refine_rounds: int, exhaustive: bool):
+                    refine_rounds: int, exhaustive: bool,
+                    backface: bool = False):
     """Jitted body of two_level_hit.  Module-level jit is essential: the
     chunk lax.map / refine lax.cond close over per-call state, and an
     unjitted wrapper would re-trace + re-compile them on EVERY call
@@ -1704,14 +1772,17 @@ def _two_level_exec(arrays, org, dirn, tmax, tmin, *,
 
     cb = (cm.cb_lox, cm.cb_loy, cm.cb_loz, cm.cb_hix, cm.cb_hiy, cm.cb_hiz)
 
+    nrm = cm.nrm if (backface and cm.nrm is not None) else None
+
     def cull(o, d, tx, exclude=None):
         """Dense-tier cull round: hierarchical above HIER_MIN_CLUSTERS
         (same emission tightness, ~C/MAXC of the rectangle traffic),
         exact dense rectangle below.  4th output = the ids the windowed
         loop must mark swept (hier: all exact-tested candidates)."""
         if n_clusters > HIER_MIN_CLUSTERS:
-            return _hier_cull(cb, o, d, tx, exclude=exclude)
-        ids, counts, keys = _dense_cull(cb, o, d, tx, exclude=exclude)
+            return _hier_cull(cb, o, d, tx, exclude=exclude, nrm=nrm)
+        ids, counts, keys = _dense_cull(cb, o, d, tx, exclude=exclude,
+                                        nrm=nrm)
         return ids, counts, keys, ids
 
     def dense_chunk(o, d, tx, tn):
@@ -1817,19 +1888,25 @@ def _occ_residual(counts, keys, occ, tmax):
 
 
 @functools.partial(
-    jax.jit, static_argnames=('n_clusters', 'top_max_leaf', 'interpret'))
+    jax.jit, static_argnames=('n_clusters', 'top_max_leaf', 'interpret',
+                              'backface'))
 def _two_level_any_exec(arrays, org, dirn, tmax, tmin, *,
                         n_clusters: int, top_max_leaf: int,
-                        interpret: bool):
+                        interpret: bool, backface: bool = False):
     cm = cluster_from_arrays(arrays, n_clusters, top_max_leaf)
     n = org.shape[0]
     tmax = root_exit_clamp(cm, org, dirn, tmax)
     cb = (cm.cb_lox, cm.cb_loy, cm.cb_loz, cm.cb_hix, cm.cb_hiy, cm.cb_hiz)
+    # sound for occlusion too: if any hit exists within range on a
+    # closed opaque mesh (ray origin outside), the ray's ENTRY hit —
+    # front-facing, at smaller t — also exists within range
+    nrm = cm.nrm if (backface and cm.nrm is not None) else None
 
     def cull(o, d, tx, exclude=None):
         if n_clusters > HIER_MIN_CLUSTERS:
-            return _hier_cull(cb, o, d, tx, exclude=exclude)
-        ids, counts, keys = _dense_cull(cb, o, d, tx, exclude=exclude)
+            return _hier_cull(cb, o, d, tx, exclude=exclude, nrm=nrm)
+        ids, counts, keys = _dense_cull(cb, o, d, tx, exclude=exclude,
+                                        nrm=nrm)
         return ids, counts, keys, ids
 
     def chunk(o, d, tx, tn):
@@ -1871,7 +1948,7 @@ def _two_level_any_exec(arrays, org, dirn, tmax, tmin, *,
 
 
 def two_level_any(cm: ClusteredMesh, org, dirn, tmax, tmin=None,
-                  interpret=False):
+                  interpret=False, backface_cull: bool = False):
     """Occlusion query: (N,) bool, True iff ANY triangle hit in
     (tmin, tmax).  Exhaustive like two_level_hit (windowed overflow
     rounds, no silent drop), but with the cheap any-hit sweep: no winner
@@ -1889,14 +1966,15 @@ def two_level_any(cm: ClusteredMesh, org, dirn, tmax, tmin=None,
     occ = _two_level_any_exec(
         cluster_arrays(cm), org, dirn, tmax, tmin,
         n_clusters=cm.n_clusters, top_max_leaf=cm.top_max_leaf,
-        interpret=interpret)
+        interpret=interpret, backface=backface_cull)
     return occ[:n_orig]
 
 
 def two_level_hit(cm: ClusteredMesh, org, dirn, tmax, tmin=None,
                   interpret=False, refine_rounds: int = 1,
                   return_residual: bool = False, exhaustive: bool = True,
-                  soup: Optional[TriSoup] = None, with_bary: bool = True):
+                  soup: Optional[TriSoup] = None, with_bary: bool = True,
+                  backface_cull: bool = False):
     """Full two-level closest hit: (t, tri, alpha, beta) like packet_hit.
 
     tri indexes the BVH-ordered soup (map through cm.order for original
@@ -1923,7 +2001,7 @@ def two_level_hit(cm: ClusteredMesh, org, dirn, tmax, tmin=None,
         cluster_arrays(cm), org, dirn, tmax, tmin,
         n_clusters=cm.n_clusters, top_max_leaf=cm.top_max_leaf,
         interpret=interpret, refine_rounds=refine_rounds,
-        exhaustive=exhaustive)
+        exhaustive=exhaustive, backface=backface_cull)
     # the lean sweep kernel returns (t, tri) winners only — barycentrics
     # are recomputed per ray (callers with a resident soup pass it in;
     # valid winners always index real, unpadded triangles).  A gather

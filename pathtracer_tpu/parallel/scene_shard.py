@@ -398,6 +398,11 @@ def shard_clustered_mesh(mesh_arrays, n_shards: int, axis: str = 'scene'):
     zi = jnp.zeros((n_shards, 1), jnp.int32)
     clustered = (zf, zf, zf, zf, zf, zf, zi, zi, zi, zi,
                  cb[0], cb[1], cb[2], cb[3], cb[4], cb[5], packed_sh)
+    if len(arrs) > 17:
+        # per-cluster normal bounds (backface cull) shard with the
+        # clusters; zero-padded rows read as always-back-facing, which
+        # is exactly right for the dummy pad clusters
+        clustered = clustered + (pad_c(arrs[17], 0.0),)
 
     sp = np.asarray(m.shade_pack)
     sp_sh = np.zeros((n_shards, r_pad, sp.shape[1]), sp.dtype)

@@ -243,6 +243,10 @@ class Renderer:
 
     def __init__(self, sc: scn.SceneArrays, cam: cam_mod.Camera,
                  cfg: RenderConfig):
+        # a camera inside a closed mesh must see its back faces — clear
+        # the cluster backface cull there (build_scene cannot know the
+        # camera; see scene.camera_backface_gate)
+        sc = scn.camera_backface_gate(sc, cam.position)
         self.scene = sc
         self.cam = cam
         self.cfg = cfg

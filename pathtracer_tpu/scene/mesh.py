@@ -82,6 +82,18 @@ class MeshArrays:
     atlases: tuple = ()
     # bilinear texture filtering option (reference is point-sampled)
     bilinear: bool = flax.struct.field(pytree_node=False, default=False)
+    # cluster-tier backface cull enabled: the mesh is a closed,
+    # consistently oriented 2-manifold (topology.closed_orientation)
+    # with NO transparency / subsurface / alpha-cutout anywhere (group
+    # constants or texture channels), so rays can only originate outside
+    # it and the normal-bound cull in ops/pallas_cluster is EXACT (the
+    # orientation sign is baked into ClusteredMesh.nrm at build).
+    # build_scene additionally clears this for ghost / flipped objects
+    # and when another object's AABB overlaps this mesh's (its surface
+    # could seed ray origins inside); the Renderer clears it when the
+    # camera sits inside the mesh AABB.
+    backface_cull: bool = flax.struct.field(pytree_node=False,
+                                            default=False)
     # alpha-cutout re-intersection rounds (reference's in-leaf skip is
     # unbounded, TriangleMesh.cpp:1199-1205; each round is one traversal)
     cutout_rounds: int = flax.struct.field(pytree_node=False, default=4)
@@ -157,7 +169,8 @@ def upload_mesh(md: obj_io.MeshData, obj_row: int,
                 group_transp=None,
                 group_refr=None,
                 group_ksub=None,
-                lean: Optional[bool] = None) -> MeshArrays:
+                lean: Optional[bool] = None,
+                allow_backface: bool = True) -> MeshArrays:
     """Build BVH + device arrays from host MeshData (TriMesh::init tail,
     TriangleMesh.cpp:784-841)."""
     from ..models import texture as tex_mod
@@ -287,9 +300,33 @@ def upload_mesh(md: obj_io.MeshData, obj_row: int,
     # built below (explicit use_cluster=False keeps that tier testable).
     if use_cluster is None:
         use_cluster = jax.default_backend() == 'tpu'
+    # backface-cull gate (see MeshArrays.backface_cull): material side —
+    # the mesh must be opaque EVERYWHERE (no transparent/subsurface group
+    # constants, no alpha/transp/refr/ksub texture channels: any of
+    # those lets rays continue inside, where back faces are real hits);
+    # geometric side — closed_orientation's welded directed-edge +
+    # per-shell volume check (also yields the orientation sign baked
+    # into the cluster normal bounds).  PT_NO_BACKFACE=1 disables for
+    # triage/A-B.
+    bf_sign = 0
+    if (use_cluster and allow_backface
+            and os.environ.get('PT_NO_BACKFACE') != '1'):
+        transp_any = (bool(np.any(np.asarray(group_transp)))
+                      if group_transp is not None else bool(default_transp))
+        ksub_any = (bool(np.any(np.asarray(group_ksub) != 0.0))
+                    if group_ksub is not None
+                    else bool(np.any(np.asarray(default_ksub,
+                                                np.float32) != 0.0)))
+        tex_block = any(gt.alpha is not None or gt.transp is not None
+                        or gt.refr is not None or gt.ksub is not None
+                        for gt in textures)
+        if not (transp_any or ksub_any or tex_block):
+            from . import topology
+            bf_sign = topology.closed_orientation(md.vertices, md.vtx_idx)
     if use_cluster:
         from ..ops import pallas_cluster
-        cmesh = pallas_cluster.build_clustered(tri_verts, fb=fb)
+        cmesh = pallas_cluster.build_clustered(
+            tri_verts, fb=fb, nrm_sign=float(bf_sign if bf_sign else 1))
         clustered = pallas_cluster.cluster_arrays(cmesh)
         n_clusters = cmesh.n_clusters
         cluster_top_max_leaf = cmesh.top_max_leaf
@@ -438,6 +475,7 @@ def upload_mesh(md: obj_io.MeshData, obj_row: int,
         obj_row=int(obj_row), max_leaf=int(fb.max_leaf),
         use_brute=bool(use_brute), interp_normals=bool(interp_normals),
         n_tris=len(order),
+        backface_cull=bool(bf_sign != 0),
     )
 
 

@@ -635,7 +635,8 @@ def _mesh_alpha(mesh, mh):
 
 
 def _mesh_closest_hit(mesh, org_l, dir_l, t_max, cutout_rounds=None,
-                      t_min=None, need_bary: bool = True):
+                      t_min=None, need_bary: bool = True,
+                      backface=None):
     """Closest hit honoring alpha cutouts: re-intersect past texels with
     alpha < 0.5, up to cutout_rounds skips (the reference skips them inside
     the leaf loop, TriangleMesh.cpp:1199-1205; the wavefront equivalent is
@@ -692,7 +693,10 @@ def _mesh_closest_hit(mesh, org_l, dir_l, t_max, cutout_rounds=None,
                     cmesh, org_l, dir_l, t_max, tmin=t_min,
                     interpret=jax.default_backend() != 'tpu',
                     refine_rounds=rr, return_residual=True,
-                    soup=mesh.soup if wb else None, with_bary=wb)
+                    soup=mesh.soup if wb else None, with_bary=wb,
+                    backface_cull=bool(
+                        mesh.backface_cull if backface is None
+                        else backface))
 
             # scene axis (config 5): this device swept only its cluster
             # partition (root_exit_clamp on the LOCAL partition bounds IS
@@ -1060,7 +1064,12 @@ def _mesh_reservoir_march(mesh, org_m, dir_m, tmax, u,
 
     def body(c):
         i, t_floor, active, ts, tris, als, bes = c
-        mh = _mesh_closest_hit(mesh, org_m, dir_m, big, t_min=t_floor)
+        # the march counts crossings in BOTH directions (subsurface
+        # probes travel inside the surface) — never backface-cull here.
+        # (Gating already guarantees ksub-carrying meshes have the flag
+        # off; this is defense in depth.)
+        mh = _mesh_closest_hit(mesh, org_m, dir_m, big, t_min=t_floor,
+                               backface=False)
         found = active & (mh.t < big)
         row = lambda a, v: jax.lax.dynamic_update_slice(
             a, v[None, :], (i, 0))
@@ -1287,7 +1296,8 @@ def intersect_shadow(sc: SceneArrays, origins, dirs, dist_light,
                 mesh.clustered, mesh.n_clusters, mesh.cluster_top_max_leaf)
             mb = pallas_cluster.two_level_any(
                 cmesh, org_l, dir_l, limit,
-                interpret=_jax.default_backend() != 'tpu')
+                interpret=_jax.default_backend() != 'tpu',
+                backface_cull=bool(mesh.backface_cull))
             # scene axis: occlusion is an OR over partitions
             ax = getattr(mesh, 'scene_axis', None)
             if ax is not None:
@@ -1484,6 +1494,99 @@ def load_background(path: str, gamma: float = 2.2) -> np.ndarray:
     return (np.power(img, gamma) * 196964.699).astype(np.float32)
 
 
+def _mesh_world_aabb(mesh, trans):
+    """World-space AABB of a cluster-tier mesh from its cluster bounds
+    (works for lean meshes that no longer carry a soup)."""
+    lo = np.stack([np.asarray(mesh.clustered[10 + k]).min()
+                   for k in range(3)]).astype(np.float64)
+    hi = np.stack([np.asarray(mesh.clustered[13 + k]).max()
+                   for k in range(3)]).astype(np.float64)
+    if not mesh.world_space:
+        tr = np.asarray(trans[mesh.obj_row], np.float64)
+        corners = np.stack(np.meshgrid(*zip(lo, hi),
+                                       indexing='ij'), -1).reshape(-1, 3)
+        w = corners @ tr[:, :3].T + tr[:, 3]
+        lo, hi = w.min(0), w.max(0)
+    return lo, hi
+
+
+def _object_overlaps_aabb(o, tr, lo, hi) -> bool:
+    """Conservative: could any point of object o's surface lie inside the
+    (inflated) box [lo, hi]?  Unknown shapes answer True."""
+    tr = np.asarray(tr, np.float64)
+    if o.obj_type == SPHERE:
+        c = tr[:, :3] @ np.asarray(o.center, np.float64) + tr[:, 3]
+        r = float(o.radius) * abs(float(o.scale))
+        near = np.maximum(lo, np.minimum(c, hi))
+        return float(np.sum((near - c) ** 2)) <= r * r
+    if o.obj_type == PLANE:
+        p = tr[:, :3] @ np.asarray(o.center, np.float64) + tr[:, 3]
+        n = tr[:, :3] @ np.asarray(o.normal, np.float64)
+        nn = np.linalg.norm(n)
+        if nn == 0.0:
+            return True
+        n = n / nn
+        ctr = (lo + hi) * 0.5
+        ext = (hi - lo) * 0.5
+        return abs(float(np.dot(n, ctr - p))) <= float(np.dot(np.abs(n),
+                                                              ext))
+    if o.obj_type == MESH and o.mesh_data is not None:
+        v = np.asarray(o.mesh_data.vertices, np.float64)
+        vlo, vhi = v.min(0), v.max(0)
+        corners = np.stack(np.meshgrid(*zip(vlo, vhi),
+                                       indexing='ij'), -1).reshape(-1, 3)
+        w = corners @ tr[:, :3].T + tr[:, 3]
+        return bool(np.all(w.max(0) >= lo) and np.all(w.min(0) <= hi))
+    return True      # pointsets / yarns / unknown: conservative
+
+
+def _gate_backface_overlap(mesh, objects, trans):
+    """Clear MeshArrays.backface_cull when another object's surface could
+    seed ray origins inside this closed mesh (see the field comment)."""
+    if not getattr(mesh, 'backface_cull', False):
+        return mesh
+    lo, hi = _mesh_world_aabb(mesh, trans)
+    pad = 1e-3 + 1e-4 * float(np.linalg.norm(hi - lo))
+    lo, hi = lo - pad, hi + pad
+    if mesh.group_rows is not None:
+        own = {int(r) for r in np.unique(np.asarray(mesh.group_rows))}
+    else:
+        own = {int(mesh.obj_row)}
+    for j, o in enumerate(objects):
+        if j in own or j in (0, 1):
+            continue
+        if _object_overlaps_aabb(o, trans[j], lo, hi):
+            return mesh.replace(backface_cull=False)
+    return mesh
+
+
+def camera_backface_gate(sc: 'SceneArrays', cam_pos) -> 'SceneArrays':
+    """Clear backface_cull on meshes whose AABB contains the camera —
+    primary rays would then originate inside the closed surface, where
+    back faces are the true visible geometry.  Called by the Renderer
+    once the camera is known (build_scene cannot see it)."""
+    p = np.asarray(cam_pos, np.float64)
+    out, changed = [], False
+    for m in sc.meshes:
+        if getattr(m, 'backface_cull', False) and m.use_cluster:
+            lo = np.stack([np.asarray(m.clustered[10 + k]).min()
+                           for k in range(3)]).astype(np.float64)
+            hi = np.stack([np.asarray(m.clustered[13 + k]).max()
+                           for k in range(3)]).astype(np.float64)
+            pad = 1e-3 + 1e-4 * float(np.linalg.norm(hi - lo))
+            if m.world_space:
+                pl = p
+            else:
+                inv = np.asarray(sc.inv_trans[m.obj_row],
+                                 np.float64).reshape(3, 4)
+                pl = inv[:, :3] @ p + inv[:, 3]
+            if bool(np.all(pl >= lo - pad) and np.all(pl <= hi + pad)):
+                m = m.replace(backface_cull=False)
+                changed = True
+        out.append(m)
+    return sc.replace(meshes=tuple(out)) if changed else sc
+
+
 def build_scene(objects, light_intensity, envmap_intensity=1.0, envmap=None,
                 light_scale=1.0, fog=None, background=None,
                 frame=None, merge_meshes=None) -> SceneArrays:
@@ -1562,7 +1665,11 @@ def build_scene(objects, light_intensity, envmap_intensity=1.0, envmap=None,
                              texture_overrides=o.textures,
                              use_atlas=o.use_atlas,
                              bilinear=bool(o.bilinear),
-                             cutout_rounds=int(o.cutout_rounds))
+                             cutout_rounds=int(o.cutout_rounds),
+                             # ghosts pass rays through (origins end up
+                             # inside); flipped normals mark surfaces
+                             # meant to be seen from inside
+                             allow_backface=not (o.ghost or o.flip_normals))
         for i, o in mesh_items if i not in merged_rows)
 
     if merged_rows:
@@ -1576,7 +1683,20 @@ def build_scene(objects, light_intensity, envmap_intensity=1.0, envmap=None,
             group_ksub=gdef['ksub'], texture_overrides=tex_ov,
             bilinear=any(o.bilinear for _, o in mesh_items),
             cutout_rounds=max(int(o.cutout_rounds)
-                              for _, o in mesh_items)),)
+                              for _, o in mesh_items),
+            allow_backface=not any(o.ghost or o.flip_normals
+                                   for _, o in entries)),)
+
+    # backface-cull scene gate: another object's surface inside this
+    # closed mesh would seed bounce/shadow ray origins INSIDE it, where
+    # back faces are the true visible geometry — conservatively disable
+    # whenever any other object's world AABB overlaps the mesh's.
+    # Rows 0/1 (light sphere, env dome) are exempt: rays never
+    # ORIGINATE on the light or the dome, and occlusion of an
+    # interior light by the closed surface stays exact (the shadow ray
+    # enters through a front face first).
+    meshes = tuple(_gate_backface_overlap(m, objects, trans)
+                   for m in meshes)
 
     # analytic-object texture channels (sphere/plane UV sampling)
     from ..models import texture as tex_mod

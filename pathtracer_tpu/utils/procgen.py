@@ -49,13 +49,25 @@ def sphere_mesh(n_lat: int, n_lon: int, radius: float = 1.0,
     x = np.sin(LAT) * np.cos(LON)
     y = np.cos(LAT)
     z = np.sin(LAT) * np.sin(LON)
+    # snap the pole rows exactly (sin(pi) is ~1.2e-16, which would leave
+    # every bottom-pole vertex at a slightly DIFFERENT position — real
+    # cracks that fail the watertightness gate)
+    x[0, :] = 0.0; z[0, :] = 0.0; y[0, :] = 1.0
+    x[-1, :] = 0.0; z[-1, :] = 0.0; y[-1, :] = -1.0
     r = np.full_like(x, radius)
     if displace_amp > 0.0:
         rng = np.random.default_rng(seed)
+        # sin(LAT) envelope: the displacement vanishes at the poles so
+        # every pole-ring vertex lands on the SAME point — the sphere is
+        # genuinely watertight (the backface-cull gate welds duplicate
+        # positions and checks directed-edge closure; a pole ring whose
+        # radius varied with LON left real cracks there)
+        env = np.sin(LAT)
+        env[0, :] = 0.0; env[-1, :] = 0.0   # exact zero at the poles
         for _ in range(6):
             f = rng.uniform(2.0, 9.0, 3)
             ph = rng.uniform(0, 2 * np.pi, 3)
-            r = r + displace_amp * radius / 6.0 * (
+            r = r + env * displace_amp * radius / 6.0 * (
                 np.sin(f[0] * LAT + ph[0]) * np.cos(f[1] * LON + ph[1])
                 + 0.5 * np.sin(f[2] * (LAT + LON) + ph[2]))
     verts = np.stack([x * r, y * r, z * r], -1).reshape(-1, 3)

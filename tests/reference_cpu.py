@@ -115,6 +115,44 @@ def merl_eval_np(table, wi, wo, n):
     return np.maximum(table[:, idx] * MERL_SCALES, 0.0).astype(np.float32)
 
 
+def titopo_eval_np(table, dims, wi, wo, n):
+    """Scalar twin of models/merl.titopo_eval (TitopoBRDF::eval,
+    BRDF.h:132-185): trilinear over the (theta_i, theta_o, phi_d) grid."""
+    nti, nto, npd = dims
+    t1 = get_tangent(n)
+    t2 = np.cross(t1, n)
+    wi_l = np.array([np.dot(wi, t1), np.dot(wi, t2), np.dot(wi, n)],
+                    np.float32)
+    wo_l = np.array([np.dot(wo, t1), np.dot(wo, t2), np.dot(wo, n)],
+                    np.float32)
+    if wi_l[2] <= 0.0 or wo_l[2] <= 0.0:
+        return np.zeros(3, np.float32)
+    thetai = math.acos(min(1.0, max(-1.0, float(wi_l[2]))))
+    thetao = math.acos(min(1.0, max(-1.0, float(wo_l[2]))))
+    phid = (math.atan2(wo_l[1], wo_l[0]) - math.atan2(wi_l[1], wi_l[0]))
+    phid = phid % (2.0 * math.pi)
+    fi = thetai / (math.pi / 2.0) * nti
+    fo = thetao / (math.pi / 2.0) * nto
+    fp = phid / (2.0 * math.pi) * npd
+    i0 = min(max(int(fi), 0), nti - 1)
+    o0 = min(max(int(fo), 0), nto - 1)
+    p0 = min(max(int(fp), 0), npd - 1)
+    i1 = min(i0 + 1, nti - 1)
+    o1 = min(o0 + 1, nto - 1)
+    p1 = min(p0 + 1, npd - 1)
+    wif, wof, wpf = fi - i0, fo - o0, fp - p0
+
+    def at(i, o, p_):
+        return table[(i * nto + o) * npd + p_]
+
+    v = ((at(i0, o0, p0) * (1 - wpf) + at(i0, o0, p1) * wpf) * (1 - wof)
+         + (at(i0, o1, p0) * (1 - wpf) + at(i0, o1, p1) * wpf) * wof
+         ) * (1 - wif) + (
+        (at(i1, o0, p0) * (1 - wpf) + at(i1, o0, p1) * wpf) * (1 - wof)
+        + (at(i1, o1, p0) * (1 - wpf) + at(i1, o1, p1) * wpf) * wof) * wif
+    return v.astype(np.float32)
+
+
 def envmap_ke_np(envmap, n_out):
     """Dome radiance lookup; twin of scene._envmap_ke (Geometry.h:963-977)."""
     eh, ew = envmap.shape[0], envmap.shape[1]
@@ -139,7 +177,7 @@ class Obj:
                  flip_normals=False, kd=(1, 1, 1), ks=(0, 0, 0), ne=(1, 1, 1),
                  transp=False, refr_index=1.3, miroir=False,
                  translation=(0, 0, 0), tri_verts=None, tri_normals=None,
-                 ksub=(0, 0, 0), merl=None):
+                 ksub=(0, 0, 0), merl=None, titopo=None):
         self.kind = kind
         self.center = (np.asarray(center if center is not None else point,
                                   np.float32)
@@ -158,6 +196,7 @@ class Obj:
         self.tri_normals = tri_normals    # (T,3,3) per-corner shading normals
         self.ksub = np.asarray(ksub, np.float32)
         self.merl = merl                  # (3, TH*TD*PD/2) measured table
+        self.titopo = titopo              # ((Ti*To*Pd, 3) table, dims)
 
     def all_intersections(self, org, dirn, tmax):
         """All hits with this object in [0, tmax): list of (t, normal)."""
@@ -564,6 +603,9 @@ def trace_path(scene: CPUScene, cam, i, j, key, cp_shift, lattice_pt,
                     f = obj.ksub / np.pi
                 elif obj.merl is not None:
                     f = merl_eval_np(obj.merl, wi, -dirn_shading, n)
+                elif obj.titopo is not None:
+                    f = titopo_eval_np(obj.titopo[0], obj.titopo[1], wi,
+                                       -dirn_shading, n)
                 else:
                     f = phong_eval(obj.kd, obj.ks, obj.ne, wi,
                                    -dirn_shading, n)
@@ -629,12 +671,16 @@ def trace_path(scene: CPUScene, cam, i, j, key, cp_shift, lattice_pt,
                 d_ind = random_cos(n, r1_cp, r2_cp)
                 pdf = np.dot(n, d_ind) / np.pi
                 f_ind = obj.ksub / np.pi
-            elif obj.merl is not None:
+            elif obj.merl is not None or obj.titopo is not None:
                 # measured BRDFs sample pure cosine and draw no lobe-choice
                 # uniform (BRDF.h:126-131, :198-203; integrator.py gate)
                 d_ind = random_cos(n, r1_cp, r2_cp)
                 pdf = np.dot(n, d_ind) / np.pi
-                f_ind = merl_eval_np(obj.merl, d_ind, -dirn_shading, n)
+                if obj.merl is not None:
+                    f_ind = merl_eval_np(obj.merl, d_ind, -dirn_shading, n)
+                else:
+                    f_ind = titopo_eval_np(obj.titopo[0], obj.titopo[1],
+                                           d_ind, -dirn_shading, n)
             else:
                 u_choice = eng.next_float()   # canonical order #4
                 avg_ne = float(np.mean(obj.ne))

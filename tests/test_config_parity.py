@@ -90,14 +90,21 @@ def _cpu_objects(objects):
     harness's single-constant-material Obj matches upload_mesh's g_* slate)."""
     out = []
     for o in objects:
-        merl = (None if o.measured_brdf is None
-                else np.asarray(o.measured_brdf.data))
+        from pathtracer_tpu.models import merl as merl_mod
+        merl = titopo = None
+        if o.measured_brdf is not None:
+            if o.measured_brdf.kind == merl_mod.TITOPO:
+                titopo = (np.asarray(o.measured_brdf.data),
+                          o.measured_brdf.dims)
+            else:
+                merl = np.asarray(o.measured_brdf.data)
         if o.obj_type == scn.SPHERE:
             out.append(ref.Obj(
                 'sphere', center=o.center, radius=o.radius,
                 flip_normals=o.flip_normals, kd=o.kd, ks=o.ks, ne=o.ne,
                 transp=o.transp, refr_index=o.refr_index, miroir=o.miroir,
-                translation=o.translation, ksub=o.ksub, merl=merl))
+                translation=o.translation, ksub=o.ksub, merl=merl,
+                titopo=titopo))
         elif o.obj_type == scn.PLANE:
             out.append(ref.Obj(
                 'plane', point=o.center, normal=o.normal,

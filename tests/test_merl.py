@@ -145,3 +145,107 @@ def test_titopo_interp(tmp_path):
     wo_dn = jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32)
     v0 = np.asarray(merl_mod.titopo_eval(table, wi, wo_dn, nrm))[0]
     np.testing.assert_array_equal(v0, 0.0)
+
+
+def test_load_measured_extension_dispatch(tmp_path):
+    """load_measured mirrors the reference's drop handler grid-size rule
+    (mainApp.cpp:2418-2434): .titopoh -> 45x45x180, .titopo -> 90x90x360,
+    .binary -> MERL."""
+    ph = str(tmp_path / 'm.titopoh')
+    np.random.default_rng(0).uniform(
+        0, 1, (45 * 45 * 180 * 3,)).astype(np.float32).tofile(ph)
+    t = merl_mod.load_measured(ph)
+    assert t.kind == merl_mod.TITOPO and t.dims == (45, 45, 180)
+    assert t.path == ph
+    pb = str(tmp_path / 'm.binary')
+    _write_merl(pb)
+    t2 = merl_mod.load_measured(pb)
+    assert t2.kind == merl_mod.MERL
+
+
+def test_titopo_scene_json_and_scn_roundtrip(tmp_path):
+    """A .titopoh asset reaches TitopoBRDF through the JSON scene loader
+    and survives a .scn save/load round trip (our peek-guarded `brdf:`
+    extension — the reference never persists BRDF bindings)."""
+    import json
+    from pathtracer_tpu.io import scene_json, scn_export, scn_import
+    ph = str(tmp_path / 'm.titopoh')
+    np.random.default_rng(0).uniform(
+        0, 1, (45 * 45 * 180 * 3,)).astype(np.float32).tofile(ph)
+    doc = {
+        'light_intensity': 1e10,
+        'camera': {'position': [0, 0, 50], 'direction': [0, 0, -1],
+                   'up': [0, 1, 0], 'fov': 0.6, 'focus_distance': 50.0,
+                   'aperture': 0.1},
+        'render': {'width': 8, 'height': 8, 'nrays': 1, 'bounces': 2},
+        'objects': [
+            {'type': 'sphere', 'center': [10, 23, 15], 'radius': 10.0,
+             'light': True},
+            {'type': 'sphere', 'center': [0, 0, 0], 'radius': 1e6,
+             'flip_normals': True},
+            {'type': 'sphere', 'center': [0, -17, 0], 'radius': 10.0,
+             'brdf_path': 'm.titopoh'},
+        ],
+    }
+    jp = tmp_path / 's.json'
+    jp.write_text(json.dumps(doc))
+    objects, li, cam, cfg, extras = scene_json.load_scene(str(jp))
+    tb = objects[2].measured_brdf
+    assert tb is not None and tb.kind == merl_mod.TITOPO
+    assert tb.dims == (45, 45, 180)
+    # .scn round trip keeps the binding
+    sp = str(tmp_path / 's.scn')
+    scn_export.save_scn(sp, objects, li, cam, cfg)
+    objects2, _, _, _, _ = scn_import.load_scn(sp)
+    tb2 = objects2[2].measured_brdf
+    assert tb2 is not None and tb2.kind == merl_mod.TITOPO
+    np.testing.assert_array_equal(np.asarray(tb2.data), np.asarray(tb.data))
+
+
+def test_titopo_e2e_matches_cpu(tmp_path):
+    """Full render of a Titopo-bound sphere vs the sequential CPU harness
+    (titopo_eval_np mirror) at equal per-path PCG sequences — the same
+    criterion as test_integrator_vs_cpu."""
+    import sys
+    import os
+    sys.path.insert(0, os.path.dirname(__file__))
+    import reference_cpu as ref
+
+    nti, nto, npd = 6, 6, 12
+    data = np.random.default_rng(3).uniform(
+        0.0, 0.4, (nti * nto * npd, 3)).astype(np.float32)
+    p = str(tmp_path / 't.titopo')
+    data.tofile(p)
+    table = merl_mod.load_titopo(p, nti, nto, npd)
+
+    W, H, SPP, BOUNCES = 20, 16, 2, 2
+    li = scn.default_light_intensity()
+    objs = scn.default_objects()
+    objs.append(scn.sphere((0.0, -17.0, 0.0), 10.0, measured_brdf=table))
+    sc = scn.build_scene(objs, li)
+    cpu_objs = [
+        ref.Obj('sphere', center=(10, 23, 15), radius=10.0),
+        ref.Obj('sphere', center=(0, 0, 0), radius=1e6, flip_normals=True),
+        ref.Obj('plane', point=(0, 0, 0), normal=(0, 1, 0),
+                translation=(0, -27.3, 0)),
+        ref.Obj('sphere', center=(0, -17, 0), radius=10.0,
+                titopo=(data, (nti, nto, npd))),
+    ]
+    cpu_scene = ref.CPUScene(cpu_objs, li)
+    cam = pt.make_camera((0, 0, 50), (0, 0, -1), (0, 1, 0))
+    cpu_cam = dict(position=np.array([0, 0, 50], np.float32),
+                   direction=np.array([0, 0, -1], np.float32),
+                   up=np.array([0, 1, 0], np.float32),
+                   fov=35 * math.pi / 180, focus=50.0, aperture=0.1)
+    cfg = rnd.RenderConfig(width=W, height=H, nrays=SPP, nb_bounces=BOUNCES)
+    cp = rng_host.random_per_pixel_fast(W, H)
+    _, smp_tpu = rnd.render_unsplatted(sc, cam, jnp.asarray(cp), cfg)
+    smp_tpu = np.asarray(smp_tpu)
+    smp_cpu = ref.render_cpu(cpu_scene, cpu_cam, W, H, SPP, BOUNCES, cp)
+    scale = max(np.abs(smp_cpu).max(), 1e-6)
+    per_sample_rel = np.abs(smp_tpu - smp_cpu).max(-1) / scale
+    flipped = per_sample_rel > 1e-3
+    assert flipped.mean() < 0.05, flipped.mean()
+    assert per_sample_rel[~flipped].max() < 1e-3
+    mean_rel = abs(smp_tpu.mean() - smp_cpu.mean()) / scale
+    assert mean_rel < 0.02, mean_rel
