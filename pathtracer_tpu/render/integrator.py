@@ -214,6 +214,13 @@ class PathState(NamedTuple):
     # octant sort's secondary key.  NOT preserved across the sort — the
     # next bounce recomputes it from its own hit before any use.
     lkey: jnp.ndarray = None  # (N,) int32
+    # per-lane count of subsurface reservoir-march slot overflows
+    # (scene._mesh_reservoir_march reports found=False past
+    # RESERVOIR_MAX_CROSSINGS crossings — the estimator treats that as a
+    # probe miss, which is biased if it is ever COMMON; this counter
+    # makes the rate observable, Renderer.stats ss_reservoir_overflow).
+    # Summed at the end, so the octant sort may carry it unpermuted.
+    ss_over: jnp.ndarray = None  # (N,) int32
 
 
 SS_SIGMA = np.float32(1.5)                       # Raytracer.cpp:330
@@ -228,7 +235,8 @@ def _subsurface_event(sc, hit, p, nrm, ray_dir, take_ss, rng_st):
     {-N: 0.5, Tg: 0.25, Tg2: 0.25}, restricted reservoir intersection on
     the same object, weight = pdfdisk/max(pdfgauss,0.05)*chris*(2|4)*Ksub/pi.
 
-    Returns (ss_ok, new_p, new_n, new_dir, ss_factor (N,3), probe_ksub, rng).
+    Returns (ss_ok, new_p, new_n, new_dir, ss_factor (N,3), probe_ksub,
+    rng, probe_overflow (N,) bool).
     Draws (all gated on take_ss): randR u, angle u, axis u, [offset u gated
     tangent-axis], reservoir u.
     """
@@ -281,7 +289,9 @@ def _subsurface_event(sc, hit, p, nrm, ray_dir, take_ss, rng_st):
 
     new_dir = vec.normalize(probe.p - p)
     new_p = probe.p + 0.005 * probe.n
-    return ss_ok, new_p, probe.n, new_dir, factor, probe.ksub, rng_st
+    over = (take_ss & probe.overflow) if probe.overflow is not None \
+        else jnp.zeros_like(take_ss)
+    return ss_ok, new_p, probe.n, new_dir, factor, probe.ksub, rng_st, over
 
 
 def _masked_update(mask, new, old):
@@ -366,7 +376,9 @@ def _sort_wavefront(state: PathState, cp_r12, bg_pixel, lane_id):
             show_lights=(flags & 2) != 0, show_env=(flags & 4) != 0,
             had_ss=(flags & 8) != 0, rng=rng,
             normal_aux=col3(4), albedo_aux=col3(5),
-            lkey=jnp.zeros_like(state.lkey))  # recomputed next bounce
+            lkey=jnp.zeros_like(state.lkey),  # recomputed next bounce
+            # overflow counter rides UNPERMUTED: only its sum is read
+            ss_over=state.ss_over)
     return state, cp_r12, bg_pixel, lane_id
 
 
@@ -414,6 +426,7 @@ def trace_paths(sc: scn.SceneArrays, origins, dirs, rng_state, cp_r12,
         rng=rng_state,
         normal_aux=zeros3, albedo_aux=zeros3,
         lkey=jnp.zeros((n,), jnp.int32),
+        ss_over=jnp.zeros((n,), jnp.int32),
     )
     ss_enabled = sc.ss_enabled
 
@@ -472,8 +485,8 @@ def trace_paths(sc: scn.SceneArrays, origins, dirs, rng_state, cp_r12,
                            )[:, None] * jnp.ones((1, 3))
         if ss_enabled:
             (ss_ok, ss_p, ss_n, ss_dir, ss_factor, ss_ksub,
-             rng_st) = _subsurface_event(sc, hit, p, nrm, ray_dir, take_ss,
-                                         rng_st)
+             rng_st, ss_probe_over) = _subsurface_event(
+                sc, hit, p, nrm, ray_dir, take_ss, rng_st)
             p = jnp.where(ss_ok[:, None], ss_p, p)
             nrm = jnp.where(ss_ok[:, None], ss_n, nrm)
             ray_dir = jnp.where(ss_ok[:, None], ss_dir, ray_dir)
@@ -721,6 +734,9 @@ def trace_paths(sc: scn.SceneArrays, origins, dirs, rng_state, cp_r12,
             rng=rng_st,
             lkey=(jnp.where(hit.hit, hit.lkey, 0)
                   if hit.lkey is not None else state.lkey),
+            ss_over=(state.ss_over + ss_probe_over.astype(jnp.int32)
+                     if ss_enabled and state.ss_over is not None
+                     else state.ss_over),
         )
 
     def segmented(depth, state, cp_r12, bg_pixel):
@@ -789,5 +805,5 @@ def trace_paths(sc: scn.SceneArrays, origins, dirs, rng_state, cp_r12,
     else:
         out = (state.color, state.normal_aux, state.albedo_aux)
     if return_stats:
-        return out + (jnp.stack(live_counts),)
+        return out + (jnp.stack(live_counts), jnp.sum(state.ss_over))
     return out

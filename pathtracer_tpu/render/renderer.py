@@ -134,7 +134,7 @@ def _wave(sc: scn.SceneArrays, cam: cam_mod.Camera, cp_table, cfg: RenderConfig,
     bg_pixel = _background_pixels(sc, pix_i, pix_j, w, h)
 
     def per_sample(carry, k):
-        image, sample_count, aux, rays = carry
+        image, sample_count, aux, rays, ss_ov = carry
         # --- per-path PCG streams ---
         key_lo = (pix_flat.astype(jnp.uint32) * jnp.uint32(nspp)
                   + k.astype(jnp.uint32))
@@ -159,7 +159,7 @@ def _wave(sc: scn.SceneArrays, cam: cam_mod.Camera, cp_table, cfg: RenderConfig,
         lattice = qmc.extensible_lattice_2d(k.astype(jnp.uint32))
         cp_r12 = qmc.cranley_patterson(lattice[None, :], cp_table)
 
-        color, naux, aaux, live = integrator.trace_paths(
+        color, naux, aaux, live, ss_over = integrator.trace_paths(
             sc, org, dirn, rng_state, cp_r12, cfg.nb_bounces,
             bg_pixel=bg_pixel, sort_rays=cfg.sort_rays or cfg.compact_rays,
             compact_rays=cfg.compact_rays, return_stats=True)
@@ -175,13 +175,14 @@ def _wave(sc: scn.SceneArrays, cam: cam_mod.Camera, cp_table, cfg: RenderConfig,
         # LIVE lane per bounce (dead lanes cost ~nothing under compaction);
         # int32 is safe per wave (host accumulates across waves in Python)
         rays = rays + 2 * jnp.sum(live)
-        return (image, sample_count, aux, rays), None
+        return (image, sample_count, aux, rays, ss_ov + ss_over), None
 
     if aux is None:
         aux = (jnp.zeros((h, w, 3)),) * 3
-    (image, sample_count, aux, rays), _ = jax.lax.scan(
-        per_sample, (image, sample_count, aux, jnp.int32(0)), sample_ids)
-    return image, sample_count, aux, rays
+    (image, sample_count, aux, rays, ss_ov), _ = jax.lax.scan(
+        per_sample, (image, sample_count, aux, jnp.int32(0), jnp.int32(0)),
+        sample_ids)
+    return image, sample_count, aux, rays, ss_ov
 
 
 _wave_jit = jax.jit(_wave, static_argnames=('cfg',))
@@ -263,18 +264,22 @@ class Renderer:
         self.aux = tuple(jnp.zeros((h, w, 3), jnp.float32) for _ in range(3))
         self.samples_done = 0
         self.rays_traced = 0    # live-lane ray ops (hit + shadow sweeps)
+        # subsurface reservoir-march slot overflows (biased probe misses
+        # if ever common — scene._mesh_reservoir_march docstring)
+        self.ss_overflow = 0
 
     def step(self, nsamples: Optional[int] = None):
         """Trace the next `nsamples` samples per pixel (default: one wave)."""
         nsamples = nsamples or self.cfg.samples_per_wave
         k0 = self.samples_done
         ks = jnp.arange(k0, k0 + nsamples, dtype=jnp.int32)
-        self.image, self.sample_count, self.aux, rays = _wave_jit(
+        self.image, self.sample_count, self.aux, rays, ss_ov = _wave_jit(
             self.scene, self.cam, self.cp_table, self.cfg,
             self.image, self.sample_count, self.film.ratio, ks, self.aux)
         self.samples_done += nsamples
         # device-scalar accumulate: no host sync until stats()/checkpoint
         self.rays_traced = self.rays_traced + rays
+        self.ss_overflow = self.ss_overflow + ss_ov
         return self
 
     def render(self):
@@ -349,6 +354,11 @@ class Renderer:
             'time_per_sample_s': seconds / spp,
             'rays_traced': rays,
             'rays_per_second': rays / max(seconds, 1e-12),
+            # count of subsurface probes lost to the crossing-march slot
+            # cap (RESERVOIR_MAX_CROSSINGS) — each is a biased miss; the
+            # honest-estimator expectation is ~0 on real scenes
+            # (tests/test_subsurface_mesh.py asserts it)
+            'ss_reservoir_overflow': int(self.ss_overflow),
         }
 
     def save_checkpoint(self, path: str):
@@ -361,6 +371,7 @@ class Renderer:
                  aux2=np.asarray(self.aux[2]),
                  samples_done=self.samples_done,
                  rays_traced=int(self.rays_traced),
+                 ss_overflow=int(self.ss_overflow),
                  cfg=repr(self.cfg))
 
     def load_checkpoint(self, path: str):
@@ -374,6 +385,7 @@ class Renderer:
                     jnp.asarray(d['aux2']))
         self.samples_done = int(d['samples_done'])
         self.rays_traced = int(d['rays_traced']) if 'rays_traced' in d else 0
+        self.ss_overflow = int(d['ss_overflow']) if 'ss_overflow' in d else 0
         return self
 
     def denoised_display(self, iterations: int = 4):

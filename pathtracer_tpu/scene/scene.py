@@ -1022,6 +1022,10 @@ class ProbeHit(NamedTuple):
     p: jnp.ndarray        # (N,3) world
     n: jnp.ndarray        # (N,3) unit shading normal (world)
     ksub: jnp.ndarray     # (N,3) material at the exit point
+    # lanes whose crossing march exhausted RESERVOIR_MAX_CROSSINGS slots
+    # (reported found=False — a biased miss if ever common; surfaced as
+    # the ss_reservoir_overflow stat through the integrator)
+    overflow: jnp.ndarray = None   # (N,) bool
 
 
 MESH_RESERVOIR_MAX_TRIS = 65536   # dense two-pass reservoir cost cap
@@ -1105,7 +1109,8 @@ def _mesh_reservoir_march(mesh, org_m, dir_m, tmax, u,
         al_sel = jnp.where(m, als[k], al_sel)
         be_sel = jnp.where(m, bes[k], be_sel)
     ga_sel = 1.0 - al_sel - be_sel
-    return found, t_sel, jnp.maximum(tri_sel, 0), al_sel, be_sel, ga_sel
+    return (found, t_sel, jnp.maximum(tri_sel, 0), al_sel, be_sel, ga_sel,
+            overflow)
 
 
 def reservoir_same_object(sc: SceneArrays, origins, dirs, tmax, obj_id, u):
@@ -1186,13 +1191,15 @@ def reservoir_same_object(sc: SceneArrays, origins, dirs, tmax, obj_id, u):
     # meshes: uniform pick among triangle hits in range.  The dense
     # two-pass sweep covers every mesh small enough for it (brute AND
     # packet tiers); bigger (cluster-tier) meshes use the crossing march.
+    overflow = jnp.zeros((n,), bool)
     for mesh in sc.meshes:
         if mesh.num_triangles > MESH_RESERVOIR_MAX_TRIS:
             row = mesh.obj_row
             org_m, dir_m = _local_ray_row(sc, row, origins, dirs)
             lane_on_mesh = obj_id == row
-            found_m, mt, mtri, a3, b3, g3 = _mesh_reservoir_march(
+            found_m, mt, mtri, a3, b3, g3, ov_m = _mesh_reservoir_march(
                 mesh, org_m, dir_m, tmax_, u)
+            overflow = overflow | (lane_on_mesh & ov_m)
             sfm = _shade_fetch(mesh, jnp.maximum(mtri, 0))
             if 'n0' in sfm:
                 n_m = (sfm['n0'] * a3[:, None] + sfm['n1'] * b3[:, None]
@@ -1268,7 +1275,8 @@ def reservoir_same_object(sc: SceneArrays, origins, dirs, tmax, obj_id, u):
             rm[:, 6] * n_l[:, 0] + rm[:, 7] * n_l[:, 1] + rm[:, 8] * n_l[:, 2],
         ], axis=-1))
 
-    return ProbeHit(found=found, t=t_sel, p=p_w, n=n_w, ksub=sc.ksub[obj_id])
+    return ProbeHit(found=found, t=t_sel, p=p_w, n=n_w,
+                    ksub=sc.ksub[obj_id], overflow=overflow)
 
 
 def intersect_shadow(sc: SceneArrays, origins, dirs, dist_light,

@@ -207,7 +207,13 @@ def _divergence(cfg, st):
 
 
 def pressure_solve(cfg: FluidConfig, st: FluidState):
-    """Jacobi-preconditioned CG (reference: conjGrad, fluid.h:693-761)."""
+    """Jacobi-preconditioned CG (reference: conjGrad, fluid.h:693-761).
+
+    Returns (pressure, residual_norm): the final ||r||_2 is reported so
+    callers can SEE when the cfg.cg_iters cap bit before cfg.cg_tol was
+    reached (the reference logs solver state, fluid.h:903-905; a silent
+    cap would violate the no-silent-caps standard the cluster tier
+    holds).  test_fluid.test_pressure_projection asserts convergence."""
     ct = st.celltypes
     fluid = (ct == FLUID)
     rhs = jnp.where(fluid, -_divergence(cfg, st)
@@ -238,9 +244,9 @@ def pressure_solve(cfg: FluidConfig, st: FluidState):
         p = z + beta * p
         return (i + 1, x, r, z, p, rz_new)
 
-    _, x, _, _, _, _ = jax.lax.while_loop(cond, body,
+    _, x, r, _, _, _ = jax.lax.while_loop(cond, body,
                                           (0, x0, r0, z0, p0, rz0))
-    return x
+    return x, jnp.sqrt(jnp.sum(r * r))
 
 
 def pressure_update(cfg: FluidConfig, st: FluidState, p) -> FluidState:
@@ -343,7 +349,7 @@ def substep(cfg: FluidConfig, st: FluidState) -> FluidState:
     st = advect(cfg, st)
     st = extrapolate(cfg, st)
     st = add_forces(cfg, st)
-    p = pressure_solve(cfg, st)
+    p, _res = pressure_solve(cfg, st)
     st = pressure_update(cfg, st, p)
     newp = move_particles(cfg, st)
     st = st._replace(particles=newp)

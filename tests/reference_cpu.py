@@ -519,12 +519,30 @@ def generate_ray(cam, i, j, dx, dy, dxa, dya, W, H):
                                       cam['up'], cam['fov'], cam['focus'])
     k = W / (2.0 * math.tan(fov / 2.0))
     right = np.cross(direction, up)
-    d = np.array([j - W / 2.0 + 0.5 + dx, i - H / 2.0 + 0.5 + dy, k],
-                 np.float32)
+    if cam.get('is_lenticular'):
+        # scalar twin of the interlaced multi-view branch
+        # (core/camera.generate_rays; reference Vector.h:798-812,
+        # including its axis-aligned-camera assumption)
+        nimg = cam['lenticular_nb_images']
+        el = (focus * math.tan(cam['lenticular_max_angle'] / 2.0)
+              / (nimg / 2.0))
+        offset = -float((int(j) // cam['lenticular_pixel_width']) % nimg
+                        - nimg // 2)
+        p_focus = pos + focus * np.array([0.0, 0.0, 1.0], np.float32)
+        c1 = pos + offset * el * right
+        v1 = normalize(p_focus - c1)
+        pproj = (k / np.dot(v1, direction)) * v1 + c1
+        pix_j = pproj[0] + W / 2.0 - 0.5
+        pix_i = pproj[1] + H / 2.0 - 0.5
+        d = np.array([(j - pix_j) + dx, (i - pix_i) + dy, k], np.float32)
+    else:
+        c1 = pos
+        d = np.array([j - W / 2.0 + 0.5 + dx, i - H / 2.0 + 0.5 + dy, k],
+                     np.float32)
     d = normalize(d)
     world = right * d[0] + up * d[1] + direction * d[2]
-    dest = pos + focus / abs(np.dot(world, direction)) * world
-    new_org = pos + dxa * right + dya * up
+    dest = c1 + focus / abs(np.dot(world, direction)) * world
+    new_org = c1 + dxa * right + dya * up
     new_dir = normalize(dest - new_org)
     return new_org, new_dir
 

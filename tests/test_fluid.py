@@ -29,7 +29,14 @@ def test_pressure_projection_kills_divergence():
         velz=jnp.asarray(rng.normal(0, 1, st.velz.shape), jnp.float32))
     div_before = np.asarray(fluid._divergence(cfg, st))
     fluid_cells = np.asarray(st.celltypes) == fluid.FLUID
-    p = fluid.pressure_solve(cfg, st)
+    p, res = fluid.pressure_solve(cfg, st)
+    # the solver must actually CONVERGE, not silently hit the iteration
+    # cap: final ||r|| at (or near) cg_tol, and far below the initial
+    # residual magnitude
+    r0 = np.linalg.norm(np.asarray(
+        np.where(fluid_cells, -np.asarray(fluid._divergence(cfg, st))
+                 * (cfg.rho * cfg.dx[0] * cfg.dx[0] / cfg.dt), 0.0)))
+    assert float(res) <= max(cfg.cg_tol * 2.0, r0 * 1e-3), (float(res), r0)
     st2 = fluid.pressure_update(cfg, st, p)
     div_after = np.asarray(fluid._divergence(cfg, st2))
     # interior fluid cells (not touching air) should be near divergence-free

@@ -175,3 +175,62 @@ def test_ss_march_render_contributes(monkeypatch):
     img_no, _ = rnd.render_unsplatted(sc_no, cam, cp, cfg)
     assert np.isfinite(np.asarray(img_ss)).all()
     assert np.abs(np.asarray(img_ss) - np.asarray(img_no)).max() > 1e-3
+
+
+def _wall_stack_mesh(n_walls=24, size=6.0):
+    """n_walls parallel quads stacked along z — a ray through them makes
+    n_walls crossings (the march's pathological case)."""
+    from pathtracer_tpu.io.obj import MeshData, GroupMaterial
+    verts, tris = [], []
+    for k in range(n_walls):
+        z = -float(k)
+        b = len(verts)
+        verts += [(-size, -size, z), (size, -size, z),
+                  (size, size, z), (-size, size, z)]
+        tris += [(b, b + 1, b + 2), (b, b + 2, b + 3)]
+    verts = np.asarray(verts, np.float32)
+    tris = np.asarray(tris, np.int32)
+    t = len(tris)
+    return MeshData(
+        vertices=verts, normals=np.zeros((1, 3), np.float32),
+        uvs=np.zeros((1, 2), np.float32), vtx_idx=tris,
+        uv_idx=np.zeros_like(tris), n_idx=np.zeros_like(tris),
+        group=np.zeros(t, np.int32), show_edges=np.ones((t, 3), bool),
+        vertex_colors=None, materials=[GroupMaterial()],
+        group_names={'default': 0}, obj_dir='')
+
+
+def test_reservoir_march_overflow_reported():
+    """Lanes crossing more than RESERVOIR_MAX_CROSSINGS surfaces must
+    report overflow=True (surfaced as the ss_reservoir_overflow stat) —
+    the probe result is a biased miss there, and silence would hide it."""
+    from pathtracer_tpu.scene import mesh as mesh_mod
+    md = _wall_stack_mesh(scn.RESERVOIR_MAX_CROSSINGS + 8)
+    mesh = mesh_mod.upload_mesh(md, obj_row=2, interp_normals=False)
+    n = 8
+    org = np.tile(np.array([[0.0, 0.0, 5.0]], np.float32), (n, 1))
+    d = np.tile(np.array([[0.0, 0.0, -1.0]], np.float32), (n, 1))
+    # half the lanes stop after 2 walls (no overflow), half go through all
+    tmax = np.where(np.arange(n) < 4, 1e4, 6.5).astype(np.float32)
+    out = scn._mesh_reservoir_march(
+        mesh, jnp.asarray(org), jnp.asarray(d), jnp.asarray(tmax),
+        jnp.full((n,), 0.5))
+    found, ov = np.asarray(out[0]), np.asarray(out[6])
+    assert ov[:4].all()          # exhausted the slot budget
+    assert not found[:4].any()   # overflow lanes report a probe miss
+    assert not ov[4:].any()
+    assert found[4:].all()
+
+
+def test_ss_overflow_stat_zero_on_real_scene(monkeypatch):
+    """On a real closed-sphere SS scene the march overflow must be RARE —
+    the renderer stat records exactly how rare (here: zero)."""
+    monkeypatch.setattr(scn, 'MESH_RESERVOIR_MAX_TRIS', 1000)
+    sc_ss = _mesh_scene()       # 12.6k tris -> crossing-march tier
+    cam = pt.make_camera((0, 0, 50), (0, 0, -1), (0, 1, 0))
+    cfg = rnd.RenderConfig(width=W, height=H, nrays=2, nb_bounces=BOUNCES,
+                           samples_per_wave=2)
+    r = rnd.Renderer(sc_ss, cam, cfg)
+    r.step(2)
+    st = r.stats(1.0)
+    assert st['ss_reservoir_overflow'] == 0
