@@ -112,9 +112,17 @@ def main(argv=None):
     r = Renderer(sc, cam, cfg)
     t0 = time.perf_counter()
     if args.progressive:
+        from .render import film as film_mod
+        # instant dense preview before the first full wave (the
+        # reference's 1/16^2 low-res fill-in, Raytracer.cpp:1508-1510 /
+        # mainApp.cpp:1214-1240): 1/256 of the rays, seconds not minutes
+        # on office-scale scenes
+        r.preview()
+        image_io.save_image(args.output, film_mod.to_u8(r.display_fill_in()))
+        print('saved low-res preview', flush=True)
         while r.samples_done < cfg.nrays:
             r.step(min(cfg.samples_per_wave, cfg.nrays - r.samples_done))
-            u8 = r.u8()
+            u8 = film_mod.to_u8(r.display_fill_in())
             image_io.save_image(args.output, u8)
             if args.autosave:
                 # progressive autosave slot (Raytracer.cpp:1549-1558)

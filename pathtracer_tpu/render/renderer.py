@@ -335,6 +335,51 @@ class Renderer:
         cnt = film_mod.crop(self.film, self.sample_count)
         return img / film_mod.RADIANCE_SCALE / jnp.maximum(cnt, 1e-9)[..., None]
 
+    PREVIEW_FACTOR = 16       # 1/16-per-axis low-res buffer (the
+                              # reference's Wlr/Hlr, Raytracer.cpp:1508)
+    PREVIEW_BLEND_SPP = 6     # blend while sample_count <= 5
+                              # (mainApp.cpp:1219-1238: alpha = count/6)
+
+    def preview(self, spp: int = 1):
+        """Render (and cache) the 1/16-per-axis low-res preview buffer.
+
+        The reference keeps a Wlr=W/16 accumulation image so early
+        progressive views are DENSE (Raytracer.cpp:1508-1510); its
+        scanline scheduling left holes, our waves leave noise — either
+        way the cheap low-res pass (1/256 of the rays) gives an instant
+        dense preview long before the first full wave lands.  Lazy: the
+        low-res trace compiles separately, so it only runs when a caller
+        actually asks for fill-in (CLI --progressive does)."""
+        if getattr(self, '_preview_lin', None) is None:
+            f = self.PREVIEW_FACTOR
+            wlr = max(self.cfg.width // f, 2)
+            hlr = max(self.cfg.height // f, 2)
+            pcfg = self.cfg._replace(width=wlr, height=hlr,
+                                     nrays=spp, remat_samples=False)
+            cp = jnp.asarray(rng_host.random_per_pixel_fast(wlr, hlr))
+            img, _ = render_unsplatted(self.scene, self.cam, cp, pcfg)
+            self._preview_lin = img          # (hlr, wlr, 3) linear
+        return self._preview_lin
+
+    def display_fill_in(self):
+        """Display image with the reference's low-res fill-in blend:
+        pixels with sample_count <= 5 mix toward the bilinear-upsampled
+        preview with alpha = count/6 (mainApp.cpp:1214-1240).  Falls back
+        to plain display once every pixel has PREVIEW_BLEND_SPP samples."""
+        cnt = film_mod.crop(self.film, self.sample_count)
+        if int(jnp.min(cnt)) >= self.PREVIEW_BLEND_SPP:
+            return self.display()
+        low = self.preview()
+        h, w = self.cfg.height, self.cfg.width
+        up = jax.image.resize(low, (h, w, 3), method='bilinear')
+        img = film_mod.crop(self.film, self.image)
+        lin = img / film_mod.RADIANCE_SCALE / jnp.maximum(cnt, 1.0)[..., None]
+        alpha = jnp.clip(cnt / float(self.PREVIEW_BLEND_SPP),
+                         0.0, 1.0)[..., None]
+        blended = alpha * lin + (1.0 - alpha) * up
+        return jnp.clip(jnp.power(jnp.maximum(blended, 0.0),
+                                  1.0 / self.cfg.gamma), 0.0, 1.0)
+
     def display(self):
         return film_mod.to_display(film_mod.crop(self.film, self.image),
                                    film_mod.crop(self.film, self.sample_count),

@@ -1549,8 +1549,26 @@ def _object_overlaps_aabb(o, tr, lo, hi) -> bool:
 
 
 def _gate_backface_overlap(mesh, objects, trans):
-    """Clear MeshArrays.backface_cull when another object's surface could
-    seed ray origins inside this closed mesh (see the field comment)."""
+    """Clear MeshArrays.backface_cull when another object could seed ray
+    origins INSIDE this closed mesh.
+
+    Reachability argument (why mere geometric overlap is fine): every
+    path origin is the camera (renderer gate), a surface hit point, a
+    ghost pass-through point, or a fog scatter point along a traced
+    segment — and no traced segment can ever REACH the interior of a
+    closed opaque mesh, because any segment from outside crosses the
+    shell and the closest hit terminates there first (with the cull on,
+    the crossing is front-facing, so it is still found — no
+    circularity).  Surfaces of other objects hidden inside the mesh are
+    therefore unreachable and harmless; e.g. a floor plane the mesh
+    dips below stays cullable.  The ONE transport that teleports
+    through space is the subsurface disk-probe relocation
+    (integrator._subsurface_event): an SS-capable object whose surface
+    dips inside this mesh could relocate a path to an interior exit
+    point — so only ss-capable overlapping objects clear the flag.
+    (Epsilon caveat: origins are offset ~0.01 outward; points within
+    that epsilon of a contact seam can leak, the same acne class every
+    eps-offset tracer has at touching geometry.)"""
     if not getattr(mesh, 'backface_cull', False):
         return mesh
     lo, hi = _mesh_world_aabb(mesh, trans)
@@ -1563,7 +1581,13 @@ def _gate_backface_overlap(mesh, objects, trans):
     for j, o in enumerate(objects):
         if j in own or j in (0, 1):
             continue
-        if _object_overlaps_aabb(o, trans[j], lo, hi):
+        ss_capable = bool(np.any(np.broadcast_to(
+            np.asarray(o.ksub, np.float32), (3,)) != 0.0))
+        if not ss_capable and isinstance(getattr(o, 'textures', None),
+                                         (dict, list)):
+            tex = o.textures if isinstance(o.textures, list) else [o.textures]
+            ss_capable = any(t and 'ksub' in t for t in tex)
+        if ss_capable and _object_overlaps_aabb(o, trans[j], lo, hi):
             return mesh.replace(backface_cull=False)
     return mesh
 

@@ -42,17 +42,23 @@ n = org.shape[0]
 total = 0.0
 
 @jax.jit
-def closest(o, d):
+def closest_(sc, o, d):
     return scn.intersect(sc, o, d)
 
+def closest(o, d):
+    return closest_(sc, o, d)
+
 @jax.jit
-def shadow(o, d, p, nrm, hitmask):
+def shadow_(sc, o, d, p, nrm, hitmask):
     center_light = sc.center_light
     to_l = center_light[None, :] - p
     dl = jnp.sqrt(jnp.sum(to_l**2, -1))
     wi = to_l / dl[:, None]
     lim = jnp.where(hitmask, dl - 0.01, 0.0)
     return scn.intersect_shadow(sc, p + 0.01 * wi, wi, lim)
+
+def shadow(o, d, p, nrm, hitmask):
+    return shadow_(sc, o, d, p, nrm, hitmask)
 
 hit, t0 = timed(lambda: closest(org, dirn), 'bounce0 closest (2.07M rays)')
 total += t0

@@ -147,13 +147,24 @@ def test_scene_gates():
     mesh = sc.meshes[0]
     assert mesh.backface_cull
     trans = np.stack([scn._build_matrices(o)[0] for o in objs])
-    # default scene (floor below, light above): no overlap -> keeps
+    # default scene: keeps
     assert scn._gate_backface_overlap(mesh, objs, trans).backface_cull
-    # an object inside the mesh AABB clears the flag
+    # a plain opaque object overlapping the mesh KEEPS the flag: its
+    # surface inside the closed opaque mesh is unreachable (the gate's
+    # reachability argument; test_e2e_render_identical covers it live)
     objs2 = objs + [pt.sphere((0.0, -15.0, 0.0), 2.0, kd=(1, 0, 0))]
     trans2 = np.stack([scn._build_matrices(o)[0] for o in objs2])
-    assert not scn._gate_backface_overlap(mesh, objs2,
-                                          trans2).backface_cull
+    assert scn._gate_backface_overlap(mesh, objs2, trans2).backface_cull
+    # but an overlapping SUBSURFACE object clears it: its disk-probe
+    # relocation can teleport a path to an exit point inside the mesh
+    objs3 = objs + [pt.sphere((0.0, -15.0, 0.0), 2.0, ksub=(0.5, 0.2, 0.1))]
+    trans3 = np.stack([scn._build_matrices(o)[0] for o in objs3])
+    assert not scn._gate_backface_overlap(mesh, objs3,
+                                          trans3).backface_cull
+    # a DISTANT subsurface object keeps it
+    objs4 = objs + [pt.sphere((0.0, 40.0, 0.0), 2.0, ksub=(0.5, 0.2, 0.1))]
+    trans4 = np.stack([scn._build_matrices(o)[0] for o in objs4])
+    assert scn._gate_backface_overlap(mesh, objs4, trans4).backface_cull
     # camera inside the mesh AABB clears; outside keeps
     assert not scn.camera_backface_gate(
         sc, np.asarray([0.0, -15.0, 0.0])).meshes[0].backface_cull
@@ -169,7 +180,12 @@ def test_scene_gates():
 def test_e2e_render_identical():
     """Full tiny render through the Renderer: image with the cull ON
     equals the image with the cull OFF bit-for-bit (same RNG, same
-    winners — the cull is exact, not approximate)."""
+    winners — the cull is exact, not approximate).
+
+    The sphere here (radius 10 + displacement at y=-15) dips BELOW the
+    floor plane (y=-27.3), so this doubles as the live check of the
+    overlap gate's reachability argument: the floor region hidden
+    inside the closed mesh is unreachable and the cull stays exact."""
     from pathtracer_tpu.render import renderer as rnd
     md = procgen.sphere_mesh(48, 48, radius=10.0, displace_amp=0.25)
     sc, _ = _cluster_scene(md)
