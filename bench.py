@@ -12,6 +12,10 @@ extra keys:
       recorded separately in BENCH_MESH.json because their first compile
       through the remote-compile tunnel takes minutes.
   mesh_scene_tris — triangle count of that scene.
+  big_mesh_e2e_rays_per_s / big_mesh_e2e_tris — the contested north-star
+      number (VERDICT r04 #2): closed 2.4M-tri displaced sphere through
+      the FULL renderer at 1080p, 3 bounces, cluster tier with
+      compaction + octant sort, live-lane accounting.
   fwd_ms_per_frame_1080p64 / fwd_bwd_ms_per_frame_1080p64 — forward and
       forward+backward 64-spp frame times through the SAME jitted
       render_unsplatted path (one accounting, mutually consistent; the
@@ -101,6 +105,23 @@ def main():
     st = mr.stats(mdt)
     mesh_rays_per_s = (st['rays_traced'] * mdone / (mdone + 2)) / mdt
 
+    # big-mesh e2e (VERDICT r04 #2): the contested north-star number in
+    # the driver artifact, not just hand-run scripts.  Closed 2.4M-tri
+    # displaced sphere through the FULL renderer (cluster tier,
+    # compaction + octant sort, 3 bounces), live-lane accounting —
+    # BENCH_MESH.json 'cluster-e2e' row methodology.  First compile
+    # through the remote-compile tunnel takes ~2 min (one-time).
+    bmd = procgen.sphere_mesh(1100, 1100, radius=14.0, displace_amp=0.25)
+    bobjs = scn.default_objects()
+    bobjs.append(scn.mesh_object(bmd, translation=(0.0, -15.0, 0.0)))
+    bsc = scn.build_scene(bobjs, scn.default_light_intensity())
+    bcfg = rnd.RenderConfig(width=W, height=H, nrays=8, nb_bounces=BOUNCES,
+                            samples_per_wave=1, compact_rays=True)
+    br = rnd.Renderer(bsc, cam, bcfg)
+    bdone, bdt = _bench_renderer(br, 1, 2, reps=2)
+    bst = br.stats(bdt)
+    big_mesh_rays_per_s = (bst['rays_traced'] * bdone / (bdone + 1)) / bdt
+
     # fwd+bwd ms/frame (the BASELINE.md reported metric): gradient of the
     # mean image wrt materials + light through the detached-sampling
     # estimator at 1080p.  remat_samples makes the FULL 64-spp frame fit
@@ -152,6 +173,8 @@ def main():
         "hardware_ray_ops_per_s": hw_ray_ops_per_s,
         "mesh_scene_rays_per_s": mesh_rays_per_s,
         "mesh_scene_tris": int(md.num_triangles),
+        "big_mesh_e2e_rays_per_s": big_mesh_rays_per_s,
+        "big_mesh_e2e_tris": int(bmd.num_triangles),
         "fwd_ms_per_frame_1080p64": fwd_frame_ms,
         "fwd_bwd_ms_per_frame_1080p64": fwd_bwd_frame_ms,
     }))

@@ -376,7 +376,17 @@ def shard_clustered_mesh(mesh_arrays, n_shards: int, axis: str = 'scene'):
               + packed[:, 3, tail0 + 128].astype(np.int64))
     t_total = int(m.shade_pack.shape[0])
 
-    bounds = np.linspace(0, c, n_shards + 1).round().astype(int)
+    # cluster-aligned bounds balancing TRIANGLES, not cluster indices:
+    # subtree-aligned clusters have variable occupancy, and an
+    # index-split measured up to 3.8x row skew across shards (the
+    # compute/shade share each device carries).  Worst-case skew is now
+    # bounded by one cluster's size (test_scene_axis_shard_balance).
+    starts_ext = np.concatenate([starts, [t_total]]).astype(np.int64)
+    targets = np.linspace(0, t_total, n_shards + 1)
+    bounds = np.searchsorted(starts_ext, targets, side='left')
+    bounds = np.clip(bounds, 0, c)
+    bounds[0], bounds[-1] = 0, c
+    bounds = np.maximum.accumulate(bounds)
     c_pad = int(np.max(np.diff(bounds)))
     row_b = np.concatenate([starts[bounds[:-1]], [t_total]]).astype(np.int64)
     r_pad = int(np.max(np.diff(row_b)))
@@ -480,3 +490,68 @@ def make_sharded_hit(mesh: Mesh, axis: str = 'scene'):
         check_vma=False,
     )
     return jax.jit(f)
+
+
+def scene_axis_comm_model(n_rays: int, d: int, n_bounces: int,
+                          shade_width: int):
+    """Per-WAVE communication account of the scene-sharded render path.
+
+    The scene axis replicates rays and shards clusters: each device
+    sweeps its own cluster partition for EVERY lane, then the per-bounce
+    combines move (BASELINE ≥8x scaling target needs this to stay small
+    vs the 1/D compute share):
+
+      * closest hit:  all_gather of (t f32, tri i32) over the axis
+        (scene._merge_mesh_hit) — each device RECEIVES (d-1)*N*8 bytes;
+      * shadow any:   psum of an i32 occlusion mask
+        (scene.intersect_shadow) — ring cost 2*(d-1)/d*N*4 bytes;
+      * shading row:  psum of the winner's packed shade row
+        (scene._shade_fetch owner-gather) — 2*(d-1)/d*N*shade_width*4.
+
+    Returns a dict with per-collective and total bytes per device per
+    wave, plus the comm-per-ray figure the scaling model uses: compute
+    per device shrinks ~1/d (cluster share) while comm per device GROWS
+    ~(d-1)/d * const — the crossover sets the useful scene-axis width
+    for a given per-chip rays/s and ICI bandwidth."""
+    n = n_rays
+    ag_closest = (d - 1) * n * 8 * n_bounces
+    ps_shadow = int(2 * (d - 1) / d * n * 4) * n_bounces
+    ps_shade = int(2 * (d - 1) / d * n * shade_width * 4) * n_bounces
+    total = ag_closest + ps_shadow + ps_shade
+    return {
+        'n_rays': n, 'devices': d, 'bounces': n_bounces,
+        'shade_width': shade_width,
+        'allgather_closest_bytes': ag_closest,
+        'psum_shadow_bytes': ps_shadow,
+        'psum_shade_bytes': ps_shade,
+        'total_bytes_per_device_per_wave': total,
+        'comm_bytes_per_ray_bounce': total / max(n * n_bounces, 1),
+    }
+
+
+def scene_axis_scaling_model(rays_per_s_1chip: float, d: int,
+                             n_bounces: int, shade_width: int,
+                             ici_bytes_per_s: float = 4.5e10):
+    """Crude compute/comm ratio for the scene axis at width d.
+
+    compute_per_ray_bounce shrinks to 1/d of the single-chip cost
+    (cluster share, assuming shard balance — asserted in
+    test_scene_axis_render); comm_per_ray_bounce comes from
+    scene_axis_comm_model.  ici_bytes_per_s defaults to a conservative
+    one-direction v5e ICI ring figure (~45 GB/s effective).  Returns the
+    modeled speedup vs one chip and the comm fraction."""
+    cm = scene_axis_comm_model(1_000_000, d, n_bounces, shade_width)
+    comm_s_per_ray_bounce = (cm['comm_bytes_per_ray_bounce']
+                             / ici_bytes_per_s)
+    # rays_per_s_1chip counts live ray-bounce ops (hit + NEE shadow per
+    # bounce = one unit), so the single-chip cost of one ray-bounce is
+    # 1/rps; a balanced scene shard does 1/d of it
+    base_s_per_ray_bounce = 1.0 / rays_per_s_1chip
+    per_ray = base_s_per_ray_bounce / d + comm_s_per_ray_bounce
+    speedup = base_s_per_ray_bounce / per_ray
+    return {
+        'devices': d,
+        'modeled_speedup_vs_1chip': speedup,
+        'comm_fraction': comm_s_per_ray_bounce / per_ray,
+        'ici_bytes_per_s': ici_bytes_per_s,
+    }

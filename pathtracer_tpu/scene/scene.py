@@ -1717,7 +1717,7 @@ def build_scene(objects, light_intensity, envmap_intensity=1.0, envmap=None,
             cutout_rounds=max(int(o.cutout_rounds)
                               for _, o in mesh_items),
             allow_backface=not any(o.ghost or o.flip_normals
-                                   for _, o in entries)),)
+                                   for o, _, _, _ in entries)),)
 
     # backface-cull scene gate: another object's surface inside this
     # closed mesh would seed bounce/shadow ray origins INSIDE it, where

@@ -65,3 +65,18 @@ def test_learned_entry_falls_back_without_weights(monkeypatch):
         np.testing.assert_allclose(got, want, atol=1e-6)
     else:
         assert got.shape == want.shape
+
+
+def test_shipped_weights_quality_gate():
+    """VERDICT r04 #7: the SHIPPED weights must beat both the noisy
+    input and the a-trous fallback by a clear PSNR margin on a held-out
+    scene (full artifact: scripts/denoiser_eval.py -> DENOISE_EVAL.json,
+    measured +11.8 dB vs noisy / +12.3 dB vs a-trous at 160x96)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..',
+                                    'scripts'))
+    import denoiser_eval
+    res = denoiser_eval.evaluate(width=96, height=64, spp_in=2, spp_ref=64,
+                                 force_cpu=False)  # conftest already CPU
+    assert res['learned_minus_noisy_db'] > 2.0, res
+    assert res['learned_minus_atrous_db'] > 1.0, res

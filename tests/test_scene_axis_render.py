@@ -84,3 +84,33 @@ def test_scene_axis_shard_structure():
     for d in range(4):
         seg = np.asarray(m_sh.shade_pack[d][:rows[d]])
         np.testing.assert_array_equal(seg, sp[row0[d]:row0[d] + rows[d]])
+
+
+def test_scene_axis_shard_balance():
+    """The ≥8x scaling target assumes shard BALANCE: cluster counts and
+    shade rows per shard within a small factor (the comm/compute model in
+    scene_shard.scene_axis_scaling_model divides compute by D)."""
+    sc, md = _cluster_scene()
+    m = sc.meshes[0]
+    m_sh = scene_shard.shard_clustered_mesh(m, 4)
+    rows = np.asarray(m_sh.shard_rows).astype(np.float64)
+    assert rows.max() <= 2.0 * max(rows.min(), 1.0), rows
+    # real (non-pad) clusters per shard: pad clusters have degenerate
+    # (lo > hi) boxes
+    lox = np.asarray(m_sh.clustered[10])
+    hix = np.asarray(m_sh.clustered[13])
+    nreal = (lox <= hix).sum(axis=1).astype(np.float64)
+    assert nreal.max() <= 2.0 * max(nreal.min(), 1.0), nreal
+
+
+def test_comm_model_shapes():
+    cm = scene_shard.scene_axis_comm_model(1920 * 1080, 8, 3, 16)
+    assert cm['total_bytes_per_device_per_wave'] == (
+        cm['allgather_closest_bytes'] + cm['psum_shadow_bytes']
+        + cm['psum_shade_bytes'])
+    # monotone in D and zero at D=1
+    c1 = scene_shard.scene_axis_comm_model(1920 * 1080, 1, 3, 16)
+    assert c1['total_bytes_per_device_per_wave'] == 0
+    sm = scene_shard.scene_axis_scaling_model(2.9e6, 16, 3, 16)
+    assert 1.0 < sm['modeled_speedup_vs_1chip'] <= 16.0
+    assert 0.0 < sm['comm_fraction'] < 1.0
