@@ -1400,13 +1400,25 @@ def _hier_cull(cb, org, dirn, tmax, maxc: int = MAXC, exclude=None,
     dropped_lb = jnp.max(cand_keys_i, axis=1)              # (nb,)
 
     # ---- stage B: exact per-ray rectangle over the candidates ----
-    # ONE row gather from a packed (C, 8) table: 6 separate scalar
+    # ONE row gather from a packed (C, 8|16) table: 6 separate scalar
     # gathers serialize on TPU (measured 129ms at (2025,128)<-4727 —
-    # more than the whole dense rectangle), the row form is free
-    table = jnp.stack([lox, loy, loz, hix, hiy, hiz,
-                       jnp.zeros_like(lox), jnp.zeros_like(lox)], axis=1)
-    rowsg = table[cand]                                    # (nb, k, 8)
+    # more than the whole dense rectangle), the row form is free.
+    # With backface culling the normal bounds ride the SAME row (cols
+    # 8-13) and stage B applies the test PER RAY — the stage-A
+    # per-octant-group version alone shrinks bounce emissions only ~8%
+    # (octant-wide direction boxes are too loose), per-ray measured 50%
+    # (scripts record, round 5).
+    cols = [lox, loy, loz, hix, hiy, hiz]
+    if nrm is not None:
+        cols += [nrm[:, i] for i in range(6)]
+        cols += [jnp.zeros_like(lox)] * 4
+    else:
+        cols += [jnp.zeros_like(lox)] * 2
+    table = jnp.stack(cols, axis=1)
+    rowsg = table[cand]                                    # (nb, k, 8|16)
     g = [rowsg[:, :, i] for i in range(6)]                 # 6 x (nb, k)
+    gn = ([rowsg[:, :, 6 + i] for i in range(6)]
+          if nrm is not None else None)
 
     # batch packets per map step: a per-packet map pays ~30us/step of
     # sequencing for ~5us of (BLOCK, K) rectangle work
@@ -1420,9 +1432,16 @@ def _hier_cull(cb, org, dirn, tmax, maxc: int = MAXC, exclude=None,
         tm = jnp.concatenate([tm, jnp.full((padp, BLOCK), -1.0)], 0)
         g = [jnp.concatenate([a, jnp.zeros((padp, k), a.dtype)], 0)
              for a in g]
+        if gn is not None:
+            gn = [jnp.concatenate([a, jnp.zeros((padp, k), a.dtype)], 0)
+                  for a in gn]
 
     def per_batch(xs):
-        o, d, tm2, bl = xs    # (PB,BLOCK,3) (PB,BLOCK,3) (PB,BLOCK) 6x(PB,k)
+        if gn is not None:
+            o, d, tm2, bl, bn = xs
+        else:
+            o, d, tm2, bl = xs
+        # (PB,BLOCK,3) (PB,BLOCK,3) (PB,BLOCK) 6x(PB,k)
         glox, gloy, gloz, ghix, ghiy, ghiz = bl
         ivx = 1.0 / d[:, :, 0:1]
         ivy = 1.0 / d[:, :, 1:2]
@@ -1441,13 +1460,26 @@ def _hier_cull(cb, org, dirn, tmax, maxc: int = MAXC, exclude=None,
         tmx2 = jnp.minimum(tmx2, jnp.maximum(t1, t2))
         entry = jnp.maximum(tmin, 0.0)
         live = (tmx2 >= entry) & (tmin < tm2[:, :, None])  # (PB, BLOCK, k)
+        if gn is not None:
+            # per-ray backface: min of n·d over the candidate's unit-
+            # normal box >= 0 -> all its triangles back-face this lane
+            nlx, nly, nlz, nhx, nhy, nhz = bn
+            dx = d[:, :, 0:1]
+            dy = d[:, :, 1:2]
+            dz = d[:, :, 2:3]
+            lb = (jnp.minimum(nlx[:, None, :] * dx, nhx[:, None, :] * dx)
+                  + jnp.minimum(nly[:, None, :] * dy, nhy[:, None, :] * dy)
+                  + jnp.minimum(nlz[:, None, :] * dz, nhz[:, None, :] * dz))
+            live = live & (lb < 0.0)
         key = jnp.min(jnp.where(live, entry, BIG_T), axis=1)
         return key, jnp.any(live, axis=1)
 
-    keys_e, live_e = jax.lax.map(
-        per_batch, (o.reshape(-1, PB, BLOCK, 3), d.reshape(-1, PB, BLOCK, 3),
-                    tm.reshape(-1, PB, BLOCK),
-                    tuple(a.reshape(-1, PB, k) for a in g)))
+    xs_in = (o.reshape(-1, PB, BLOCK, 3), d.reshape(-1, PB, BLOCK, 3),
+             tm.reshape(-1, PB, BLOCK),
+             tuple(a.reshape(-1, PB, k) for a in g))
+    if gn is not None:
+        xs_in = xs_in + (tuple(a.reshape(-1, PB, k) for a in gn),)
+    keys_e, live_e = jax.lax.map(per_batch, xs_in)
     keys_e = keys_e.reshape(nbp, k)[:nb]
     live_e = live_e.reshape(nbp, k)[:nb]
     live_e = live_e & cand_live_i

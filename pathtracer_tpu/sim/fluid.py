@@ -95,7 +95,9 @@ def rasterize_solids(cfg: FluidConfig, objects) -> np.ndarray:
                   lo[1] + yy * (hi[1] - lo[1]),
                   lo[2] + zz * (hi[2] - lo[2])], axis=-1)
     solid = np.zeros(p.shape[:3], bool)
-    for o in objects[2:]:  # skip light + dome
+    for i, o in enumerate(objects):
+        if i < 2:
+            continue   # skip light + dome
         tr = np.asarray(o.translation, np.float32)
         if o.obj_type == scn.SPHERE and not o.flip_normals:
             c = np.asarray(o.center) + tr
@@ -104,6 +106,12 @@ def rasterize_solids(cfg: FluidConfig, objects) -> np.ndarray:
             a = np.asarray(o.center) + tr
             n = np.asarray(o.normal)
             solid |= np.sum((p - a) * n, -1) < 0
+        elif o.obj_type == scn.MESH and o.mesh_data is not None:
+            # mesh solids via the reference's double-ray inside test at
+            # every cell (fluid.h:120-139), through the tiered mesh
+            # intersect (cells_inside_object)
+            inside, _ = cells_inside_object(cfg, objects, i)
+            solid |= inside
     return solid
 
 
@@ -347,7 +355,10 @@ def reclassify(cfg: FluidConfig, st: FluidState) -> FluidState:
 def substep(cfg: FluidConfig, st: FluidState) -> FluidState:
     """One timestep (reference: Fluid::timestep, fluid.h:874-938)."""
     st = advect(cfg, st)
-    st = extrapolate(cfg, st)
+    # jump-flood NN extrapolation (the reference's NNextrapolate,
+    # fluid.h:237-245) — unbounded reach; `extrapolate` keeps the cheap
+    # bounded-sweep variant for comparison (test_fluid)
+    st = extrapolate_jfa(cfg, st)
     st = add_forces(cfg, st)
     p, _res = pressure_solve(cfg, st)
     st = pressure_update(cfg, st, p)
@@ -369,3 +380,180 @@ def run(cfg: FluidConfig, st: FluidState, nb_frames: int):
             st = substep_jit(cfg, st)
         frames.append(np.asarray(st.particles))
     return st, frames
+
+
+# ---- shape-based authoring (reference: init_particles(initwithshape) ----
+
+_SHAPE_DIR = np.asarray([0.5, 0.0, 0.5], np.float32) / np.sqrt(0.5)
+
+
+def _cell_centers(cfg: FluidConfig) -> np.ndarray:
+    xs = np.linspace(0, 1, cfg.nx, endpoint=False) + 0.5 / cfg.nx
+    ys = np.linspace(0, 1, cfg.ny, endpoint=False) + 0.5 / cfg.ny
+    zs = np.linspace(0, 1, cfg.nz, endpoint=False) + 0.5 / cfg.nz
+    lo = np.asarray(cfg.lo)
+    hi = np.asarray(cfg.hi)
+    zz, yy, xx = np.meshgrid(zs, ys, xs, indexing='ij')
+    return np.stack([lo[0] + xx * (hi[0] - lo[0]),
+                     lo[1] + yy * (hi[1] - lo[1]),
+                     lo[2] + zz * (hi[2] - lo[2])], axis=-1)
+
+
+def cells_inside_object(cfg: FluidConfig, objects, index: int, seed=0):
+    """Inside-mask + per-cell Kd for one scene object, by the reference's
+    double-ray cast (fluid.h:247-307): from each cell center cast the
+    fixed direction (0.5,0,0.5)/|.| both ways; the cell is inside iff
+    both rays hit the object with the +dir hit EXITING (n·dir > 0) and
+    the -dir hit entering seen from inside (n·dir < 0).  Cell color =
+    Kd of the nearer main hit, refined by 5 random double-casts picking
+    the overall-nearest hit's Kd (the reference testray loop).  The cast
+    runs against an ISOLATED scene holding only the selected object
+    (the reference intersects objects[selected] directly), through the
+    full tiered intersect — textured mesh Kd included."""
+    from ..scene import scene as scn
+    import jax.numpy as jnp
+
+    iso = scn.build_scene([objects[0], objects[1], objects[index]],
+                          1.0)
+    row = 2
+    centers = _cell_centers(cfg).reshape(-1, 3)
+    n = centers.shape[0]
+    o = jnp.asarray(centers, jnp.float32)
+    rng = np.random.default_rng(seed)
+
+    def cast(d):
+        dirs = jnp.broadcast_to(jnp.asarray(d, jnp.float32), (n, 3))
+        h = scn.intersect(iso, o, dirs)
+        on = h.hit & (h.obj_id == row)
+        return (np.asarray(on), np.asarray(h.t), np.asarray(h.n),
+                np.asarray(h.kd))
+
+    d0 = _SHAPE_DIR
+    on1, t1, n1, kd1 = cast(d0)
+    on2, t2, n2, kd2 = cast(-d0)
+    inside = (on1 & on2 & (np.sum(n1 * d0, -1) > 0)
+              & (np.sum(n2 * d0, -1) < 0))
+    mint = np.where(t1 <= t2, t1, t2)
+    col = np.where((t1 <= t2)[:, None], kd1, kd2)
+    for _ in range(5):
+        rd = rng.uniform(-0.5, 0.5, 3)
+        rd /= np.linalg.norm(rd)
+        ona, ta, _, kda = cast(rd.astype(np.float32))
+        onb, tb, _, kdb = cast(-rd.astype(np.float32))
+        for onx, tx, kx in ((ona, ta, kda), (onb, tb, kdb)):
+            better = onx & (tx < mint)
+            mint = np.where(better, tx, mint)
+            col = np.where(better[:, None], kx, col)
+    shape = (cfg.nz, cfg.ny, cfg.nx)
+    return inside.reshape(shape), col.reshape(shape + (3,))
+
+
+def seed_from_object(cfg: FluidConfig, objects, index: int,
+                     n_particles: int, seed=0):
+    """Particle seeding from a scene object's SHAPE with per-particle
+    colors (reference: init_particles(initwithshape=true),
+    fluid.h:247-364).  Returns (particles (P,3) f32, colors (P,3) f32);
+    P is stochastic around n_particles like the reference's
+    per-cell acceptance loop."""
+    inside, cellcol = cells_inside_object(cfg, objects, index, seed=seed)
+    rng = np.random.default_rng(seed + 1)
+    idx = np.argwhere(inside)                       # (M, 3) z,y,x
+    m = len(idx)
+    if m == 0:
+        return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.float32))
+    per = n_particles / m
+    iper = int(np.ceil(per))
+    cand = np.repeat(idx, iper, axis=0)
+    accept = rng.uniform(0, 1, len(cand)) <= per / iper
+    cells = cand[accept]
+    jitter = rng.uniform(0, 1, (len(cells), 3))
+    lo = np.asarray(cfg.lo)
+    dx = np.asarray(cfg.dx)
+    pos = (lo + (cells[:, ::-1] + jitter) * dx).astype(np.float32)
+    cols = cellcol[cells[:, 0], cells[:, 1], cells[:, 2]].astype(np.float32)
+    return pos, cols
+
+
+# ---- jump-flooding velocity extrapolation (reference: fluid.h:142-245) ----
+
+
+def _jfa_nearest(valid):
+    """Nearest-valid-cell index per cell by jump flooding (the reference
+    jfa(): halving step sizes, 27-neighborhood, squared-grid-distance
+    argmin).  valid: (A,B,C) bool.  Returns (A,B,C) int32 FLAT index of
+    the nearest valid cell (undefined only if no cell is valid)."""
+    import jax.numpy as jnp
+    a, b, c = valid.shape
+    zz, yy, xx = jnp.meshgrid(jnp.arange(a), jnp.arange(b), jnp.arange(c),
+                              indexing='ij')
+    far = jnp.int32(-(1 << 20))
+    sz = jnp.where(valid, zz, far).astype(jnp.int32)
+    sy = jnp.where(valid, yy, far).astype(jnp.int32)
+    sx = jnp.where(valid, xx, far).astype(jnp.int32)
+
+    def shifted(arr, dz, dy, dxx):
+        out = jnp.roll(arr, (dz, dy, dxx), axis=(0, 1, 2))
+        if dz:
+            sl = np.s_[:dz] if dz > 0 else np.s_[dz:]
+            out = out.at[sl, :, :].set(far)
+        if dy:
+            sl = np.s_[:dy] if dy > 0 else np.s_[dy:]
+            out = out.at[:, sl, :].set(far)
+        if dxx:
+            sl = np.s_[:dxx] if dxx > 0 else np.s_[dxx:]
+            out = out.at[:, :, sl].set(far)
+        return out
+
+    def step(sz, sy, sx, k):
+        best_d = ((sz - zz) ** 2 + (sy - yy) ** 2 + (sx - xx) ** 2)
+        for dz in (-k, 0, k):
+            for dy in (-k, 0, k):
+                for dxx in (-k, 0, k):
+                    if dz == dy == dxx == 0:
+                        continue
+                    cz = shifted(sz, dz, dy, dxx)
+                    cy = shifted(sy, dz, dy, dxx)
+                    cx = shifted(sx, dz, dy, dxx)
+                    d = ((cz - zz) ** 2 + (cy - yy) ** 2 + (cx - xx) ** 2)
+                    win = d < best_d
+                    best_d = jnp.where(win, d, best_d)
+                    sz = jnp.where(win, cz, sz)
+                    sy = jnp.where(win, cy, sy)
+                    sx = jnp.where(win, cx, sx)
+        return sz, sy, sx
+
+    n = max(a, b, c)
+    k = n // 2
+    while k >= 1:
+        sz, sy, sx = step(sz, sy, sx, k)
+        k //= 2
+    sz, sy, sx = step(sz, sy, sx, 1)
+    return (sz * (b * c) + sy * c + sx).astype(jnp.int32)
+
+
+def extrapolate_jfa(cfg: FluidConfig, st: FluidState) -> FluidState:
+    """Nearest-neighbor velocity extrapolation via jump flooding
+    (reference NNextrapolate, fluid.h:237-245): every face takes the
+    velocity of the nearest fluid-adjacent face — unbounded reach, unlike
+    the 8 averaging sweeps of `extrapolate` (kept as the cheap option;
+    test_fluid compares the two)."""
+    import jax.numpy as jnp
+    fluid = st.celltypes == FLUID
+    fp = jnp.pad(fluid, 1)
+
+    def face_valid(axis):
+        if axis == 0:
+            return fp[1:-1, 1:-1, :-1] | fp[1:-1, 1:-1, 1:]
+        if axis == 1:
+            return fp[1:-1, :-1, 1:-1] | fp[1:-1, 1:, 1:-1]
+        return fp[:-1, 1:-1, 1:-1] | fp[1:, 1:-1, 1:-1]
+
+    def run(vol, valid):
+        site = _jfa_nearest(valid)
+        filled = vol.reshape(-1)[site.reshape(-1)].reshape(vol.shape)
+        return jnp.where(valid, vol, filled)
+
+    return st._replace(
+        velx=run(st.velx, face_valid(0)),
+        vely=run(st.vely, face_valid(1)),
+        velz=run(st.velz, face_valid(2)))

@@ -26,9 +26,10 @@ import numpy as np
 def checker(n, c0, c1, tiles=12):
     ij = np.add.outer(np.arange(n) * tiles // n,
                       np.arange(n) * tiles // n) % 2
-    img = np.where(ij[..., None] == 0, np.asarray(c0, np.float32),
-                   np.asarray(c1, np.float32))
-    return (img * 255).astype(np.uint8)
+    # float arrays are taken as ALREADY-DECODED linear data by
+    # make_group_textures — keep them in [0, 1]
+    return np.where(ij[..., None] == 0, np.asarray(c0, np.float32),
+                    np.asarray(c1, np.float32)).astype(np.float32)
 
 
 def build_scene_objs(small=False):

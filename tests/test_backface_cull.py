@@ -25,10 +25,15 @@ from pathtracer_tpu.scene import topology as tp
 from pathtracer_tpu.utils import procgen
 
 
-def _outside_and_escaping_rays(n, rng, radius=10.0):
-    """Half rays from a far shell aimed inward, half 'escaping' rays from
-    just above the surface heading outward (the measured bounce-sweep
-    dominator class)."""
+def _outside_and_escaping_rays(cm, n, rng, radius=10.0):
+    """Half rays from a far shell aimed inward, half REAL bounce-style
+    rays: traced to the surface, offset outward along the geometric
+    normal, directed into the outward hemisphere (the measured
+    bounce-sweep dominator class).  Origins must genuinely be OUTSIDE
+    the closed surface — naive 'radius*1.005' shells sit INSIDE the
+    displaced bumps (displacement reaches 1.45x the base radius) where
+    back-face hits are legitimate and the cull-parity property does not
+    apply."""
     o = rng.normal(size=(n, 3))
     o /= np.linalg.norm(o, axis=1, keepdims=True)
     o *= 3.0 * radius
@@ -36,14 +41,27 @@ def _outside_and_escaping_rays(n, rng, radius=10.0):
     d = tgt - o
     d /= np.linalg.norm(d, axis=1, keepdims=True)
     m = n // 2
-    so = rng.normal(size=(m, 3))
-    so /= np.linalg.norm(so, axis=1, keepdims=True)
-    sd = so + 0.8 * rng.normal(size=(m, 3))
-    sd /= np.linalg.norm(sd, axis=1, keepdims=True)
-    flip = (sd * so).sum(1) < 0
-    sd[flip] *= -1.0
-    o[:m] = so * radius * 1.005
-    d[:m] = sd
+    # trace the first half to the surface (cull off) and relaunch
+    t, tri, _, _ = pc.two_level_hit(
+        cm, jnp.asarray(o[:m], jnp.float32), jnp.asarray(d[:m], jnp.float32),
+        jnp.full((m,), 1e6, jnp.float32), interpret=True,
+        backface_cull=False)
+    t = np.asarray(t)
+    tri = np.asarray(tri)
+    hitm = tri >= 0
+    tv = cm.host_tris[np.maximum(tri, 0)]
+    gn = np.cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0])
+    gn /= np.maximum(np.linalg.norm(gn, axis=1, keepdims=True), 1e-20)
+    # orient the geometric normal against the incoming ray (outward side)
+    flip_in = np.sum(gn * d[:m], axis=1) > 0
+    gn[flip_in] *= -1.0
+    p = o[:m] + t[:, None] * d[:m] + 1e-3 * gn
+    nd = gn + 0.8 * rng.normal(size=(m, 3))
+    nd /= np.linalg.norm(nd, axis=1, keepdims=True)
+    below = np.sum(nd * gn, axis=1) < 0
+    nd[below] *= -1.0
+    o[:m] = np.where(hitm[:, None], p, o[:m])
+    d[:m] = np.where(hitm[:, None], nd, d[:m])
     return (jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32))
 
 
@@ -71,7 +89,7 @@ def test_two_level_hit_backface_parity():
     assert sign != 0
     cm = pc.build_clustered(md.vertices[md.vtx_idx], nrm_sign=float(sign))
     assert cm.n_clusters <= pc.HIER_MIN_CLUSTERS
-    org, dirn = _outside_and_escaping_rays(2048, rng)
+    org, dirn = _outside_and_escaping_rays(cm, 2048, rng)
     tmax = jnp.full((2048,), 1e6, jnp.float32)
     t0, tri0, _, _ = pc.two_level_hit(cm, org, dirn, tmax, interpret=True,
                                       backface_cull=False)
@@ -94,7 +112,7 @@ def test_two_level_hit_backface_parity_hier():
     cm = pc.build_clustered(md.vertices[md.vtx_idx], nrm_sign=float(sign),
                             tris_c=512)
     assert cm.n_clusters > pc.HIER_MIN_CLUSTERS
-    org, dirn = _outside_and_escaping_rays(1024, rng)
+    org, dirn = _outside_and_escaping_rays(cm, 1024, rng)
     tmax = jnp.full((1024,), 1e6, jnp.float32)
     t0, tri0, _, _ = pc.two_level_hit(cm, org, dirn, tmax, interpret=True,
                                       backface_cull=False)

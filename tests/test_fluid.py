@@ -89,3 +89,76 @@ def test_fluid_frame_renders_as_spheres():
                                                     nrays=2))
     img = np.asarray(img)
     assert np.all(np.isfinite(img)) and img.max() > 0
+
+
+def test_seed_from_object_shape_and_colors():
+    """Mesh-shape particle seeding with per-particle colors (reference
+    init_particles(initwithshape), fluid.h:247-364): particles fill the
+    mesh sphere's volume and carry its Kd."""
+    from pathtracer_tpu.scene import scene as scn
+    from pathtracer_tpu.utils import procgen
+    cfg = fluid.FluidConfig(lo=(-1.2, -1.2, -1.2), hi=(1.2, 1.2, 1.2),
+                            nx=16, ny=16, nz=16)
+    md = procgen.sphere_mesh(20, 20, radius=1.0, kd=(0.8, 0.2, 0.1))
+    objs = scn.default_objects()
+    objs.append(scn.mesh_object(md))
+    inside, col = fluid.cells_inside_object(cfg, objs, len(objs) - 1)
+    centers = fluid._cell_centers(cfg)
+    r = np.linalg.norm(centers, axis=-1)
+    assert (inside == (r < 1.0)).mean() > 0.95
+    np.testing.assert_allclose(col[inside].mean(0), (0.8, 0.2, 0.1),
+                               atol=1e-3)
+    pts, cols = fluid.seed_from_object(cfg, objs, len(objs) - 1, 2000)
+    assert 1000 < len(pts) < 4000
+    # particles confined to (cell-quantized) sphere volume
+    assert np.linalg.norm(pts, axis=1).max() < 1.0 + 2.0 * 2.4 / 16
+    np.testing.assert_allclose(cols.mean(0), (0.8, 0.2, 0.1), atol=1e-3)
+
+
+def test_rasterize_mesh_solids():
+    """Solid rasterization against scene MESHES via the double-ray
+    inside test (reference fluid.h:120-139)."""
+    from pathtracer_tpu.scene import scene as scn
+    from pathtracer_tpu.utils import procgen
+    cfg = fluid.FluidConfig(lo=(-1.2, -1.2, -1.2), hi=(1.2, 1.2, 1.2),
+                            nx=16, ny=16, nz=16)
+    md = procgen.sphere_mesh(20, 20, radius=0.6)
+    objs = scn.default_objects()
+    objs.append(scn.mesh_object(md))
+    solid = fluid.rasterize_solids(cfg, objs)
+    centers = fluid._cell_centers(cfg)
+    r = np.linalg.norm(centers, axis=-1)
+    inside_r = solid[r < 0.45]
+    outside_r = solid[r > 0.8]
+    assert inside_r.mean() > 0.9
+    assert outside_r.mean() < 0.05
+
+
+def test_jfa_extrapolation_reach():
+    """JFA extrapolation (reference fluid.h:142-245) has UNBOUNDED reach:
+    every face gets the velocity of its nearest fluid-adjacent face,
+    even across a grid wider than the sweeps' 8-cell horizon; near the
+    fluid both variants agree on already-valid faces."""
+    import jax.numpy as jnp
+    cfg = fluid.FluidConfig(lo=(0, 0, 0), hi=(1, 1, 1),
+                            nx=24, ny=24, nz=24)
+    pts = fluid.seed_box(cfg, (0.05, 0.05, 0.05), (0.2, 0.2, 0.2), 500)
+    st = fluid.init_state(cfg, pts)
+    st = fluid.reclassify(cfg, st)
+    rng = np.random.default_rng(0)
+    st = st._replace(velx=jnp.asarray(rng.normal(0, 1, st.velx.shape),
+                                      jnp.float32))
+    ej = fluid.extrapolate_jfa(cfg, st)
+    # valid faces untouched
+    fluidm = np.asarray(st.celltypes) == fluid.FLUID
+    fp = np.pad(fluidm, 1)
+    validx = fp[1:-1, 1:-1, :-1] | fp[1:-1, 1:-1, 1:]
+    np.testing.assert_array_equal(np.asarray(ej.velx)[validx],
+                                  np.asarray(st.velx)[validx])
+    # the far corner face carries a value drawn from the valid set
+    # (nearest-site copy), not its own garbage
+    far = float(np.asarray(ej.velx)[-1, -1, -1])
+    valid_vals = np.asarray(st.velx)[validx]
+    assert np.any(np.isclose(valid_vals, far)), far
+    # the far value is NOT the face's own pre-extrapolation garbage
+    assert far != float(np.asarray(st.velx)[-1, -1, -1])
