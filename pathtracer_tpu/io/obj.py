@@ -372,6 +372,70 @@ def load_lab(path: str, num_triangles: int) -> np.ndarray:
     return colors
 
 
+def load_edge_csv(path: str, md: MeshData):
+    """Per-edge color map from a cut-analysis CSV (reference:
+    TriMesh::load_edge_colors, TriangleMesh.cpp:132-210).
+
+    Each data line is `cut val0 val1 idFace0 n0x n0y n0z idFace1 n1x n1y
+    n1z`; the FACE pair maps to its shared vertex edge, whose color is
+    the red->white lerp by v = (clamp(val0)+clamp(val1))/2.  Returns
+    (edge_colors (T,3,3) f32, edge_mask (T,3) bool) in ORIGINAL triangle
+    order, slot layout matching getMaterial's crossing test (scene.py):
+    slot 1 = edge (j,k) (the alpha < 0.05 edge), slot 2 = (i,k), slot
+    0 = (i,j)."""
+    vt = np.asarray(md.vtx_idx, np.int64)
+    t = len(vt)
+    # undirected edge -> [faces]
+    pairs = np.concatenate([
+        np.stack([vt[:, 1], vt[:, 2]], 1),   # slot 1 (alpha edge)
+        np.stack([vt[:, 0], vt[:, 2]], 1),   # slot 2 (beta edge)
+        np.stack([vt[:, 0], vt[:, 1]], 1),   # slot 0 (gamma edge)
+    ])
+    lo = np.minimum(pairs[:, 0], pairs[:, 1])
+    hi = np.maximum(pairs[:, 0], pairs[:, 1])
+    nv = int(vt.max()) + 1
+    ecode = lo * nv + hi
+    e2f = {}
+    for row, code in enumerate(ecode):
+        e2f.setdefault(int(code), []).append(row % t)
+    # (min face, max face) -> vertex-edge code
+    f2e = {}
+    for code, faces in e2f.items():
+        fs = sorted(set(faces))
+        if len(fs) == 2:
+            f2e[(fs[0], fs[1])] = code
+    edge_color = {}
+    with open(path) as f:
+        for line in f:
+            tok = line.split()
+            if len(tok) != 11:
+                continue
+            val0 = min(1.0, max(0.0, float(tok[1])))
+            val1 = min(1.0, max(0.0, float(tok[2])))
+            f0, f1 = int(tok[3]), int(tok[7])
+            code = f2e.get((min(f0, f1), max(f0, f1)))
+            if code is None:
+                continue
+            v = 0.5 * (val0 + val1)
+            edge_color[code] = np.asarray(
+                [v + (1.0 - v), v, v], np.float32)   # lerp(red, white, v)
+    colors = np.zeros((3 * t, 3), np.float32)
+    mask = np.zeros(3 * t, bool)
+    for row, code in enumerate(ecode):
+        c = edge_color.get(int(code))
+        if c is not None:
+            colors[row] = c
+            mask[row] = True
+    # rows were stacked [slot1 | slot2 | slot0]
+    out_c = np.zeros((t, 3, 3), np.float32)
+    out_m = np.zeros((t, 3), bool)
+    out_c[:, 1], out_c[:, 2], out_c[:, 0] = (colors[:t], colors[t:2 * t],
+                                             colors[2 * t:])
+    out_m[:, 1], out_m[:, 2], out_m[:, 0] = (mask[:t], mask[t:2 * t],
+                                             mask[2 * t:])
+    return out_c, out_m
+
+
 def transform_mesh(md: MeshData, scaling: float = 1.0,
                    offset=(0.0, 0.0, 0.0), preserve_input: bool = False,
                    center: bool = True) -> MeshData:

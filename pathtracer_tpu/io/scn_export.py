@@ -182,8 +182,10 @@ def save_scn(path: str, objects, light_intensity, cam, cfg,
                 _object_base(f, spec, name)
                 f.write('is_centered: %u\n'
                         % (1 if getattr(spec, 'is_centered', True) else 0))
-                f.write('has_csv: %u\n' % 0)
-                f.write('csv_file: %s\n' % '')
+                has_csv = isinstance(getattr(spec, 'edge_csv', None), str)
+                f.write('has_csv: %u\n' % (1 if has_csv else 0))
+                f.write('csv_file: %s\n' % (spec.edge_csv if has_csv
+                                             else ''))
             else:
                 raise ValueError('unsupported obj_type %r for .scn '
                                  'write-back' % (spec.obj_type,))

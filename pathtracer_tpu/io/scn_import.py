@@ -220,8 +220,8 @@ def load_scn(path: str, name_subst: Optional[str] = None):
                 center_flag = bool(int(_floats(lines.next())[0]))
             else:
                 center_flag = True
-            lines.expect('has_csv:')
-            lines.expect('csv_file:')
+            has_csv = bool(int(_floats(lines.expect('has_csv:'))[0]))
+            csv_file = lines.expect('csv_file:')
             from . import obj as obj_io
             mp = o['name']
             if not os.path.isabs(mp):
@@ -230,6 +230,11 @@ def load_scn(path: str, name_subst: Optional[str] = None):
             spec = scn.mesh_object(md, **{k: v for k, v in kw.items()
                                           if k != 'interp_normals'})
             spec.interp_normals = o['interp_normals']
+            if has_csv and csv_file and csv_file != 'Null':
+                cp_ = csv_file if os.path.isabs(csv_file) \
+                    else os.path.join(base_dir, csv_file)
+                if os.path.exists(cp_):
+                    spec.edge_csv = cp_
             objects.append(spec)
         else:
             raise ValueError(f'unsupported .scn object block: {kind!r}')

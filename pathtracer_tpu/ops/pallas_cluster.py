@@ -331,7 +331,12 @@ def build_clustered(tri_verts: np.ndarray, fb=None,
         # slots/packet, so bigger clusters only add sweep width).  BLOCK
         # 256 re-tested at 2048 and still loses everywhere but the e2e
         # margin (-4%), which it gives back 2x on primaries.
-        tris_c = 2048 if t > 1_500_000 else TRIS_C
+        # an explicit PT_TRIS_C always wins (A/B studies at any size);
+        # otherwise the size-scaled default
+        if 'PT_TRIS_C' in os.environ:
+            tris_c = TRIS_C
+        else:
+            tris_c = 2048 if t > 1_500_000 else TRIS_C
         ranges = cut(tris_c)
         while len(ranges) > DENSE_CULL_MAX:
             tris_c *= 2
@@ -714,12 +719,15 @@ def _sweep_kernel(ids_ref, cnt_ref, keys_ref,
         entry = jnp.maximum(tmin, 0.0)
         return (tmax >= entry) & (entry < tout_ref[0, 0, :])
 
-    # d-part ray matrix R_d^T = [d, 0]: slot-independent, built ONCE per
+    # d-part ray matrix R_d^T = [-d, 0]: slot-independent, built ONCE per
     # packet as a (4, BLOCK) sublane stack from the row planes (a
     # separate (BLOCK, 4) input block would lane-pad its minor dim
-    # 4->128 into a strided DMA — the round-1 (BLOCK,3) hazard class)
+    # 4->128 into a strided DMA — the round-1 (BLOCK,3) hazard class).
+    # NEGATED so the epilogue's t = on/dn needs no extra negate pass
+    # (every elementwise op is a full VMEM round trip): with dn = -(d·n),
+    # t = on/dn and beta = oU - t*dU (dU = -(d·U')).
     rt_d = jnp.concatenate(
-        [dx_ref[0], dy_ref[0], dz_ref[0],
+        [-dx_ref[0], -dy_ref[0], -dz_ref[0],
          jnp.zeros((1, BLOCK), jnp.float32)], axis=0)
 
     def process(cid):
@@ -797,9 +805,9 @@ def _sweep_kernel(ids_ref, cnt_ref, keys_ref,
                 dn = prod_d[:, 0 * SUBT:1 * SUBT]
                 dU = prod_d[:, 1 * SUBT:2 * SUBT]
                 dV = prod_d[:, 2 * SUBT:3 * SUBT]
-                t = -(on / dn)
-                beta = oU + t * dU
-                gamma = oV + t * dV
+                t = on / dn          # dn = -(d·n): no negate pass
+                beta = oU - t * dU   # dU = -(d·U')
+                gamma = oV - t * dV
                 # positive acceptance rejects NaN (pad/degenerate
                 # planes); bary-min merge halves the compare passes —
                 # every elementwise op here is a full VMEM round trip
@@ -921,9 +929,9 @@ def _sweep_any_kernel(ids_ref, cnt_ref, keys_ref,
         entry = jnp.maximum(tmin, 0.0)
         return (tmax >= entry) & (entry < cap())
 
-    # slot-independent d-part ray matrix (see _sweep_kernel)
+    # slot-independent NEGATED d-part ray matrix (see _sweep_kernel)
     rt_d = jnp.concatenate(
-        [dx_ref[0], dy_ref[0], dz_ref[0],
+        [-dx_ref[0], -dy_ref[0], -dz_ref[0],
          jnp.zeros((1, BLOCK), jnp.float32)], axis=0)
 
     def process(cid):
@@ -980,9 +988,9 @@ def _sweep_any_kernel(ids_ref, cnt_ref, keys_ref,
                 dn = prod_d[:, 0 * SUBT:1 * SUBT]
                 dU = prod_d[:, 1 * SUBT:2 * SUBT]
                 dV = prod_d[:, 2 * SUBT:3 * SUBT]
-                t = -(on / dn)
-                beta = oU + t * dU
-                gamma = oV + t * dV
+                t = on / dn          # dn = -(d·n): no negate pass
+                beta = oU - t * dU   # dU = -(d·U')
+                gamma = oV - t * dV
                 # bary-min merge (same as the lean closest-hit epilogue:
                 # each elementwise op is a full VMEM round trip)
                 bary = jnp.minimum(jnp.minimum(beta, gamma),

@@ -170,7 +170,8 @@ def upload_mesh(md: obj_io.MeshData, obj_row: int,
                 group_refr=None,
                 group_ksub=None,
                 lean: Optional[bool] = None,
-                allow_backface: bool = True) -> MeshArrays:
+                allow_backface: bool = True,
+                edge_colors=None) -> MeshArrays:
     """Build BVH + device arrays from host MeshData (TriMesh::init tail,
     TriangleMesh.cpp:784-841)."""
     from ..models import texture as tex_mod
@@ -395,6 +396,13 @@ def upload_mesh(md: obj_io.MeshData, obj_row: int,
         _add('fc', np.asarray(fc))
     if se is not None:
         _add('se', np.asarray(se, np.float32))
+    if edge_colors is not None and display_edges:
+        # per-edge CSV colors (TriMesh::load_edge_colors consumption,
+        # TriangleMesh.cpp:991-1014): 9 color floats + 3 mask floats per
+        # triangle, slot layout matching the bary crossing test
+        ec_arr, em_arr = edge_colors
+        _add('ec', np.asarray(ec_arr, np.float32)[order].reshape(-1, 9))
+        _add('em', np.asarray(em_arr, np.float32)[order])
     if use_cluster:
         # edge-matrix rows for the per-ray barycentric recompute (the
         # lean cluster sweep returns (t, tri) winners only): packing them
@@ -494,6 +502,7 @@ def mergeable_spec(spec) -> bool:
             # the surface behind it is lost); per-mesh ghosts skip their
             # whole traversal instead, which is the correct semantics
             and not spec.ghost
+            and spec.edge_csv is None
             and not np.any(np.broadcast_to(
                 np.asarray(spec.ksub, np.float32), (3,)) != 0.0))
 

@@ -968,7 +968,22 @@ def _merge_mesh_hit(sc: SceneArrays, mesh, origins, dirs, cur: Hit,
     if 'fc' in sf or mesh.facecolors is not None:
         # .seg/.lab overlay replaces Kd outright (TriangleMesh.cpp:988-990)
         kd = sf['fc'] if 'fc' in sf else mesh.facecolors[tri]
-    if mesh.display_edges and ('se' in sf or mesh.show_edges is not None):
+    if mesh.display_edges and 'ec' in sf:
+        # per-edge CSV colors (TriangleMesh.cpp:991-1014): ANY bary <
+        # 0.05 crossing takes the crossed edge's mapped color, black if
+        # unmapped; the LAST matching branch wins like the reference's
+        # sequential ifs (alpha, then beta, then gamma)
+        ec = sf['ec'].reshape(-1, 3, 3)
+        em = sf['em'] != 0.0
+        sel_c = jnp.zeros_like(kd)
+        on_edge = jnp.zeros_like(al, bool)
+        for cond, slot in (((al < 0.05), 1), ((be < 0.05), 2),
+                           ((ga < 0.05), 0)):
+            col = jnp.where(em[:, slot, None], ec[:, slot], 0.0)
+            sel_c = jnp.where(cond[:, None], col, sel_c)
+            on_edge = on_edge | cond
+        kd = jnp.where(on_edge[:, None], sel_c, kd)
+    elif mesh.display_edges and ('se' in sf or mesh.show_edges is not None):
         # wireframe: blacken near real polygon borders — bary < 0.05
         # against the opposite-corner edge flag (TriangleMesh.cpp:1015-1021;
         # alpha->showEdges[1], beta->showEdges[2], gamma->showEdges[0])
@@ -1397,6 +1412,9 @@ class ObjectSpec:
     # face overlay source (path or (T,3) colors, mainApp.cpp:2311-2377)
     display_edges: bool = False
     seg_path: Any = None
+    # per-edge color CSV (TriMesh colors_csv_filename,
+    # TriangleMesh.cpp:132-210); shown when display_edges
+    edge_csv: Any = None
     # texture filtering/packing options (mesh objects): bilinear is an
     # option the reference lacks (its Texture is point-sampled); atlas
     # packing activates automatically past ATLAS_MIN_GROUPS textured
@@ -1666,6 +1684,14 @@ def build_scene(objects, light_intensity, envmap_intensity=1.0, envmap=None,
 
     from . import mesh as mesh_mod
 
+    def _edge_colors(o):
+        if not o.edge_csv:
+            return None
+        from ..io import obj as obj_io
+        if isinstance(o.edge_csv, str):
+            return obj_io.load_edge_csv(o.edge_csv, o.mesh_data)
+        return o.edge_csv     # preloaded (colors, mask) pair
+
     def _facecolors(o):
         if o.seg_path is None:
             return None
@@ -1693,6 +1719,7 @@ def build_scene(objects, light_intensity, envmap_intensity=1.0, envmap=None,
                              default_transp=bool(o.transp),
                              default_refr=float(o.refr_index),
                              display_edges=bool(o.display_edges),
+                             edge_colors=_edge_colors(o),
                              facecolors=_facecolors(o),
                              texture_overrides=o.textures,
                              use_atlas=o.use_atlas,

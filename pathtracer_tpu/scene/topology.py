@@ -252,3 +252,17 @@ def closed_orientation(vertices: np.ndarray, vtx_idx: np.ndarray) -> int:
     if np.all(vols < -1e-12):
         return -1
     return 0
+
+
+def save_anisotropy_legend(path: str):
+    """The 30x240 hue-strip legend PNG colorAnisotropy writes alongside
+    its face colors (reference: TriangleMesh.h:181-190): row i =
+    TransformH(red, i degrees), gamma-2.2 encoded like the reference's
+    albedo convention."""
+    img = np.zeros((240, 30, 3), np.float32)
+    for i in range(240):
+        img[i, :] = transform_hue(np.asarray([1.0, 0.0, 0.0]), float(i))[0]
+    u8 = (np.clip(img, 0.0, 1.0) ** (1.0 / 2.2) * 255.0).astype(np.uint8)
+    from ..io import image as image_io
+    image_io.save_image(path, u8)
+    return u8
