@@ -60,12 +60,19 @@ def build_scene_objs(small=False):
     return objs, n_tris
 
 
+def _camera():
+    import pathtracer_tpu as pt
+    d = np.asarray([0.0, -0.33, -1.0])
+    return pt.make_camera((0.0, 4.0, 58.0), tuple(d / np.linalg.norm(d)),
+                          (0, 1, 0))
+
+
 def render(width, height, spp, spw, objs, bounces=3):
     import pathtracer_tpu as pt
     from pathtracer_tpu.render import renderer as rnd
     from pathtracer_tpu.scene import scene as scn
     sc = scn.build_scene(objs, scn.default_light_intensity())
-    cam = pt.make_camera((0, 0, 55), (0, 0, -1), (0, 1, 0))
+    cam = _camera()
     cfg = rnd.RenderConfig(width=width, height=height, nrays=spp,
                            nb_bounces=bounces, samples_per_wave=spw,
                            compact_rays=True)
@@ -90,6 +97,19 @@ def stats_of(img):
     }
 
 
+def _ref_main(spec):
+    """Subprocess mode: render the reduced-res reference on the CPU
+    backend (use_cluster defaults off there -> lockstep tiers)."""
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+    wp, hp = (int(x) for x in spec.split('x'))
+    small = os.environ.get('PT_GALLERY_SMALL') == '1'
+    objs, _ = build_scene_objs(small)
+    r, _, _, sc = render(wp, hp, 2, 2, objs, bounces=3)
+    assert not sc.meshes[0].use_cluster
+    np.save('/tmp/gallery_office_ref.npy', np.asarray(r.display()))
+
+
 def main():
     small = os.environ.get('PT_GALLERY_SMALL') == '1'
     if small:
@@ -101,27 +121,24 @@ def main():
         assert n_tris >= 8_000_000
 
     # reduced-res parity first (cheap on both paths)
-    wp, hp = (64, 36) if small else (160, 90)
+    wp, hp = (64, 36) if small else (96, 54)
     rp, stp, dtp, scp = render(wp, hp, 2, 2, objs, bounces=3)
     img_dev = np.asarray(rp.display())
     m = scp.meshes[0]
     print(f'merged mesh: {m.num_triangles} tris, cluster={m.use_cluster}, '
           f'backface={m.backface_cull}', flush=True)
 
-    # CPU-path image at the same shapes: force the lockstep XLA tiers
-    # (use_cluster=False per mesh) — same algorithms, different kernels
-    from pathtracer_tpu.scene import scene as scn
-    import pathtracer_tpu as pt
-    from pathtracer_tpu.render import renderer as rnd
-    import jax
-    sc_cpu = scp.replace(meshes=tuple(
-        mm.replace(use_cluster=False) for mm in scp.meshes))
-    cam = pt.make_camera((0, 0, 55), (0, 0, -1), (0, 1, 0))
-    cfgp = rnd.RenderConfig(width=wp, height=hp, nrays=2, nb_bounces=3,
-                            samples_per_wave=2, compact_rays=True)
-    rc = rnd.Renderer(sc_cpu, cam, cfgp)
-    rc.render()
-    img_ref = np.asarray(rc.display())
+    # reference image from the CPU backend in a SUBPROCESS (same
+    # algorithms through the lockstep XLA tiers).  Running the lockstep
+    # traversal of the 8M-node merged BVH ON THE TPU instead faulted
+    # the worker (multi-minute single dispatch — the round-2 failure
+    # class CLAUDE.md documents); the CPU backend walks it safely.
+    import subprocess
+    env = dict(os.environ)
+    env['PT_GALLERY_REF'] = f'{wp}x{hp}'
+    subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                   check=True, timeout=3600)
+    img_ref = np.load('/tmp/gallery_office_ref.npy')
     close = np.isclose(img_dev, img_ref, rtol=1e-3, atol=5e-3).all(-1)
     parity = {
         'tris': int(m.num_triangles),
@@ -152,4 +169,8 @@ def main():
 
 
 if __name__ == '__main__':
-    main()
+    ref = os.environ.get('PT_GALLERY_REF')
+    if ref:
+        _ref_main(ref)
+    else:
+        main()
