@@ -388,7 +388,8 @@ def shard_clustered_mesh(mesh_arrays, n_shards: int, axis: str = 'scene'):
     bounds[0], bounds[-1] = 0, c
     bounds = np.maximum.accumulate(bounds)
     c_pad = int(np.max(np.diff(bounds)))
-    row_b = np.concatenate([starts[bounds[:-1]], [t_total]]).astype(np.int64)
+    row_b = np.concatenate([starts_ext[bounds[:-1]],
+                            [t_total]]).astype(np.int64)
     r_pad = int(np.max(np.diff(row_b)))
 
     def pad_c(a, fill):

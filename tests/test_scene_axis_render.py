@@ -114,3 +114,21 @@ def test_comm_model_shapes():
     sm = scene_shard.scene_axis_scaling_model(2.9e6, 16, 3, 16)
     assert 1.0 < sm['modeled_speedup_vs_1chip'] <= 16.0
     assert 0.0 < sm['comm_fraction'] < 1.0
+
+
+def test_shard_tiny_mesh_empty_trailing_shards():
+    """A mesh with fewer clusters than shards: triangle-balanced bounds
+    may leave trailing shards EMPTY (bounds hit C mid-array) — the row
+    table must still tile the range exactly (the dryrun's 24x24 sphere
+    hit an IndexError here)."""
+    from pathtracer_tpu.utils import procgen
+    from pathtracer_tpu.scene import mesh as mesh_mod
+    md = procgen.sphere_mesh(24, 24, radius=10.0, displace_amp=0.3)
+    m = mesh_mod.upload_mesh(md, obj_row=3, use_cluster=True)
+    m_sh = scene_shard.shard_clustered_mesh(m, 4)
+    row0 = np.asarray(m_sh.shard_row0)
+    rows = np.asarray(m_sh.shard_rows)
+    assert row0[0] == 0
+    assert (rows >= 0).all()
+    assert (row0[1:] == row0[:-1] + rows[:-1]).all()
+    assert row0[-1] + rows[-1] == m.shade_pack.shape[0]
