@@ -415,6 +415,11 @@ def cells_inside_object(cfg: FluidConfig, objects, index: int, seed=0):
 
     iso = scn.build_scene([objects[0], objects[1], objects[index]],
                           1.0)
+    # the double-cast launches rays FROM INSIDE the shape — the cluster
+    # tier's backface cull (exact only for outside origins) must be OFF
+    # for these queries even when the mesh qualifies for it
+    iso = iso.replace(meshes=tuple(
+        m.replace(backface_cull=False) for m in iso.meshes))
     row = 2
     centers = _cell_centers(cfg).reshape(-1, 3)
     n = centers.shape[0]

@@ -216,3 +216,45 @@ def test_e2e_render_identical():
     img_off = np.asarray(pt.Renderer(sc_off, cam, cfg).render().display())
     np.testing.assert_array_equal(img_on, img_off)
     assert img_on.mean() > 0.0
+
+
+def test_inside_origin_queries_need_flag_off():
+    """Rays ORIGINATING INSIDE a closed mesh see back faces — exactly
+    what the cull (exact for outside origins only) removes.  Consumers
+    that cast from inside (fluid.cells_inside_object's double-cast) must
+    clear backface_cull; this documents the hazard at the kernel level
+    and checks the fluid path stays correct on the cluster tier."""
+    md = procgen.sphere_mesh(180, 180, radius=10.0, displace_amp=0.0)
+    sign = tp.closed_orientation(md.vertices, md.vtx_idx)
+    # small clusters -> narrow normal cones: the exit cluster of an
+    # inside ray is all-back-facing and gets culled (a coarse mesh's
+    # MIXED clusters would still surface the back-face hit — the cull
+    # is cluster-granular)
+    cm = pc.build_clustered(md.vertices[md.vtx_idx], nrm_sign=float(sign),
+                            tris_c=256)
+    rng = np.random.default_rng(5)
+    d = rng.normal(size=(16, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    org = jnp.zeros((16, 3), jnp.float32)         # center: inside
+    dirn = jnp.asarray(d)
+    tmax = jnp.full((16,), 1e6, jnp.float32)
+    t_off, tri_off, _, _ = pc.two_level_hit(cm, org, dirn, tmax,
+                                            interpret=True,
+                                            backface_cull=False)
+    t_on, tri_on, _, _ = pc.two_level_hit(cm, org, dirn, tmax,
+                                          interpret=True,
+                                          backface_cull=True)
+    assert (np.asarray(tri_off) >= 0).all()       # back-face hits exist
+    # the cull drops most of them (all-backface exit clusters)
+    assert (np.asarray(tri_on) < 0).mean() > 0.5
+    # the fluid inside-test clears the flag, so it stays correct even
+    # when the shape mesh qualifies for culling
+    from pathtracer_tpu.sim import fluid
+    cfg = fluid.FluidConfig(lo=(-12, -12, -12), hi=(12, 12, 12),
+                            nx=10, ny=10, nz=10)
+    objs = scn.default_objects()
+    objs.append(scn.mesh_object(md))
+    inside, _ = fluid.cells_inside_object(cfg, objs, len(objs) - 1)
+    centers = fluid._cell_centers(cfg)
+    r = np.linalg.norm(centers, axis=-1)
+    assert (inside == (r < 10.0)).mean() > 0.9
