@@ -129,7 +129,11 @@ SUBT = 256            # phase-2 triangle subtile (128-multiple): bounds the
                       # inside the 16MB scoped-VMEM stack
 MAXC = 128            # cluster slots per packet (overflow -> refine/reroute)
 STACK_DEPTH = 64
-DENSE_CULL_MAX = 8192   # clusters; above this the SMEM tree cull takes over
+DENSE_CULL_MAX = 16384  # clusters; above this the SMEM tree cull takes
+                        # over.  Raised from 8192 in round 5 so the
+                        # 23.7M office class packs 2048-tri clusters
+                        # (tighter AABBs + narrower normal cones for the
+                        # backface cull) instead of auto-doubling to 4096
 CHUNK_PACKETS = 256   # packets per kernel launch: SMEM outputs and the
                       # sweep's prefetched id table are lane-padded to
                       # (nb, 128) i32 and double-buffered — chunking keeps
@@ -1400,19 +1404,22 @@ def _hier_cull(cb, org, dirn, tmax, maxc: int = MAXC, exclude=None,
 
     # K nearest candidates via ONE single-operand i32 sort: pack the key
     # bits (positive f32s are monotone as i32) with the column index in
-    # the low 13 bits (C <= DENSE_CULL_MAX = 8192).  A variadic payload
-    # sort at (nb, C) costs ~5x a single-operand sort on TPU, and the
-    # 13-bit mantissa truncation only rounds keys DOWN — they stay valid
-    # LOWER bounds, which is all candidate selection and the dropped-
-    # cluster bound need.
-    assert c <= 8192, 'packed 13-bit candidate index needs C <= 8192'
+    # the low 13-14 bits (up to DENSE_CULL_MAX = 16384).  A variadic
+    # payload sort at (nb, C) costs ~5x a single-operand sort on TPU,
+    # and the index-bit mantissa truncation only rounds keys DOWN — they
+    # stay valid LOWER bounds, which is all candidate selection and the
+    # dropped-cluster bound need (at 14 bits the candidate ORDER gets
+    # coarser — 9 mantissa bits — which can only over-fire windows).
+    idx_bits = 13 if c <= 8192 else 14
+    assert c <= (1 << idx_bits), 'candidate index bits exceeded'
+    idx_mask = jnp.int32((1 << idx_bits) - 1)
     kb = jax.lax.bitcast_convert_type(keys_i, jnp.int32)
     iota_c = jnp.arange(c, dtype=jnp.int32)
-    packed_k = (kb & ~jnp.int32(0x1FFF)) | iota_c[None, :]
+    packed_k = (kb & ~idx_mask) | iota_c[None, :]
     sorted_k = jnp.sort(packed_k, axis=-1)[:, :k]
-    cand = sorted_k & jnp.int32(0x1FFF)
+    cand = sorted_k & idx_mask
     cand_keys_i = jax.lax.bitcast_convert_type(
-        sorted_k & ~jnp.int32(0x1FFF), jnp.float32)
+        sorted_k & ~idx_mask, jnp.float32)
     # truncated BIG_T shrinks by <= 2^-10 relative — compare against a
     # margin (real scene entries are far below 9e29)
     cand_live_i = cand_keys_i < np.float32(9e29)

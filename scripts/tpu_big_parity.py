@@ -115,8 +115,15 @@ def main():
             d /= np.linalg.norm(d, axis=-1, keepdims=True)
             org, dirn = jnp.asarray(o), jnp.asarray(d)
 
+        # the incoherent leg's random origins N(0, 25) can start INSIDE
+        # the closed sphere, where the backface cull's outside-origin
+        # precondition does not hold and the two-sided f64 oracle keeps
+        # back-face hits — disable it there (the coherent camera-ray leg
+        # keeps the cull ON and must still agree 1.0: a live validation
+        # of its exactness at 8M tris)
         mh = scn._mesh_closest_hit(m, org, dirn,
-                                   jnp.full((N_RAYS,), np.float32(1e30)))
+                                   jnp.full((N_RAYS,), np.float32(1e30)),
+                                   backface=(kind == 'coherent'))
         device_sync(mh.t)
         t_dev = np.asarray(mh.t, np.float64)
         tri_dev = np.asarray(mh.tri)
